@@ -1,0 +1,48 @@
+"""Render configuration.
+
+The reference hardcodes all of these (768x768 + 8 spp at
+src/wavefront.cpp:300,55; tmin/tmax at raygen.cu:54-55 and
+closehit_radiance.cu:137-138; unbounded RR depth). Promoted here to a real
+config object per SURVEY.md S5 (config/flag system).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 768
+    height: int = 768
+    samples_per_launch: int = 8
+
+    # The reference's bounce loop is unbounded, terminated only by Russian
+    # roulette / miss (raygen.cu:48-72). A jit-compiled loop needs a static
+    # cap; 32 keeps the truncated mass negligible for physical albedos.
+    max_depth: int = 32
+
+    primary_tmin: float = 0.01  # raygen.cu:54
+    primary_tmax: float = 1e16  # raygen.cu:55
+    shadow_tmin: float = 0.001  # closehit_radiance.cu:137
+    shadow_tmax_eps: float = 0.01  # closehit_radiance.cu:138 (Ldist - eps)
+
+    # Constant ambient background returned by the miss program's direct
+    # callable (src/shader/test.cu:3-6, miss.cu:30).
+    bg_radiance: tuple = (0.01, 0.01, 0.01)
+
+    # Wavefront execution shape: rays are processed in blocks of this size
+    # (bounds the [block, tri_chunk] intersection working set in HBM).
+    ray_block: int = 1 << 16
+    tri_chunk: int = 256
+
+    # 'uniform' (reference, closehit_radiance.cu:10-15) or 'power'
+    # (reference roadmap: power light sampler, README.md:19).
+    light_sampler: str = "uniform"
+
+    # BSDF evaluation model:
+    #   'reference' reproduces the shipped closest-hit exactly, including its
+    #   missing-cosine throughput quirk (attenuation *= albedo * bsdf/pdf
+    #   with pdf = cos/pi at closehit_radiance.cu:95-111, i.e. *= albedo/cos)
+    #   and cosine-less NEE weight (closehit_radiance.cu:142-152);
+    #   'physical' applies the textbook cosine factors instead.
+    throughput_model: str = "reference"

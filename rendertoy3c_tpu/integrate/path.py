@@ -1,0 +1,355 @@
+"""Wavefront path integrator — the TPU re-architecture of the reference's
+device pipeline (raygen.cu + closehit_radiance.cu + miss.cu + shader_common.h).
+
+Where OptiX runs one persistent thread per pixel with an unbounded bounce
+loop, recursion into shading programs, and hardware ray reordering, the TPU
+design is a single jit-compiled super-step over structure-of-arrays ray state
+resident in HBM:
+
+    pixel block -> [scan over spp] -> [while_loop over bounces]
+        trace-closest (all lanes)  -> shade + NEE (all lanes, masked)
+        -> trace-any shadow probe  -> RR termination (masked lanes go idle)
+
+Dead lanes are masked rather than compacted: under XLA every lane costs the
+same vector-ALU slot whether live or not, and static shapes let the whole
+bounce loop fuse into a handful of kernels. (Compaction/sorting re-enters with
+the Pallas BVH backend, where memory divergence — not ALU — is the cost.)
+
+Semantics reproduce the reference integrator exactly (SURVEY.md S3.3),
+including its RNG draw ordering, so per-lane sample sequences match the CUDA
+build bit-for-bit under matched seeds:
+  * per-pixel stream seeded tea<4>(pixel_index, subframe) (raygen.cu:25);
+  * 2 jitter draws per sample from the outer stream; the bounce stream forks
+    from it (prd.seed copy, raygen.cu:32-43);
+  * 1 motion-time draw per radiance ray (shader_common.h:64);
+  * closest-hit draws: z1, z2 (consumed but unused, closehit_radiance.cu:91-92),
+    2 hemisphere draws, 3 NEE draws; the shadow-ray time draw happens on a
+    fork that never rejoins (prd.seed is stored *before* traceOcclusion,
+    closehit_radiance.cu:123-138);
+  * RR draw only on surviving (non-miss) lanes — C++ short-circuit of
+    `prd.done || rnd(seed) > p` (raygen.cu:63);
+  * emission is collected at depth 0 only; misses add the constant ambient
+    callable's 0.01 grey at any depth (miss.cu:30, test.cu:3-6).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..film.film import Film, film_accumulate
+from ..math import rng
+from ..math.onb import onb_local_to_world
+from ..math.sampling import power_heuristic, sample_cosine_hemisphere
+from ..math.vec import dot, faceforward, length, luminance, normalize
+from ..scene.camera import CameraParams
+from ..scene.light import pick_light_power, pick_light_uniform, sample_light
+from ..scene.scene import Scene
+from ..scene.texture import sample_texture_bilinear
+from ..trace.intersect import Hit, make_bruteforce_tracer
+from .config import RenderConfig
+
+_INV_PI = 1.0 / math.pi
+
+
+class RenderStats(NamedTuple):
+    radiance_rays: jnp.ndarray  # scalar int64-ish f32 counter
+    shadow_rays: jnp.ndarray
+
+
+def _camera_ray(cam: CameraParams, px, py, jx, jy, width, height):
+    """Jittered pinhole ray (raygen.cu:32-39)."""
+    dx = 2.0 * ((px.astype(jnp.float32) + jx) / width) - 1.0
+    dy = 2.0 * ((py.astype(jnp.float32) + jy) / height) - 1.0
+    direction = normalize(
+        dx[:, None] * cam.u[None, :] + dy[:, None] * cam.v[None, :] + cam.w[None, :]
+    )
+    origin = jnp.broadcast_to(cam.eye, direction.shape)
+    return origin, direction
+
+
+def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
+                   org, direction, seed, active):
+    """Closest-hit program body (closehit_radiance.cu:60-160), vectorized.
+
+    Returns (new_seed, emitted_gate_d0, radiance, new_org, new_dir,
+    atten_factor, shadow_count).
+    All outputs are defined on every lane; callers mask with `active & hit`.
+    """
+    prim = jnp.maximum(hit.prim, 0)
+    u, v = hit.u, hit.v
+    w0 = (1.0 - u - v)[:, None]
+    w1 = u[:, None]
+    w2 = v[:, None]
+
+    g = scene.geom
+    # Shading attributes always come from motion key 0, matching the SBT
+    # record pointers (cuda_scene.h:78-81 point at the concatenated buffer
+    # base = key 0).
+    ng = normalize(w0 * g.n0[0, prim] + w1 * g.n1[0, prim] + w2 * g.n2[0, prim])
+    texcoord = w0 * g.uv0[prim] + w1 * g.uv1[prim] + w2 * g.uv2[prim]
+    ns = faceforward(ng, -direction, ng)
+    p = org + hit.t[:, None] * direction
+
+    mat = scene.materials
+    mid = g.mat_id[prim]
+    emitted = mat.emission[mid]
+
+    is_hit = hit.mask
+    adv = active & is_hit  # lanes whose stream advances through shading
+
+    # --- BSDF sampling (closehit_radiance.cu:90-112) ---
+    seed, _z1 = rng.rnd_masked(seed, adv)  # consumed but unused in reference
+    seed, _z2 = rng.rnd_masked(seed, adv)
+    seed, u1 = rng.rnd_masked(seed, adv)
+    seed, u2 = rng.rnd_masked(seed, adv)
+    w_local = sample_cosine_hemisphere(u1, u2)
+    cos_sampled = w_local[..., 2]
+    pdf_bsdf_sampled = cos_sampled * _INV_PI
+    new_dir = onb_local_to_world(w_local, ns)
+    new_org = p
+
+    tex_id = mat.diffuse_tex[mid]
+    tex_rgb = sample_texture_bilinear(
+        scene.atlas, tex_id, texcoord[..., 0], texcoord[..., 1]
+    )
+    albedo = jnp.where((tex_id >= 0)[:, None], tex_rgb, mat.diffuse[mid])
+
+    if cfg.throughput_model == "reference":
+        # attenuation *= albedo * bsdf / pdf  (bsdf = 1/pi, pdf = cos/pi)
+        atten_factor = albedo * (
+            _INV_PI / jnp.maximum(pdf_bsdf_sampled, 1e-12)
+        )[:, None]
+    else:
+        # physical: f * cos / pdf = albedo
+        atten_factor = albedo
+
+    # --- Next-event estimation (closehit_radiance.cu:117-156) ---
+    seed, u_pick = rng.rnd_masked(seed, adv)
+    seed, lu = rng.rnd_masked(seed, adv)
+    seed, lv = rng.rnd_masked(seed, adv)
+    if cfg.light_sampler == "power":
+        lidx, pick_pdf = pick_light_power(scene.lights, scene.num_lights, u_pick)
+    else:
+        lidx, pick_pdf = pick_light_uniform(scene.lights, scene.num_lights, u_pick)
+    light_pos, light_emission, pdf_samp = sample_light(scene.lights, lidx, lu, lv, p)
+    pdf_light = pdf_samp * pick_pdf  # SampleLights: pdf /= light_count
+
+    lvec = light_pos - p
+    ldist = length(lvec)
+    ldir = lvec / jnp.maximum(ldist, 1e-20)[:, None]
+    n_dl = dot(ns, ldir)
+
+    # Shadow-ray time comes from a fork of the post-NEE stream that never
+    # rejoins (prd.seed stored before traceOcclusion). rnd() peek:
+    _, occl_time = rng.rnd(seed)
+    want_shadow = adv & (n_dl > 0.0) & (scene.num_lights > 0)
+    occluded = trace_any(
+        p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps, occl_time
+    )
+
+    lit = want_shadow & ~occluded
+    pdf_scatter = jnp.abs(n_dl) * _INV_PI
+    if cfg.throughput_model == "reference":
+        weight = albedo * (
+            power_heuristic(pdf_light, pdf_scatter) * _INV_PI
+        )[:, None]
+        radiance = light_emission * jnp.where(lit[:, None], weight, 0.0)
+    else:
+        # Unbiased NEE for diffuse: Le*omega * f * cos / pick_pdf
+        contrib = light_emission * albedo * (
+            _INV_PI * n_dl / jnp.maximum(pick_pdf, 1e-12)
+        )[:, None]
+        radiance = jnp.where(lit[:, None], contrib, 0.0)
+
+    shadow_count = jnp.sum(want_shadow.astype(jnp.int32))
+    return seed, emitted, radiance, new_org, new_dir, atten_factor, shadow_count
+
+
+def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
+                 tracer, pixel_idx, subframe_index):
+    """Full path-traced estimate for one block of pixels. Returns
+    (rgb [B,3], radiance_ray_count, shadow_ray_count)."""
+    trace_closest, trace_any = tracer
+    bsize = pixel_idx.shape[0]
+    width = jnp.float32(cfg.width)
+    height = jnp.float32(cfg.height)
+    px = pixel_idx % cfg.width
+    py = pixel_idx // cfg.width
+    in_image = pixel_idx < cfg.width * cfg.height  # padding lanes render too,
+    # they are simply dropped on reshape.
+    del in_image
+
+    outer_seed0 = rng.tea(pixel_idx.astype(jnp.uint32), subframe_index)
+    bg = jnp.asarray(cfg.bg_radiance, jnp.float32)
+
+    def sample_body(carry, _):
+        outer_seed, result, n_rad, n_shad = carry
+        outer_seed, jx = rng.rnd(outer_seed)
+        outer_seed, jy = rng.rnd(outer_seed)
+        org, direction = _camera_ray(cam, px, py, jx, jy, width, height)
+
+        state = dict(
+            org=org,
+            dir=direction,
+            seed=outer_seed,  # prd.seed = seed (raygen.cu:43)
+            atten=jnp.ones((bsize, 3), jnp.float32),
+            last_atten=jnp.ones((bsize, 3), jnp.float32),
+            result=result,
+            alive=jnp.ones((bsize,), bool),
+            depth=jnp.zeros((), jnp.int32),
+            n_rad=n_rad,
+            n_shad=n_shad,
+        )
+
+        def cond(s):
+            return jnp.any(s["alive"]) & (s["depth"] < cfg.max_depth)
+
+        def body(s):
+            alive = s["alive"]
+            # traceRadiance: motion-time draw then traversal
+            seed, _time = rng.rnd_masked(s["seed"], alive)
+            hit = trace_closest(
+                s["org"], s["dir"], cfg.primary_tmin, cfg.primary_tmax, _time
+            )
+            (seed, emitted, radiance, new_org, new_dir, atten_factor,
+             shadow_count) = _shade_and_nee(
+                scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive
+            )
+            is_hit = hit.mask
+
+            # Miss program: constant ambient radiance, done=true (miss.cu:22-35)
+            radiance = jnp.where(is_hit[:, None], radiance, bg[None, :])
+            emitted = jnp.where(
+                (is_hit & (s["depth"] == 0))[:, None], emitted, 0.0
+            )
+
+            contrib = emitted + radiance * s["last_atten"]
+            result = s["result"] + jnp.where(alive[:, None], contrib, 0.0)
+
+            atten = jnp.where(
+                (alive & is_hit)[:, None], s["atten"] * atten_factor, s["atten"]
+            )
+            last_atten = jnp.where(alive[:, None], atten, s["last_atten"])
+
+            # Russian roulette from bounce 0 (raygen.cu:62-66); the draw only
+            # happens on non-miss lanes (short-circuited `||`).
+            p_rr = luminance(atten)
+            seed, u_rr = rng.rnd_masked(seed, alive & is_hit)
+            survive = is_hit & (u_rr <= p_rr)
+            atten = jnp.where(
+                (alive & survive)[:, None],
+                atten / jnp.maximum(p_rr, 1e-12)[:, None],
+                atten,
+            )
+
+            new_alive = alive & survive
+            org = jnp.where(new_alive[:, None], new_org, s["org"])
+            direction = jnp.where(new_alive[:, None], new_dir, s["dir"])
+
+            return dict(
+                org=org,
+                dir=direction,
+                seed=seed,
+                atten=atten,
+                last_atten=last_atten,
+                result=result,
+                alive=new_alive,
+                depth=s["depth"] + 1,
+                n_rad=s["n_rad"] + jnp.sum(alive.astype(jnp.int32)),
+                n_shad=s["n_shad"] + shadow_count,
+            )
+
+        state = jax.lax.while_loop(cond, body, state)
+        return (outer_seed, state["result"], state["n_rad"], state["n_shad"]), None
+
+    init = (
+        outer_seed0,
+        jnp.zeros((bsize, 3), jnp.float32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    (outer_seed, result, n_rad, n_shad), _ = jax.lax.scan(
+        sample_body, init, None, length=cfg.samples_per_launch
+    )
+    rgb = result / jnp.float32(cfg.samples_per_launch)
+    return rgb, n_rad, n_shad
+
+
+def render_subframe(
+    scene: Scene,
+    cam: CameraParams,
+    film: Film,
+    cfg: RenderConfig,
+    tracer=None,
+):
+    """Render one progressive subframe and fold it into the film.
+
+    Equivalent of launchSubframe + the raygen accumulation
+    (src/wavefront.cpp:203-222, raygen.cu:75-86). Returns (film, stats).
+    """
+    if tracer is None:
+        tracer = make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
+
+    n_pixels = cfg.width * cfg.height
+    block = min(cfg.ray_block, _next_pow2(n_pixels))
+    n_padded = -(-n_pixels // block) * block
+    pixel_idx = jnp.arange(n_padded, dtype=jnp.int32).reshape(-1, block)
+
+    def per_block(idx):
+        return _trace_block(scene, cfg, cam, tracer, idx, film.subframe_index)
+
+    rgb_blocks, n_rad, n_shad = jax.lax.map(per_block, pixel_idx)
+    rgb = rgb_blocks.reshape(-1, 3)[:n_pixels].reshape(cfg.height, cfg.width, 3)
+    film = film_accumulate(film, rgb)
+    stats = RenderStats(
+        radiance_rays=jnp.sum(n_rad), shadow_rays=jnp.sum(n_shad)
+    )
+    return film, stats
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def make_render_fn(scene: Scene, cfg: RenderConfig, tracer=None) -> Callable:
+    """jit-compiled subframe step with film donation: the accumulator stays
+    in HBM across subframes (the reference's async param upload + persistent
+    accum buffer, cuda_scene.h:172-178)."""
+
+    def step(cam: CameraParams, film: Film):
+        return render_subframe(scene, cam, film, cfg, tracer=tracer)
+
+    return jax.jit(step, donate_argnames=("film",))
+
+
+def render_frame(
+    scene: Scene,
+    camera_params: CameraParams,
+    cfg: RenderConfig,
+    subframes: int = 1,
+    film: Optional[Film] = None,
+    tracer=None,
+):
+    """Offline progressive render of `subframes` launches. Returns
+    (film, total_stats)."""
+    from ..film.film import film_create
+
+    step = make_render_fn(scene, cfg, tracer=tracer)
+    if film is None:
+        film = film_create(cfg.height, cfg.width)
+    total_rad = 0
+    total_shad = 0
+    for _ in range(subframes):
+        film, stats = step(camera_params, film)
+        total_rad += int(stats.radiance_rays)
+        total_shad += int(stats.shadow_rays)
+    return film, RenderStats(
+        radiance_rays=jnp.asarray(total_rad), shadow_rays=jnp.asarray(total_shad)
+    )

@@ -1,0 +1,87 @@
+"""Material model (src/material.h:7-38).
+
+Host side: a `Material` dataclass mirroring the reference's per-mesh material.
+Device side: a `MaterialTable` SoA pytree — the TPU-native replacement for the
+reference's per-mesh SBT hitgroup records (src/cuda/cuda_scene.h:60-88): where
+OptiX dispatches shading through per-instance SBT records, we gather from flat
+material arrays by per-face material id inside one fused shading kernel.
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class MaterialType(enum.IntEnum):
+    DIFFUSE = 0
+    SPECULAR = 1
+    FRESNEL_TRANSMISSIVE = 2
+    PRINCIPLED = 3
+
+
+@dataclass
+class Material:
+    """Host-side material description (defaults match src/material.h:15-38)."""
+
+    material_type: MaterialType = MaterialType.DIFFUSE
+    diffuse: tuple = (1.0, 1.0, 1.0)
+    diffuse_texture_id: int = -1
+    emissive: tuple = (0.0, 0.0, 0.0)
+    emissive_texture_id: int = -1
+    roughness: float = 0.5
+    roughness_texture_id: int = -1
+    anisotropy: float = 0.0
+    ior: float = 1.333
+    transmittance: float = 0.0
+    normal_texture_id: int = -1
+    # Principled-BSDF extras (reference roadmap item, README.md:17)
+    metallic: float = 0.0
+    specular_tint: float = 0.0
+    sheen: float = 0.0
+    clearcoat: float = 0.0
+
+
+class MaterialTable(NamedTuple):
+    """Device SoA: one row per material, gathered by face material id."""
+
+    mtype: jnp.ndarray  # [M] int32
+    diffuse: jnp.ndarray  # [M, 3] f32
+    emission: jnp.ndarray  # [M, 3] f32
+    roughness: jnp.ndarray  # [M] f32
+    metallic: jnp.ndarray  # [M] f32
+    ior: jnp.ndarray  # [M] f32
+    transmittance: jnp.ndarray  # [M] f32
+    anisotropy: jnp.ndarray  # [M] f32
+    sheen: jnp.ndarray  # [M] f32
+    clearcoat: jnp.ndarray  # [M] f32
+    diffuse_tex: jnp.ndarray  # [M] int32, -1 = none
+    emissive_tex: jnp.ndarray  # [M] int32
+    roughness_tex: jnp.ndarray  # [M] int32
+    normal_tex: jnp.ndarray  # [M] int32
+
+
+def build_material_table(materials: Sequence[Material]) -> MaterialTable:
+    if not materials:
+        materials = [Material()]
+    f32 = lambda xs: jnp.asarray(np.asarray(xs, np.float32))
+    i32 = lambda xs: jnp.asarray(np.asarray(xs, np.int32))
+    return MaterialTable(
+        mtype=i32([int(m.material_type) for m in materials]),
+        diffuse=f32([m.diffuse for m in materials]),
+        emission=f32([m.emissive for m in materials]),
+        roughness=f32([m.roughness for m in materials]),
+        metallic=f32([m.metallic for m in materials]),
+        ior=f32([m.ior for m in materials]),
+        transmittance=f32([m.transmittance for m in materials]),
+        anisotropy=f32([m.anisotropy for m in materials]),
+        sheen=f32([m.sheen for m in materials]),
+        clearcoat=f32([m.clearcoat for m in materials]),
+        diffuse_tex=i32([m.diffuse_texture_id for m in materials]),
+        emissive_tex=i32([m.emissive_texture_id for m in materials]),
+        roughness_tex=i32([m.roughness_texture_id for m in materials]),
+        normal_tex=i32([m.normal_texture_id for m in materials]),
+    )

@@ -1,0 +1,117 @@
+"""Texture atlas + batched bilinear sampling.
+
+The reference binds one CUDA texture object per image with wrap addressing,
+linear filtering, and normalized-float reads (src/cuda/cuda_texture.h:16-74).
+TPUs have no texture units, so the TPU-native design packs every image into a
+single RGBA8 atlas in HBM and implements wrap-mode bilinear filtering as four
+batched gathers — one fused, vectorized fetch for an entire wavefront of hits
+instead of per-thread texture instructions.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TextureAtlas(NamedTuple):
+    data: jnp.ndarray  # [AH, AW, 4] uint8 (RGBA, rows already v-flipped at load)
+    meta: jnp.ndarray  # [T, 4] int32: (y0, x0, height, width) per texture
+
+
+def _empty_atlas() -> TextureAtlas:
+    return TextureAtlas(
+        data=jnp.zeros((1, 1, 4), jnp.uint8),
+        meta=jnp.zeros((1, 4), jnp.int32).at[0, 2:].set(1),
+    )
+
+
+def build_texture_atlas(images: Sequence[np.ndarray]) -> TextureAtlas:
+    """Shelf-pack RGBA8 images into one atlas.
+
+    images: list of [h, w, 4] uint8 arrays (already vertically flipped to
+    match the reference's stbi load convention, src/mesh.cpp:150-160).
+    """
+    if not images:
+        return _empty_atlas()
+    for im in images:
+        assert im.dtype == np.uint8 and im.ndim == 3 and im.shape[2] == 4
+
+    # Shelf packing: sort by height, fill rows up to a power-of-two width.
+    total_area = sum(im.shape[0] * im.shape[1] for im in images)
+    max_w = max(im.shape[1] for im in images)
+    atlas_w = 1
+    while atlas_w < max(max_w, int(np.ceil(np.sqrt(total_area)))):
+        atlas_w *= 2
+
+    order = sorted(range(len(images)), key=lambda i: -images[i].shape[0])
+    meta = np.zeros((len(images), 4), np.int32)
+    x = y = shelf_h = 0
+    for idx in order:
+        h, w = images[idx].shape[:2]
+        if x + w > atlas_w:
+            y += shelf_h
+            x = 0
+            shelf_h = 0
+        meta[idx] = (y, x, h, w)
+        x += w
+        shelf_h = max(shelf_h, h)
+    atlas_h = y + shelf_h
+
+    data = np.zeros((atlas_h, atlas_w, 4), np.uint8)
+    for idx, im in enumerate(images):
+        y0, x0, h, w = meta[idx]
+        data[y0 : y0 + h, x0 : x0 + w] = im
+    return TextureAtlas(data=jnp.asarray(data), meta=jnp.asarray(meta))
+
+
+def sample_texture_bilinear(
+    atlas: TextureAtlas, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """Wrap-mode bilinear fetch, normalized coordinates -> linear RGB [..., 3].
+
+    Semantics of cudaAddressModeWrap + cudaFilterModeLinear +
+    cudaReadModeNormalizedFloat with normalizedCoords=1
+    (src/cuda/cuda_texture.h:62-74): texel centers at (i + 0.5) / size, both
+    footprint texels wrap modulo the texture extent, u8 values scaled by 1/255.
+
+    tex_id may be any int array (values < 0 return black); u, v broadcast with
+    it. Four gathers feed one fused lerp across the whole batch.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    m = atlas.meta[tid]  # [..., 4]
+    y0, x0 = m[..., 0], m[..., 1]
+    th, tw = m[..., 2], m[..., 3]
+
+    fh = th.astype(jnp.float32)
+    fw = tw.astype(jnp.float32)
+    # Wrap normalized coords to [0, 1), then shift by half a texel.
+    uu = (u - jnp.floor(u)) * fw - 0.5
+    vv = (v - jnp.floor(v)) * fh - 0.5
+    iu0 = jnp.floor(uu)
+    iv0 = jnp.floor(vv)
+    fu = uu - iu0
+    fv = vv - iv0
+    iu0 = jnp.mod(iu0.astype(jnp.int32), tw)
+    iv0 = jnp.mod(iv0.astype(jnp.int32), th)
+    iu1 = jnp.mod(iu0 + 1, tw)
+    iv1 = jnp.mod(iv0 + 1, th)
+
+    def fetch(iy, ix):
+        texel = atlas.data[y0 + iy, x0 + ix, :3].astype(jnp.float32)
+        return texel * (1.0 / 255.0)
+
+    c00 = fetch(iv0, iu0)
+    c01 = fetch(iv0, iu1)
+    c10 = fetch(iv1, iu0)
+    c11 = fetch(iv1, iu1)
+    fu = fu[..., None]
+    fv = fv[..., None]
+    rgb = (
+        c00 * (1 - fu) * (1 - fv)
+        + c01 * fu * (1 - fv)
+        + c10 * (1 - fu) * fv
+        + c11 * fu * fv
+    )
+    return jnp.where((tex_id >= 0)[..., None], rgb, 0.0)

@@ -1,0 +1,85 @@
+"""Texture atlas packing + CUDA-texture-semantics bilinear sampling
+(src/cuda/cuda_texture.h:16-74)."""
+import numpy as np
+import jax.numpy as jnp
+
+from rendertoy3c_tpu.scene.texture import (
+    build_texture_atlas, sample_texture_bilinear,
+)
+
+
+def _solid(w, h, rgba):
+    img = np.zeros((h, w, 4), np.uint8)
+    img[:] = rgba
+    return img
+
+
+def test_atlas_packing_disjoint():
+    r = np.random.default_rng(0)
+    sizes = [(8, 8), (16, 4), (32, 32), (5, 7), (12, 3)]
+    images = [_solid(w, h, (i * 40, 0, 0, 255)) for i, (w, h) in enumerate(sizes)]
+    atlas = build_texture_atlas(images)
+    meta = np.asarray(atlas.meta)
+    cover = np.zeros(np.asarray(atlas.data).shape[:2], np.int32)
+    for y0, x0, h, w in meta:
+        cover[y0:y0 + h, x0:x0 + w] += 1
+    assert cover.max() == 1  # no overlap
+    # content preserved
+    data = np.asarray(atlas.data)
+    for i, (y0, x0, h, w) in enumerate(meta):
+        np.testing.assert_array_equal(data[y0:y0 + h, x0:x0 + w], images[i])
+
+
+def test_sample_constant_texture():
+    atlas = build_texture_atlas([_solid(16, 16, (255, 128, 0, 255))])
+    u = jnp.asarray([0.1, 0.5, 0.93])
+    v = jnp.asarray([0.2, 0.5, 0.01])
+    rgb = np.asarray(sample_texture_bilinear(atlas, jnp.asarray([0, 0, 0]), u, v))
+    np.testing.assert_allclose(rgb[:, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(rgb[:, 1], 128 / 255, atol=1e-6)
+    np.testing.assert_allclose(rgb[:, 2], 0.0, atol=1e-6)
+
+
+def test_sample_texel_center_exact():
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[1, 2] = (200, 100, 50, 255)
+    atlas = build_texture_atlas([img])
+    # texel (x=2, y=1) center: u = 2.5/4, v = 1.5/4
+    rgb = np.asarray(
+        sample_texture_bilinear(
+            atlas, jnp.asarray([0]), jnp.asarray([2.5 / 4]), jnp.asarray([1.5 / 4])
+        )
+    )
+    np.testing.assert_allclose(rgb[0], [200 / 255, 100 / 255, 50 / 255], atol=1e-6)
+
+
+def test_wrap_mode():
+    img = np.random.default_rng(1).integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    atlas = build_texture_atlas([img])
+    tid = jnp.asarray([0, 0])
+    a = np.asarray(sample_texture_bilinear(atlas, tid,
+                                           jnp.asarray([0.3, 1.3]),
+                                           jnp.asarray([0.6, -0.4])))
+    np.testing.assert_allclose(a[0], a[1], atol=1e-6)
+
+
+def test_bilinear_interpolation():
+    img = np.zeros((1, 2, 4), np.uint8)
+    img[0, 0] = (0, 0, 0, 255)
+    img[0, 1] = (255, 255, 255, 255)
+    atlas = build_texture_atlas([img])
+    # halfway between the two texel centers: u = 0.5
+    rgb = np.asarray(
+        sample_texture_bilinear(atlas, jnp.asarray([0]), jnp.asarray([0.5]),
+                                jnp.asarray([0.5]))
+    )
+    np.testing.assert_allclose(rgb[0], 0.5, atol=1e-3)
+
+
+def test_no_texture_returns_black():
+    atlas = build_texture_atlas([_solid(4, 4, (255, 255, 255, 255))])
+    rgb = np.asarray(
+        sample_texture_bilinear(atlas, jnp.asarray([-1]), jnp.asarray([0.5]),
+                                jnp.asarray([0.5]))
+    )
+    np.testing.assert_array_equal(rgb[0], 0.0)
