@@ -1,0 +1,266 @@
+"""LBVH build -> 8-wide flattened BVH.
+
+TPU-native replacement for optixAccelBuild (src/cuda/cuda_mesh.h:33-155):
+no RT cores exist, so we build our own structure, shaped for a vector
+machine rather than per-thread pointer chasing:
+
+  * triangles are sorted by the Morton code of their centroid (classic LBVH,
+    Lauterbach/Karras) so leaves cover compact spatial clusters AND the
+    triangle SoA itself becomes spatially coherent in HBM;
+  * topology comes from Karras-style longest-common-prefix splits of the
+    sorted codes (recursive radix splits, median fallback on equal codes),
+    with subtrees of <= max_leaf triangles collapsed into leaves;
+  * the binary tree is then collapsed into 8-wide nodes: one traversal step
+    gathers all 8 child AABBs of a node and slab-tests them in a single
+    [rays, 8] vector op — divergent per-lane binary descent is replaced by
+    wide, regular work that the VPU tiles cleanly;
+  * child AABBs are stored in the parent (SoA [N, 8, 3] lo/hi + [N, 8]
+    child index), so each step is exactly one gather per ray.
+
+Motion blur: node AABBs are unions over all motion keys (conservative bound,
+like OptiX's motion GAS covering timeBegin..timeEnd, cuda_mesh.h:85-88);
+leaf triangle tests lerp the actual keyed vertices per-ray.
+
+Child slot encoding (int32):
+  >= 0  : internal child, value = node index
+  -1    : empty slot (ENC_EMPTY)
+  <= -2 : leaf, encoding start/count as -(2 + (start << LEAF_BITS) + count)
+
+The build runs on host numpy at scene-load time (the reference also builds
+its BVH on scene load, cuda_scene.h:124-158); a C++ builder can replace it
+for very large scenes (native/).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .morton import morton3d_np
+
+ENC_EMPTY = -1
+LEAF_BITS = 5  # up to 31 triangles per leaf
+MAX_LEAF = (1 << LEAF_BITS) - 1
+
+
+def _encode_leaf(start: int, count: int) -> int:
+    assert 0 < count <= MAX_LEAF
+    return -(2 + (start << LEAF_BITS) + count)
+
+
+def decode_leaf(v: jnp.ndarray):
+    """Vectorized decode of leaf slots: returns (start, count)."""
+    raw = -v - 2
+    return raw >> LEAF_BITS, raw & MAX_LEAF
+
+
+class BVH8(NamedTuple):
+    """Flat 8-wide BVH (device pytree)."""
+
+    child_lo: jnp.ndarray  # [N, 8, 3] f32 child AABB mins
+    child_hi: jnp.ndarray  # [N, 8, 3] f32 child AABB maxs
+    child: jnp.ndarray  # [N, 8] i32 slot encoding (see module docstring)
+
+
+def _tri_aabbs(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+    """Per-triangle AABBs unioned over motion keys. v0/e1/e2: [K, F, 3]."""
+    p0 = v0
+    p1 = v0 + e1
+    p2 = v0 + e2
+    lo = np.minimum(np.minimum(p0, p1), p2).min(axis=0)
+    hi = np.maximum(np.maximum(p0, p1), p2).max(axis=0)
+    return lo, hi
+
+
+def build_bvh8(
+    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+    num_faces: int, max_leaf: int = 8,
+) -> Tuple[np.ndarray, BVH8]:
+    """Build over faces [0, num_faces) of [K, F, 3] slabs.
+
+    Returns (perm, bvh): perm is the Morton ordering to apply to the face
+    axis (length num_faces); leaves reference post-permutation indices.
+    """
+    assert 1 <= max_leaf <= MAX_LEAF
+    v0 = np.asarray(v0, np.float32)[:, :num_faces]
+    e1 = np.asarray(e1, np.float32)[:, :num_faces]
+    e2 = np.asarray(e2, np.float32)[:, :num_faces]
+    lo, hi = _tri_aabbs(v0, e1, e2)
+    centroid = 0.5 * (lo + hi)
+    scene_lo = centroid.min(axis=0)
+    scene_hi = centroid.max(axis=0)
+    extent = np.maximum(scene_hi - scene_lo, 1e-12)
+    codes = morton3d_np((centroid - scene_lo) / extent)
+    perm = np.argsort(codes, kind="stable").astype(np.int32)
+    codes = codes[perm].astype(np.uint64)
+    # append index bits so all keys are distinct (Karras trick)
+    keys = (codes << np.uint64(32)) | np.arange(num_faces, dtype=np.uint64)
+    lo_s = lo[perm]
+    hi_s = hi[perm]
+
+    # --- binary topology via radix splits (iterative, host) ---
+    # node = (start, end); leaves are ranges <= max_leaf
+    left_child: list = []
+    right_child: list = []
+    ranges: list = []
+
+    def make_node(s, e):
+        idx = len(ranges)
+        ranges.append((s, e))
+        left_child.append(-1)
+        right_child.append(-1)
+        return idx
+
+    def split_pos(s, e):
+        """First index in (s, e) whose key differs from keys[s] at the
+        highest differing bit of keys[s], keys[e-1]."""
+        first, last = int(keys[s]), int(keys[e - 1])
+        diff = first ^ last
+        if diff == 0:
+            return (s + e) // 2
+        top = diff.bit_length() - 1
+        mask = ~((1 << top) - 1) & ((1 << 64) - 1)
+        prefix = first & mask
+        # binary search for first key with a different prefix at `top`
+        lo_i, hi_i = s + 1, e
+        while lo_i < hi_i:
+            mid = (lo_i + hi_i) // 2
+            if (int(keys[mid]) & mask) == prefix:
+                lo_i = mid + 1
+            else:
+                hi_i = mid
+        if lo_i == e:  # degenerate; median
+            return (s + e) // 2
+        return lo_i
+
+    root = make_node(0, num_faces)
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        s, e = ranges[n]
+        if e - s <= max_leaf:
+            continue
+        m = split_pos(s, e)
+        l = make_node(s, m)
+        r = make_node(m, e)
+        left_child[n] = l
+        right_child[n] = r
+        stack.append(l)
+        stack.append(r)
+
+    n_bin = len(ranges)
+    is_leaf_bin = np.asarray([lc < 0 for lc in left_child])
+
+    # Bottom-up AABBs: children were created after their parents, so a
+    # reverse pass sees children before parents. Leaves reduce over their
+    # triangle range (O(F) total); internals union their two children.
+    node_lo = np.empty((n_bin, 3), np.float32)
+    node_hi = np.empty((n_bin, 3), np.float32)
+    for i in range(n_bin - 1, -1, -1):
+        if left_child[i] < 0:
+            s, e = ranges[i]
+            node_lo[i] = lo_s[s:e].min(axis=0)
+            node_hi[i] = hi_s[s:e].max(axis=0)
+        else:
+            l, r = left_child[i], right_child[i]
+            node_lo[i] = np.minimum(node_lo[l], node_lo[r])
+            node_hi[i] = np.maximum(node_hi[l], node_hi[r])
+
+    # --- collapse binary -> 8-wide ---
+    # Each wide node's children: expand internal binary children (largest
+    # surface area first) until 8 slots are used or all are leaves.
+    def area(i):
+        d = np.maximum(node_hi[i] - node_lo[i], 0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    wide_children: list = []  # per wide node: list of binary node ids
+    wide_of_binary = {}
+
+    def build_wide(b: int) -> int:
+        kids = [left_child[b], right_child[b]]
+        while len(kids) < 8:
+            # expand the internal child with the largest surface area
+            best_j, best_a = -1, -1.0
+            for j, k in enumerate(kids):
+                if left_child[k] >= 0:  # internal
+                    a = area(k)
+                    if a > best_a:
+                        best_j, best_a = j, a
+            if best_j < 0:
+                break
+            k = kids.pop(best_j)
+            kids.extend([left_child[k], right_child[k]])
+        idx = len(wide_children)
+        wide_children.append((b, kids))
+        return idx
+
+    if is_leaf_bin[root]:
+        # single-leaf scene: one wide node with one leaf child
+        wide_children.append((root, [root]))
+    else:
+        order = [build_wide(root)]
+        qi = 0
+        while qi < len(order):
+            w = order[qi]
+            qi += 1
+            _, kids = wide_children[w]
+            for k in kids:
+                if left_child[k] >= 0:
+                    wide_of_binary[k] = build_wide(k)
+                    order.append(wide_of_binary[k])
+
+    n_wide = len(wide_children)
+    child_lo = np.zeros((n_wide, 8, 3), np.float32)
+    child_hi = np.zeros((n_wide, 8, 3), np.float32)
+    child = np.full((n_wide, 8), ENC_EMPTY, np.int32)
+    for w, (_, kids) in enumerate(wide_children):
+        for j, k in enumerate(kids):
+            child_lo[w, j] = node_lo[k]
+            child_hi[w, j] = node_hi[k]
+            if left_child[k] >= 0:
+                child[w, j] = wide_of_binary[k]
+            else:
+                s, e = ranges[k]
+                child[w, j] = _encode_leaf(s, e - s)
+
+    bvh = BVH8(
+        child_lo=jnp.asarray(child_lo),
+        child_hi=jnp.asarray(child_hi),
+        child=jnp.asarray(child),
+    )
+    return perm, bvh
+
+
+def reorder_scene_by_bvh(scene, perm: np.ndarray):
+    """Permute a Scene's face SoA into BVH (Morton) order.
+
+    Leaves padding faces in place past num_faces. Returns a new Scene whose
+    traversal leaves index directly into the permuted SoA.
+    """
+    from ..scene.scene import GeometrySoA, Scene
+
+    f = scene.num_faces
+    full = np.arange(scene.geom.mat_id.shape[0])
+    full[:f] = perm
+    fi = jnp.asarray(full, jnp.int32)
+
+    g = scene.geom
+    geom = GeometrySoA(
+        v0=g.v0[:, fi], e1=g.e1[:, fi], e2=g.e2[:, fi],
+        n0=g.n0[:, fi], n1=g.n1[:, fi], n2=g.n2[:, fi],
+        uv0=g.uv0[fi], uv1=g.uv1[fi], uv2=g.uv2[fi],
+        mat_id=g.mat_id[fi],
+    )
+    return Scene(
+        geom=geom,
+        materials=scene.materials,
+        lights=scene.lights,
+        atlas=scene.atlas,
+        num_keys=scene.num_keys,
+        num_faces=scene.num_faces,
+        num_lights=scene.num_lights,
+        num_materials=scene.num_materials,
+    )
