@@ -239,20 +239,28 @@ def reorder_scene_by_bvh(scene, perm: np.ndarray):
 
     Leaves padding faces in place past num_faces. Returns a new Scene whose
     traversal leaves index directly into the permuted SoA.
+
+    Runs entirely in host numpy: this is a scene-load step, and issuing
+    per-array eager gathers on a (possibly remote) device would pay a
+    compile+transfer round trip per field.
     """
     from ..scene.scene import GeometrySoA, Scene
 
     f = scene.num_faces
     full = np.arange(scene.geom.mat_id.shape[0])
     full[:f] = perm
-    fi = jnp.asarray(full, jnp.int32)
 
     g = scene.geom
+
+    def take(arr, per_key: bool):
+        a = np.asarray(arr)
+        return jnp.asarray(a[:, full] if per_key else a[full])
+
     geom = GeometrySoA(
-        v0=g.v0[:, fi], e1=g.e1[:, fi], e2=g.e2[:, fi],
-        n0=g.n0[:, fi], n1=g.n1[:, fi], n2=g.n2[:, fi],
-        uv0=g.uv0[fi], uv1=g.uv1[fi], uv2=g.uv2[fi],
-        mat_id=g.mat_id[fi],
+        v0=take(g.v0, True), e1=take(g.e1, True), e2=take(g.e2, True),
+        n0=take(g.n0, True), n1=take(g.n1, True), n2=take(g.n2, True),
+        uv0=take(g.uv0, False), uv1=take(g.uv1, False), uv2=take(g.uv2, False),
+        mat_id=take(g.mat_id, False),
     )
     return Scene(
         geom=geom,

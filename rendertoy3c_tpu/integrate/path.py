@@ -279,6 +279,35 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
     return rgb, n_rad, n_shad
 
 
+def render_pixels(
+    scene: Scene,
+    cfg: RenderConfig,
+    cam: CameraParams,
+    tracer,
+    pixel_idx,
+    subframe_index,
+):
+    """Path-trace an arbitrary flat list of pixel indices.
+
+    The distributed entry point: each device of a mesh calls this on its own
+    pixel shard (parallel/dist.py). Pads to the ray-block size internally.
+    Returns (rgb [N,3], radiance_ray_count, shadow_ray_count).
+    """
+    n_pixels = pixel_idx.shape[0]
+    block = min(cfg.ray_block, _next_pow2(n_pixels))
+    n_padded = -(-n_pixels // block) * block
+    idx_padded = jnp.concatenate(
+        [pixel_idx, jnp.zeros((n_padded - n_pixels,), jnp.int32)]
+    ).reshape(-1, block)
+
+    def per_block(idx):
+        return _trace_block(scene, cfg, cam, tracer, idx, subframe_index)
+
+    rgb_blocks, n_rad, n_shad = jax.lax.map(per_block, idx_padded)
+    rgb = rgb_blocks.reshape(-1, 3)[:n_pixels]
+    return rgb, jnp.sum(n_rad), jnp.sum(n_shad)
+
+
 def render_subframe(
     scene: Scene,
     cam: CameraParams,
@@ -295,19 +324,13 @@ def render_subframe(
         tracer = make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
 
     n_pixels = cfg.width * cfg.height
-    block = min(cfg.ray_block, _next_pow2(n_pixels))
-    n_padded = -(-n_pixels // block) * block
-    pixel_idx = jnp.arange(n_padded, dtype=jnp.int32).reshape(-1, block)
-
-    def per_block(idx):
-        return _trace_block(scene, cfg, cam, tracer, idx, film.subframe_index)
-
-    rgb_blocks, n_rad, n_shad = jax.lax.map(per_block, pixel_idx)
-    rgb = rgb_blocks.reshape(-1, 3)[:n_pixels].reshape(cfg.height, cfg.width, 3)
-    film = film_accumulate(film, rgb)
-    stats = RenderStats(
-        radiance_rays=jnp.sum(n_rad), shadow_rays=jnp.sum(n_shad)
+    pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
+    rgb, n_rad, n_shad = render_pixels(
+        scene, cfg, cam, tracer, pixel_idx, film.subframe_index
     )
+    rgb = rgb.reshape(cfg.height, cfg.width, 3)
+    film = film_accumulate(film, rgb)
+    stats = RenderStats(radiance_rays=n_rad, shadow_rays=n_shad)
     return film, stats
 
 

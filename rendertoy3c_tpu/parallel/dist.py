@@ -1,0 +1,175 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+The reference's entire multi-device story is a static image-tile interleave
+across GPUs plus pinned-host / NVLink output-buffer transport
+(sutil/WorkDistribution.h:34-91, sutil/CUDAOutputBuffer.h:45-51) — and it is
+dead code in the shipped app. The TPU design generalizes it to a 2-axis SPMD
+decomposition compiled by XLA, with collectives riding ICI:
+
+  * "tile" axis — spatial data parallelism: the image's rows are sharded
+    across devices; each device owns its film shard permanently (no
+    framebuffer gather on the hot path, exactly the role of the reference's
+    per-GPU tile assignment).
+  * "spp"  axis — sample parallelism: the samples_per_launch budget is split
+    across devices rendering the SAME pixels with decorrelated RNG streams;
+    their estimates are averaged with a `pmean` over ICI.
+
+Scene/BVH arrays are replicated (they are read-only; the reference likewise
+replicates the whole scene per GPU). Ray/path state never crosses chips:
+paths are pixel-local, so the only collectives are the spp-axis `pmean` and
+the scalar ray-counter `psum` — both tiny.
+
+RNG decorrelation across the spp axis reuses the progressive-accumulation
+stream: spp-shard r of subframe n seeds with tea(pixel, n*n_spp + r), i.e.
+the distributed render consumes the same per-pixel stream sequence that a
+single chip would across n_spp successive subframes. With n_spp == 1 the
+sharded render is bit-identical to the single-chip render (SURVEY.md S4.4).
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..film.film import Film, film_accumulate
+from ..integrate.config import RenderConfig
+from ..integrate.path import RenderStats, render_pixels
+from ..scene.camera import CameraParams
+from ..scene.scene import Scene
+from ..trace.intersect import make_bruteforce_tracer
+
+
+def make_mesh(
+    n_tile: Optional[int] = None,
+    n_spp: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build the ("tile", "spp") device mesh.
+
+    Defaults to all visible devices on the tile axis (pure spatial data
+    parallelism, the reference's WorkDistribution strategy).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_tile is None:
+        n_tile = len(devices) // n_spp
+    devices = np.asarray(devices[: n_tile * n_spp]).reshape(n_tile, n_spp)
+    return Mesh(devices, axis_names=("tile", "spp"))
+
+
+def _bruteforce_factory(scene: Scene, aux, cfg: RenderConfig):
+    return make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
+
+
+def _bvh_factory(scene: Scene, aux, cfg: RenderConfig):
+    from ..trace.bvh_traverse import make_bvh_tracer
+
+    return make_bvh_tracer(scene, aux)
+
+
+def make_render_fn_dist(
+    scene: Scene,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    tracer_factory: Callable = None,
+    tracer_aux=None,
+) -> Callable:
+    """jit-compiled distributed subframe step: (cam, film) -> (film, stats).
+
+    The film accumulator lives sharded across the "tile" axis and is donated,
+    so progressive accumulation never moves pixels between chips. The tracer
+    is constructed *inside* the sharded region from the replicated scene
+    pytree (tracer_factory(scene, tracer_aux, cfg) -> (closest, any)), so any
+    backend — brute force, wide-BVH, Pallas — shards identically.
+    """
+    if tracer_factory is None:
+        tracer_factory = _bruteforce_factory
+
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if cfg.height % n_tile:
+        raise ValueError(f"height {cfg.height} not divisible by tile axis {n_tile}")
+    if cfg.samples_per_launch % n_spp:
+        raise ValueError(
+            f"samples_per_launch {cfg.samples_per_launch} not divisible by "
+            f"spp axis {n_spp}"
+        )
+    cfg_local = replace(cfg, samples_per_launch=cfg.samples_per_launch // n_spp)
+    rows = cfg.height // n_tile
+    shard_pixels = rows * cfg.width
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("tile", None, None), P(), P()),
+        # The integrator's scan/while carries mix replicated inits with
+        # axis_index-derived varying state; skip the VMA type check rather
+        # than pvary-annotating every carry leaf.
+        check_vma=False,
+    )
+    def subframe_shard(scene_rep: Scene, cam: CameraParams, subframe_index):
+        tile_r = jax.lax.axis_index("tile")
+        spp_r = jax.lax.axis_index("spp")
+        tracer = tracer_factory(scene_rep, tracer_aux, cfg_local)
+        base = tile_r * shard_pixels
+        pix = base + jnp.arange(shard_pixels, dtype=jnp.int32)
+        sub_eff = subframe_index * n_spp + spp_r
+        rgb, n_rad, n_shad = render_pixels(
+            scene_rep, cfg_local, cam, tracer, pix, sub_eff
+        )
+        rgb = jax.lax.pmean(rgb.reshape(rows, cfg.width, 3), "spp")
+        n_rad = jax.lax.psum(n_rad, ("tile", "spp"))
+        n_shad = jax.lax.psum(n_shad, ("tile", "spp"))
+        return rgb, n_rad, n_shad
+
+    def step(cam: CameraParams, film: Film):
+        rgb, n_rad, n_shad = subframe_shard(scene, cam, film.subframe_index)
+        film = film_accumulate(film, rgb)
+        return film, RenderStats(radiance_rays=n_rad, shadow_rays=n_shad)
+
+    return jax.jit(step, donate_argnames=("film",)), mesh
+
+
+def film_create_sharded(cfg: RenderConfig, mesh: Mesh) -> Film:
+    """Film whose accumulator rows live sharded across the tile axis."""
+    sharding = NamedSharding(mesh, P("tile", None, None))
+    accum = jax.device_put(
+        jnp.zeros((cfg.height, cfg.width, 3), jnp.float32), sharding
+    )
+    subframe = jax.device_put(
+        jnp.zeros((), jnp.int32), NamedSharding(mesh, P())
+    )
+    return Film(accum=accum, subframe_index=subframe)
+
+
+def render_distributed(
+    scene: Scene,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    mesh: Optional[Mesh] = None,
+    subframes: int = 1,
+    tracer_factory: Callable = None,
+    tracer_aux=None,
+):
+    """Offline distributed progressive render. Returns (film, stats)."""
+    if mesh is None:
+        mesh = make_mesh()
+    step, mesh = make_render_fn_dist(
+        scene, cfg, mesh, tracer_factory=tracer_factory, tracer_aux=tracer_aux
+    )
+    film = film_create_sharded(cfg, mesh)
+    total_rad = 0
+    total_shad = 0
+    for _ in range(subframes):
+        film, stats = step(cam, film)
+        total_rad += int(stats.radiance_rays)
+        total_shad += int(stats.shadow_rays)
+    return film, RenderStats(
+        radiance_rays=jnp.asarray(total_rad), shadow_rays=jnp.asarray(total_shad)
+    )

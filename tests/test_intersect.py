@@ -158,4 +158,5 @@ def test_cornell_primary_rays_hit():
     hit = closest(o, d, 0.01, 1e16, jnp.zeros(1))
     assert bool(hit.mask[0])
     z_hit = float(o[0, 2] + hit.t[0] * d[0, 2])
-    assert abs(z_hit - 0.0) < 0.01 or z_hit > -1.0  # hits tall block or back
+    # hits the tall block front face (z in [-0.55, 0]) or the back wall (z=-1)
+    assert -1.0 - 1e-4 <= z_hit <= 0.01
