@@ -32,7 +32,7 @@ def main():
     from rendertoy3c_tpu.integrate.path import make_render_fn
     from rendertoy3c_tpu.scene.builtin import cornell_box
     from rendertoy3c_tpu.scene.scene import build_scene
-    from rendertoy3c_tpu.trace.bvh_traverse import build_scene_bvh, make_bvh_tracer
+    from rendertoy3c_tpu.trace.pallas_mt import make_pallas_mt_tracer
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
@@ -47,8 +47,7 @@ def main():
     meshes, camera = cornell_box()
     camera.aspect_ratio = cfg.width / cfg.height
     scene = build_scene(meshes)
-    scene, bvh, _ = build_scene_bvh(scene)
-    tracer = make_bvh_tracer(scene, bvh)
+    tracer = make_pallas_mt_tracer(scene) if on_tpu else None
     step = make_render_fn(scene, cfg, tracer=tracer)
     cam = camera.params()
     film = film_create(cfg.height, cfg.width)

@@ -1,0 +1,212 @@
+"""Command-line renderer — the TPU-native application driver.
+
+The reference's `main()` hardcodes its scene path, 768x768 resolution and
+8 spp (src/wavefront.cpp:290-302, :55) and exposes no flags; SURVEY.md S5
+calls for promoting all of that to a real CLI: scene, size, spp, max depth,
+seed, output path, tracer backend, light sampler, device-mesh shape, and
+checkpoint/resume.
+
+Examples:
+  python -m rendertoy3c_tpu.app.cli --scene cornell --size 256x256 --spp 8 \
+      --subframes 16 -o out.png
+  python -m rendertoy3c_tpu.app.cli --scene model.obj model_key2.obj \
+      --spp 4 --subframes 64 --tracer bvh -o out.exr
+  python -m rendertoy3c_tpu.app.cli --scene cornell --mesh-shape 4x2 -o out.png
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rendertoy3c_tpu",
+        description="TPU-native progressive Monte-Carlo path tracer",
+    )
+    p.add_argument(
+        "--scene", nargs="+", required=True,
+        help=".obj path(s) (N files = N motion keyframes, like the reference "
+             "loader) or a builtin: cornell, cornell-empty, textured",
+    )
+    p.add_argument("--size", default="768x768", help="WxH (reference default 768x768)")
+    p.add_argument("--spp", type=int, default=8, help="samples per launch")
+    p.add_argument("--subframes", type=int, default=16,
+                   help="progressive launches to accumulate")
+    p.add_argument("--max-depth", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tracer", choices=["bvh", "brute"], default="bvh")
+    p.add_argument("--light-sampler", choices=["uniform", "power"],
+                   default="uniform")
+    p.add_argument("--throughput", choices=["reference", "physical"],
+                   default="reference")
+    p.add_argument("--tonemap", choices=["aces", "none"], default="none",
+                   help="aces matches the reference's GL display shader")
+    p.add_argument("-o", "--output", default="out.png",
+                   help="output path; format by extension (.png/.ppm/.exr)")
+    p.add_argument("--eye", type=_vec3, default=None)
+    p.add_argument("--lookat", type=_vec3, default=None)
+    p.add_argument("--up", type=_vec3, default=None)
+    p.add_argument("--fov", type=float, default=None, help="vertical fov, degrees")
+    p.add_argument("--mesh-shape", default=None,
+                   help="TILExSPP device mesh, e.g. 4x2 (default: single device)")
+    p.add_argument("--checkpoint", default=None,
+                   help="save film checkpoint here after rendering")
+    p.add_argument("--resume", default=None,
+                   help="resume film from this checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also checkpoint every N subframes")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-phase timings and Mrays/s")
+    p.add_argument("--ray-block", type=int, default=1 << 16)
+    return p
+
+
+def _vec3(s: str):
+    parts = [float(x) for x in s.split(",")]
+    if len(parts) != 3:
+        raise argparse.ArgumentTypeError("expected x,y,z")
+    return tuple(parts)
+
+
+def _load_scene(args):
+    """Returns (scene_meshes, textures, camera)."""
+    from ..scene.builtin import cornell_box, textured_quad_scene
+
+    names = args.scene
+    if len(names) == 1 and names[0] in ("cornell", "cornell-empty", "textured"):
+        name = names[0]
+        if name == "textured":
+            meshes, textures, camera = textured_quad_scene()
+            return meshes, textures, camera
+        meshes, camera = cornell_box(with_blocks=(name == "cornell"))
+        return meshes, [], camera
+
+    from ..io.obj import load_obj
+    from ..scene.camera import Camera
+
+    meshes, textures = load_obj(names)
+    # Default framing mirrors the reference app (eye (5,5,5) toward (0,1,0),
+    # fov 45 — src/wavefront.cpp:238-253).
+    camera = Camera(eye=(5.0, 5.0, 5.0), lookat=(0.0, 1.0, 0.0), fov_y=45.0)
+    return meshes, textures, camera
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..film.film import film_create
+    from ..film.image import write_exr, write_png, write_ppm
+    from ..film.tonemap import aces_tonemap, make_color
+    from ..integrate.config import RenderConfig
+    from ..integrate.path import make_render_fn
+    from ..scene.scene import build_scene
+    from ..utils.checkpoint import load_checkpoint, save_checkpoint
+    from ..utils.timers import PhaseTimers
+
+    try:
+        w, h = (int(x) for x in args.size.lower().split("x"))
+    except ValueError:
+        print(f"bad --size {args.size!r}, expected WxH", file=sys.stderr)
+        return 2
+
+    timers = PhaseTimers()
+    cfg = RenderConfig(
+        width=w, height=h, samples_per_launch=args.spp,
+        max_depth=args.max_depth, seed=args.seed,
+        light_sampler=args.light_sampler, throughput_model=args.throughput,
+        ray_block=args.ray_block,
+    )
+
+    with timers.phase("load"):
+        meshes, textures, camera = _load_scene(args)
+        if args.eye:
+            camera.eye = args.eye
+        if args.lookat:
+            camera.lookat = args.lookat
+        if args.up:
+            camera.up = args.up
+        if args.fov:
+            camera.fov_y = args.fov
+        camera.aspect_ratio = w / h
+        scene = build_scene(meshes, textures=textures or None)
+
+    with timers.phase("accel"):
+        if args.tracer == "bvh":
+            from ..trace.bvh_traverse import build_scene_bvh, make_bvh_tracer
+
+            scene, bvh, _ = build_scene_bvh(scene)
+            tracer = make_bvh_tracer(scene, bvh)
+        else:
+            tracer = None
+
+    if args.mesh_shape:
+        n_tile, n_spp = (int(x) for x in args.mesh_shape.lower().split("x"))
+        from ..parallel.dist import (
+            film_create_sharded,
+            make_mesh,
+            make_render_fn_dist,
+        )
+
+        mesh = make_mesh(n_tile=n_tile, n_spp=n_spp)
+        factory = (lambda s, aux, c: tracer) if tracer else None
+        step, mesh = make_render_fn_dist(scene, cfg, mesh, tracer_factory=factory)
+        film = film_create_sharded(cfg, mesh)
+    else:
+        step = make_render_fn(scene, cfg, tracer=tracer)
+        film = film_create(cfg.height, cfg.width)
+
+    if args.resume:
+        film = load_checkpoint(args.resume, cfg)
+        print(f"resumed at subframe {int(film.subframe_index)}")
+
+    total_rays = 0
+    render_t0 = time.perf_counter()
+    for i in range(args.subframes):
+        with timers.phase("render"):
+            film, stats = step(camera.params(), film)
+            jax.block_until_ready(film.accum)
+        total_rays += int(stats.radiance_rays) + int(stats.shadow_rays)
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            with timers.phase("checkpoint"):
+                save_checkpoint(args.checkpoint or "film.ckpt.npz", film, cfg)
+        if args.stats:
+            line = timers.maybe_report()
+            if line:
+                print(f"[{i+1}/{args.subframes}] {line}", file=sys.stderr)
+
+    render_dt = time.perf_counter() - render_t0
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, film, cfg)
+
+    with timers.phase("save"):
+        accum = np.asarray(film.accum)[::-1]  # film row 0 is image bottom
+        out = args.output
+        if out.endswith(".exr"):
+            write_exr(out, accum.astype(np.float32))
+        else:
+            rgb = accum
+            if args.tonemap == "aces":
+                rgb = np.asarray(aces_tonemap(rgb))
+            img = np.asarray(make_color(rgb, alpha=False))
+            (write_ppm if out.endswith(".ppm") else write_png)(out, img)
+
+    spp_total = int(film.subframe_index) * cfg.samples_per_launch
+    print(
+        f"wrote {args.output}: {w}x{h}, {spp_total} spp accumulated, "
+        f"{total_rays/1e6:.1f} Mrays in {render_dt:.2f}s "
+        f"({total_rays/render_dt/1e6:.1f} Mray/s)"
+    )
+    if args.stats:
+        print(timers.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

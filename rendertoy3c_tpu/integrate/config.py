@@ -35,9 +35,20 @@ class RenderConfig:
     ray_block: int = 1 << 16
     tri_chunk: int = 256
 
+    # Execution schedule: "wave" = per-(block, sample) bounce loops with
+    # reference-ordered accumulation (bit-reproducible; golden tests);
+    # "pool" = persistent ray pool at ~100% lane occupancy (fast path;
+    # identical per-path arithmetic, sample sums in pool-flush order).
+    integrator: str = "wave"
+
     # 'uniform' (reference, closehit_radiance.cu:10-15) or 'power'
     # (reference roadmap: power light sampler, README.md:19).
     light_sampler: str = "uniform"
+
+    # Global RNG stream offset XORed into every per-pixel tea() seed
+    # (rot_seed semantics, cuda/random.h:74-77). 0 reproduces the reference
+    # stream exactly.
+    seed: int = 0
 
     # BSDF evaluation model:
     #   'reference' reproduces the shipped closest-hit exactly, including its

@@ -72,7 +72,7 @@ def _camera_ray(cam: CameraParams, px, py, jx, jy, width, height):
 
 
 def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
-                   org, direction, seed, active):
+                   org, direction, seed, active, count=None):
     """Closest-hit program body (closehit_radiance.cu:60-160), vectorized.
 
     Returns (new_seed, emitted_gate_d0, radiance, new_org, new_dir,
@@ -148,7 +148,8 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
     _, occl_time = rng.rnd(seed)
     want_shadow = adv & (n_dl > 0.0) & (scene.num_lights > 0)
     occluded = trace_any(
-        p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps, occl_time
+        p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps, occl_time,
+        count=count,
     )
 
     lit = want_shadow & ~occluded
@@ -177,13 +178,14 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
     bsize = pixel_idx.shape[0]
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
+    valid = pixel_idx >= 0  # padding lanes carry -1 and never come alive
+    pixel_idx = jnp.maximum(pixel_idx, 0)
     px = pixel_idx % cfg.width
     py = pixel_idx // cfg.width
-    in_image = pixel_idx < cfg.width * cfg.height  # padding lanes render too,
-    # they are simply dropped on reshape.
-    del in_image
 
     outer_seed0 = rng.tea(pixel_idx.astype(jnp.uint32), subframe_index)
+    if cfg.seed:
+        outer_seed0 = rng.rot_seed(outer_seed0, jnp.uint32(cfg.seed))
     bg = jnp.asarray(cfg.bg_radiance, jnp.float32)
 
     def sample_body(carry, _):
@@ -199,25 +201,43 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
             atten=jnp.ones((bsize, 3), jnp.float32),
             last_atten=jnp.ones((bsize, 3), jnp.float32),
             result=result,
-            alive=jnp.ones((bsize,), bool),
+            alive=valid,
+            slot=jnp.arange(bsize, dtype=jnp.int32),
             depth=jnp.zeros((), jnp.int32),
             n_rad=n_rad,
             n_shad=n_shad,
         )
+        _SCALARS = ("depth", "n_rad", "n_shad")
 
         def cond(s):
             return jnp.any(s["alive"]) & (s["depth"] < cfg.max_depth)
 
         def body(s):
+            # --- wavefront compaction: sort alive lanes to the front so the
+            # tracer only pays for ceil(alive / tile) tiles. Every per-lane
+            # quantity (including its RNG stream and the original lane id in
+            # `slot`) rides along, so per-pixel results are bit-identical to
+            # the uncompacted loop — this is the TPU replacement for SER/
+            # persistent-thread ray reordering (optixReorder,
+            # shader_common.h:89).
+            order = jnp.argsort(jnp.logical_not(s["alive"]))
+            s = {
+                k: (v if k in _SCALARS else jnp.take(v, order, axis=0))
+                for k, v in s.items()
+            }
             alive = s["alive"]
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+
             # traceRadiance: motion-time draw then traversal
             seed, _time = rng.rnd_masked(s["seed"], alive)
             hit = trace_closest(
-                s["org"], s["dir"], cfg.primary_tmin, cfg.primary_tmax, _time
+                s["org"], s["dir"], cfg.primary_tmin, cfg.primary_tmax, _time,
+                count=n_alive,
             )
             (seed, emitted, radiance, new_org, new_dir, atten_factor,
              shadow_count) = _shade_and_nee(
-                scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive
+                scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive,
+                count=n_alive,
             )
             is_hit = hit.mask
 
@@ -258,13 +278,19 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
                 last_atten=last_atten,
                 result=result,
                 alive=new_alive,
+                slot=s["slot"],
                 depth=s["depth"] + 1,
-                n_rad=s["n_rad"] + jnp.sum(alive.astype(jnp.int32)),
+                n_rad=s["n_rad"] + n_alive,
                 n_shad=s["n_shad"] + shadow_count,
             )
 
         state = jax.lax.while_loop(cond, body, state)
-        return (outer_seed, state["result"], state["n_rad"], state["n_shad"]), None
+        # Undo the compaction permutations: scatter each lane's accumulated
+        # radiance back to its original (pixel-ordered) slot.
+        result = jnp.zeros_like(state["result"]).at[state["slot"]].set(
+            state["result"]
+        )
+        return (outer_seed, result, state["n_rad"], state["n_shad"]), None
 
     init = (
         outer_seed0,
@@ -277,6 +303,201 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
     )
     rgb = result / jnp.float32(cfg.samples_per_launch)
     return rgb, n_rad, n_shad
+
+
+def _lcg_advance_table(spp: int) -> jnp.ndarray:
+    """Per-sample affine LCG jumps: row s = (a, c) with
+    state_after_2s_draws = a * state0 + c (mod 2^32).
+
+    Lets pool lanes start sample s of a pixel at exactly the outer-stream
+    position the sequential spp scan would have reached (2 jitter draws per
+    preceding sample, raygen.cu:32-39) — pool and wave integrators consume
+    identical per-path RNG streams.
+    """
+    import numpy as np
+
+    a_step, c_step = 1664525, 1013904223
+    a, c = 1, 0
+    rows = []
+    for _ in range(spp):
+        rows.append((a, c))
+        for _ in range(2):
+            a = (a_step * a) & 0xFFFFFFFF
+            c = (a_step * c + c_step) & 0xFFFFFFFF
+    return np.array(rows, np.uint64).astype(np.uint32)  # host constants
+
+
+def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
+    """Persistent ray-pool integrator.
+
+    Where the wave integrator runs a bounce while_loop per (block, sample)
+    and lets lane density decay as Russian roulette kills paths, the pool
+    keeps ONE fixed-size lane pool at ~100% occupancy: every iteration,
+    finished paths flush their radiance to the framebuffer (scatter-add) and
+    their lanes are refilled with fresh (pixel, sample) work items. This is
+    the TPU analog of persistent-threads wavefront scheduling: total
+    super-steps ~= total_path_segments / pool_size instead of
+    blocks x spp x max_depth.
+
+    Per-path arithmetic and RNG streams are identical to the wave integrator
+    (and the reference, SURVEY.md S3.3); only the order in which a pixel's
+    samples are summed differs, so images match to float addition order.
+    Returns (rgb [N,3] mean over spp, n_radiance_rays, n_shadow_rays).
+    """
+    trace_closest, trace_any = tracer
+    n_pix = pixel_idx.shape[0]
+    pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
+    spp = cfg.samples_per_launch
+    total_work = n_pix * spp
+    width = jnp.float32(cfg.width)
+    height = jnp.float32(cfg.height)
+    bg = jnp.asarray(cfg.bg_radiance, jnp.float32)
+    jump = _lcg_advance_table(spp)  # [spp, 2] uint32
+    # The pool addresses pixels arithmetically (no gathers): the work list
+    # must be a contiguous pixel range, which both entry points guarantee
+    # (full frame = arange, dist shard = base + arange).
+    pixel_base = pixel_idx[0]
+
+    state = dict(
+        org=jnp.zeros((pool, 3), jnp.float32),
+        dir=jnp.zeros((pool, 3), jnp.float32),
+        seed=jnp.zeros((pool,), jnp.uint32),
+        atten=jnp.ones((pool, 3), jnp.float32),
+        last_atten=jnp.ones((pool, 3), jnp.float32),
+        acc=jnp.zeros((pool, 3), jnp.float32),
+        pixel=jnp.full((pool,), -1, jnp.int32),  # framebuffer slot, -1 = idle
+        depth=jnp.zeros((pool,), jnp.int32),
+        alive=jnp.zeros((pool,), bool),
+        image=jnp.zeros((n_pix + 1, 3), jnp.float32),  # +1 = scatter sink
+        next_work=jnp.zeros((), jnp.int32),
+        n_rad=jnp.zeros((), jnp.int32),
+        n_shad=jnp.zeros((), jnp.int32),
+    )
+    def cond(s):
+        return (s["next_work"] < total_work) | jnp.any(s["alive"])
+
+    def body(s):
+        # No compaction: lanes refill in place (rank via cumsum), so lane
+        # occupancy stays ~100% without any gather/scatter of pool state.
+        dead = ~s["alive"]
+        n_alive = pool - jnp.sum(dead.astype(jnp.int32))
+
+        # --- flush finished paths to the framebuffer ---
+        flush = dead & (s["pixel"] >= 0)
+        target = jnp.where(flush, s["pixel"], n_pix)  # idle -> sink row
+        image = s["image"].at[target].add(
+            jnp.where(flush[:, None], s["acc"], 0.0)
+        )
+
+        # --- refill idle lanes with fresh (pixel, sample) work ---
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # per-dead-lane rank
+        w = s["next_work"] + rank
+        take = dead & (w < total_work)
+        w_c = jnp.clip(w, 0, total_work - 1)
+        p_slot = w_c % n_pix
+        samp = w_c // n_pix
+        new_pixel = pixel_base + p_slot
+        st = rng.tea(new_pixel.astype(jnp.uint32), subframe_index)
+        if cfg.seed:
+            st = rng.rot_seed(st, jnp.uint32(cfg.seed))
+        # per-sample LCG jump constants via a select chain (a gather from the
+        # tiny [spp, 2] table costs a full serial pass on TPU)
+        aj = jnp.full((pool,), int(jump[0, 0]), jnp.uint32)
+        cj = jnp.full((pool,), int(jump[0, 1]), jnp.uint32)
+        for si in range(1, spp):
+            sel = samp == si
+            aj = jnp.where(sel, jnp.uint32(int(jump[si, 0])), aj)
+            cj = jnp.where(sel, jnp.uint32(int(jump[si, 1])), cj)
+        st = aj * st + cj  # jump to this sample's outer-stream position
+        st, jx = rng.rnd(st)
+        st, jy = rng.rnd(st)
+        px = new_pixel % cfg.width
+        py = new_pixel // cfg.width
+        new_org, new_dir = _camera_ray(cam, px, py, jx, jy, width, height)
+
+        def fill(new, old):
+            m = take if old.ndim == 1 else take[:, None]
+            return jnp.where(m, new, old)
+
+        s = dict(
+            s,
+            org=fill(new_org, s["org"]),
+            dir=fill(new_dir, s["dir"]),
+            seed=fill(st, s["seed"]),
+            atten=fill(jnp.ones((pool, 3), jnp.float32), s["atten"]),
+            last_atten=fill(jnp.ones((pool, 3), jnp.float32), s["last_atten"]),
+            acc=fill(jnp.zeros((pool, 3), jnp.float32),
+                     jnp.where(flush[:, None], 0.0, s["acc"])),
+            pixel=fill(new_pixel, jnp.where(flush, -1, s["pixel"])),
+            depth=fill(jnp.zeros((pool,), jnp.int32), s["depth"]),
+            alive=s["alive"] | take,
+            image=image,
+            next_work=s["next_work"] + jnp.sum(take.astype(jnp.int32)),
+        )
+        alive = s["alive"]
+        n_live = jnp.sum(alive.astype(jnp.int32))
+        # Lanes refill in place, so alive lanes are not a prefix; the tracer
+        # count must cover the highest live lane. While work remains the pool
+        # is full anyway; this only trims endgame cost.
+        count_hint = jnp.max(jnp.where(alive, jnp.arange(pool, dtype=jnp.int32), -1)) + 1
+
+        # --- one path segment for every live lane (same math as the wave
+        # integrator / reference S3.3) ---
+        seed, _time = rng.rnd_masked(s["seed"], alive)
+        hit = trace_closest(
+            s["org"], s["dir"], cfg.primary_tmin, cfg.primary_tmax, _time,
+            count=count_hint,
+        )
+        (seed, emitted, radiance, new_org2, new_dir2, atten_factor,
+         shadow_count) = _shade_and_nee(
+            scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive,
+            count=count_hint,
+        )
+        is_hit = hit.mask
+        radiance = jnp.where(is_hit[:, None], radiance, bg[None, :])
+        emitted = jnp.where((is_hit & (s["depth"] == 0))[:, None], emitted, 0.0)
+        contrib = emitted + radiance * s["last_atten"]
+        acc = s["acc"] + jnp.where(alive[:, None], contrib, 0.0)
+
+        atten = jnp.where(
+            (alive & is_hit)[:, None], s["atten"] * atten_factor, s["atten"]
+        )
+        last_atten = jnp.where(alive[:, None], atten, s["last_atten"])
+
+        p_rr = luminance(atten)
+        seed, u_rr = rng.rnd_masked(seed, alive & is_hit)
+        survive = is_hit & (u_rr <= p_rr)
+        atten = jnp.where(
+            (alive & survive)[:, None],
+            atten / jnp.maximum(p_rr, 1e-12)[:, None],
+            atten,
+        )
+        depth = jnp.where(alive, s["depth"] + 1, s["depth"])
+        new_alive = alive & survive & (depth < cfg.max_depth)
+        org = jnp.where(new_alive[:, None], new_org2, s["org"])
+        direction = jnp.where(new_alive[:, None], new_dir2, s["dir"])
+
+        return dict(
+            s,
+            org=org,
+            dir=direction,
+            seed=seed,
+            atten=atten,
+            last_atten=last_atten,
+            acc=acc,
+            depth=depth,
+            alive=new_alive,
+            n_rad=s["n_rad"] + n_live,
+            n_shad=s["n_shad"] + shadow_count,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    # final flush: the loop exits with all lanes dead but unflushed
+    flush = s["pixel"] >= 0
+    target = jnp.where(flush, s["pixel"], n_pix)
+    image = s["image"].at[target].add(jnp.where(flush[:, None], s["acc"], 0.0))
+    rgb = image[:n_pix] / jnp.float32(spp)
+    return rgb, s["n_rad"], s["n_shad"]
 
 
 def render_pixels(
@@ -292,12 +513,21 @@ def render_pixels(
     The distributed entry point: each device of a mesh calls this on its own
     pixel shard (parallel/dist.py). Pads to the ray-block size internally.
     Returns (rgb [N,3], radiance_ray_count, shadow_ray_count).
+
+    cfg.integrator selects the execution schedule: "wave" (per-block bounce
+    loops, reference-ordered accumulation, bit-reproducible layout used by
+    golden tests) or "pool" (persistent ray pool, ~100% lane occupancy, the
+    fast path — identical per-path arithmetic, float-order-different sums).
     """
+    if tracer is None:
+        tracer = make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
+    if cfg.integrator == "pool":
+        return _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index)
     n_pixels = pixel_idx.shape[0]
     block = min(cfg.ray_block, _next_pow2(n_pixels))
     n_padded = -(-n_pixels // block) * block
     idx_padded = jnp.concatenate(
-        [pixel_idx, jnp.zeros((n_padded - n_pixels,), jnp.int32)]
+        [pixel_idx, jnp.full((n_padded - n_pixels,), -1, jnp.int32)]
     ).reshape(-1, block)
 
     def per_block(idx):

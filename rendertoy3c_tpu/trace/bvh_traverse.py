@@ -140,16 +140,22 @@ def trace_bvh(
                 u=s["u"], v=s["v"], occluded=occluded,
             )
         t = jnp.where(hit, t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        t_c = t[rows, j]
-        better = hit[rows, j] & (t_c < s["best_t"])
+        # Leaf-closest selection as reductions (no per-row gathers; see
+        # intersect.py) — min t, lowest-prim tiebreak, masked payload sums.
+        t_c = jnp.min(t, axis=1)
+        at_min = t <= t_c[:, None]
+        prim_c = jnp.min(jnp.where(at_min, idx, jnp.int32(0x7FFFFFFF)), axis=1)
+        one = at_min & (idx == prim_c[:, None])
+        u_c = jnp.sum(jnp.where(one, uu, 0.0), axis=1)
+        v_c = jnp.sum(jnp.where(one, vv, 0.0), axis=1)
+        better = jnp.isfinite(t_c) & (t_c < s["best_t"])
         return dict(
             stack=stack,
             sp=new_sp,
             best_t=jnp.where(better, t_c, s["best_t"]),
-            prim=jnp.where(better, idx[rows, j], s["prim"]),
-            u=jnp.where(better, uu[rows, j], s["u"]),
-            v=jnp.where(better, vv[rows, j], s["v"]),
+            prim=jnp.where(better, prim_c, s["prim"]),
+            u=jnp.where(better, u_c, s["u"]),
+            v=jnp.where(better, v_c, s["v"]),
             occluded=s["occluded"],
         )
 
@@ -164,13 +170,15 @@ def make_bvh_tracer(scene: Scene, bvh: BVH8, max_leaf: int = 8):
 
     The scene must already be reordered with reorder_scene_by_bvh."""
 
-    def closest(o, d, tmin, tmax, time):
+    def closest(o, d, tmin, tmax, time, count=None):
+        del count
         return trace_bvh(
             bvh, scene.geom, o, d, tmin, tmax, time,
             num_keys=scene.num_keys, max_leaf=max_leaf, any_hit=False,
         )
 
-    def any_hit(o, d, tmin, tmax, time):
+    def any_hit(o, d, tmin, tmax, time, count=None):
+        del count
         return trace_bvh(
             bvh, scene.geom, o, d, tmin, tmax, time,
             num_keys=scene.num_keys, max_leaf=max_leaf, any_hit=True,

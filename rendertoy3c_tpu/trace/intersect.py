@@ -129,11 +129,16 @@ def trace_closest_bruteforce(
         prim_ids = start + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         hit &= prim_ids < num_faces
         t = jnp.where(hit, t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        rows = jnp.arange(r)
-        t_c, u_c, v_c, hit_c = t[rows, j], u[rows, j], v[rows, j], hit[rows, j]
-        prim_c = prim_ids[rows, j]
-        better = hit_c & (t_c < best_t)
+        # Chunk-closest selection as pure reductions — per-row gathers
+        # (t[rows, argmin]) serialize on TPU, so reduce instead: min t, then
+        # a lowest-prim tiebreak mask, then masked sums for the payload.
+        t_c = jnp.min(t, axis=1)
+        at_min = t <= t_c[:, None]
+        prim_c = jnp.min(jnp.where(at_min, prim_ids, jnp.int32(0x7FFFFFFF)), axis=1)
+        one = at_min & (prim_ids == prim_c[:, None])
+        u_c = jnp.sum(jnp.where(one, u, 0.0), axis=1)
+        v_c = jnp.sum(jnp.where(one, v, 0.0), axis=1)
+        better = (t_c < best_t) & jnp.isfinite(t_c)
         return (
             jnp.where(better, t_c, best_t),
             jnp.where(better, prim_c, best_prim),
@@ -188,15 +193,20 @@ def trace_any_bruteforce(
 
 
 def make_bruteforce_tracer(scene: Scene, chunk: int = 256):
-    """Bind a scene into the (closest, any) tracer interface."""
+    """Bind a scene into the (closest, any) tracer interface.
 
-    def closest(o, d, tmin, tmax, time):
+    `count` (live-ray hint for compacted wavefronts) is accepted for
+    interface parity but ignored — the XLA path tests all lanes anyway."""
+
+    def closest(o, d, tmin, tmax, time, count=None):
+        del count
         return trace_closest_bruteforce(
             scene.geom, o, d, tmin, tmax, time,
             num_keys=scene.num_keys, num_faces=scene.num_faces, chunk=chunk,
         )
 
-    def any_hit(o, d, tmin, tmax, time):
+    def any_hit(o, d, tmin, tmax, time, count=None):
+        del count
         return trace_any_bruteforce(
             scene.geom, o, d, tmin, tmax, time,
             num_keys=scene.num_keys, num_faces=scene.num_faces, chunk=chunk,
