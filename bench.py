@@ -21,7 +21,7 @@ import time
 
 # First recorded TPU number for this workload; update when the kernel gets
 # materially faster so vs_baseline tracks progress across rounds.
-BENCH_TARGET_MRAYS = 40.0
+BENCH_TARGET_MRAYS = 13.5  # round-1 recorded figure (Pallas MT + ray pool)
 
 
 def main():
@@ -37,11 +37,11 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         cfg = RenderConfig(width=768, height=768, samples_per_launch=8,
-                           max_depth=16, ray_block=1 << 16)
+                           max_depth=16, ray_block=8192, integrator="pool")
         warmup, timed = 1, 3
     else:  # CI smoke mode
         cfg = RenderConfig(width=96, height=96, samples_per_launch=1,
-                           max_depth=4, ray_block=4096)
+                           max_depth=4, ray_block=4096, integrator="pool")
         warmup, timed = 1, 1
 
     meshes, camera = cornell_box()
