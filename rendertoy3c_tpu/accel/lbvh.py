@@ -271,4 +271,5 @@ def reorder_scene_by_bvh(scene, perm: np.ndarray):
         num_faces=scene.num_faces,
         num_lights=scene.num_lights,
         num_materials=scene.num_materials,
+        all_diffuse=scene.all_diffuse,
     )

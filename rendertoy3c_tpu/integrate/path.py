@@ -50,6 +50,7 @@ from ..scene.light import pick_light_power, pick_light_uniform, sample_light
 from ..scene.scene import Scene
 from ..scene.texture import sample_texture_bilinear
 from ..trace.intersect import Hit, make_bruteforce_tracer
+from .bsdf import MatParams, bsdf_eval, bsdf_sample
 from .config import RenderConfig
 
 _INV_PI = 1.0 / math.pi
@@ -102,15 +103,13 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
     adv = active & is_hit  # lanes whose stream advances through shading
 
     # --- BSDF sampling (closehit_radiance.cu:90-112) ---
-    seed, _z1 = rng.rnd_masked(seed, adv)  # consumed but unused in reference
+    # Draw count is uniform across material types so lane streams stay
+    # aligned; the reference consumes z1/z2 without using them — the
+    # dispatch path reuses z1 as its lobe selector.
+    seed, z1 = rng.rnd_masked(seed, adv)
     seed, _z2 = rng.rnd_masked(seed, adv)
     seed, u1 = rng.rnd_masked(seed, adv)
     seed, u2 = rng.rnd_masked(seed, adv)
-    w_local = sample_cosine_hemisphere(u1, u2)
-    cos_sampled = w_local[..., 2]
-    pdf_bsdf_sampled = cos_sampled * _INV_PI
-    new_dir = onb_local_to_world(w_local, ns)
-    new_org = p
 
     tex_id = mat.diffuse_tex[mid]
     tex_rgb = sample_texture_bilinear(
@@ -118,14 +117,51 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
     )
     albedo = jnp.where((tex_id >= 0)[:, None], tex_rgb, mat.diffuse[mid])
 
-    if cfg.throughput_model == "reference":
-        # attenuation *= albedo * bsdf / pdf  (bsdf = 1/pi, pdf = cos/pi)
-        atten_factor = albedo * (
-            _INV_PI / jnp.maximum(pdf_bsdf_sampled, 1e-12)
-        )[:, None]
+    if scene.all_diffuse:
+        # Reference-exact Lambertian fast path (zero dispatch overhead).
+        w_local = sample_cosine_hemisphere(u1, u2)
+        cos_sampled = w_local[..., 2]
+        pdf_bsdf_sampled = cos_sampled * _INV_PI
+        new_dir = onb_local_to_world(w_local, ns)
+        new_org = p
+        if cfg.throughput_model == "reference":
+            # attenuation *= albedo * bsdf / pdf  (bsdf = 1/pi, pdf = cos/pi)
+            atten_factor = albedo * (
+                _INV_PI / jnp.maximum(pdf_bsdf_sampled, 1e-12)
+            )[:, None]
+        else:
+            # physical: f * cos / pdf = albedo
+            atten_factor = albedo
+        is_delta = jnp.zeros(adv.shape, bool)
+        params = None
     else:
-        # physical: f * cos / pdf = albedo
-        atten_factor = albedo
+        # Full material dispatch (bsdf.py): DIFFUSE / SPECULAR /
+        # FRESNEL_TRANSMISSIVE / PRINCIPLED, branch-free across the wave.
+        rough = mat.roughness[mid]
+        rtex = mat.roughness_tex[mid]
+        rough_tex = sample_texture_bilinear(
+            scene.atlas, rtex, texcoord[..., 0], texcoord[..., 1]
+        )[..., 0]
+        rough = jnp.where(rtex >= 0, rough_tex, rough)
+        etex = mat.emissive_tex[mid]
+        emis_rgb = sample_texture_bilinear(
+            scene.atlas, etex, texcoord[..., 0], texcoord[..., 1]
+        )
+        emitted = jnp.where((etex >= 0)[:, None], emitted * emis_rgb, emitted)
+        params = MatParams(
+            mtype=mat.mtype[mid],
+            albedo=albedo,
+            roughness=rough,
+            metallic=mat.metallic[mid],
+            ior=mat.ior[mid],
+            transmittance=mat.transmittance[mid],
+            sheen=mat.sheen[mid],
+        )
+        samp = bsdf_sample(params, ns, -direction, z1, u1, u2)
+        new_dir = samp.wi
+        new_org = p
+        atten_factor = samp.weight
+        is_delta = samp.is_delta
 
     # --- Next-event estimation (closehit_radiance.cu:117-156) ---
     seed, u_pick = rng.rnd_masked(seed, adv)
@@ -146,28 +182,40 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
     # Shadow-ray time comes from a fork of the post-NEE stream that never
     # rejoins (prd.seed stored before traceOcclusion). rnd() peek:
     _, occl_time = rng.rnd(seed)
-    want_shadow = adv & (n_dl > 0.0) & (scene.num_lights > 0)
+    want_shadow = adv & (n_dl > 0.0) & (scene.num_lights > 0) & ~is_delta
     occluded = trace_any(
         p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps, occl_time,
         count=count,
     )
 
     lit = want_shadow & ~occluded
-    pdf_scatter = jnp.abs(n_dl) * _INV_PI
-    if cfg.throughput_model == "reference":
-        weight = albedo * (
-            power_heuristic(pdf_light, pdf_scatter) * _INV_PI
-        )[:, None]
-        radiance = light_emission * jnp.where(lit[:, None], weight, 0.0)
+    if scene.all_diffuse:
+        pdf_scatter = jnp.abs(n_dl) * _INV_PI
+        if cfg.throughput_model == "reference":
+            weight = albedo * (
+                power_heuristic(pdf_light, pdf_scatter) * _INV_PI
+            )[:, None]
+            radiance = light_emission * jnp.where(lit[:, None], weight, 0.0)
+        else:
+            # Unbiased NEE for diffuse: Le*omega * f * cos / pick_pdf
+            contrib = light_emission * albedo * (
+                _INV_PI * n_dl / jnp.maximum(pick_pdf, 1e-12)
+            )[:, None]
+            radiance = jnp.where(lit[:, None], contrib, 0.0)
     else:
-        # Unbiased NEE for diffuse: Le*omega * f * cos / pick_pdf
-        contrib = light_emission * albedo * (
-            _INV_PI * n_dl / jnp.maximum(pick_pdf, 1e-12)
+        # General NEE: Le*omega * f(wo, wl) * cos / pick_pdf. NEE is the
+        # only sampler of direct light on non-delta lobes (emission is
+        # otherwise collected at depth 0 / after delta chains only), so no
+        # MIS heuristic is applied.
+        f_eval, _pdf_eval = bsdf_eval(params, ns, -direction, ldir)
+        contrib = light_emission * f_eval * (
+            n_dl / jnp.maximum(pick_pdf, 1e-12)
         )[:, None]
         radiance = jnp.where(lit[:, None], contrib, 0.0)
 
     shadow_count = jnp.sum(want_shadow.astype(jnp.int32))
-    return seed, emitted, radiance, new_org, new_dir, atten_factor, shadow_count
+    return (seed, emitted, radiance, new_org, new_dir, atten_factor,
+            shadow_count, is_delta)
 
 
 def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
@@ -202,6 +250,7 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
             last_atten=jnp.ones((bsize, 3), jnp.float32),
             result=result,
             alive=valid,
+            prev_delta=jnp.zeros((bsize,), bool),
             slot=jnp.arange(bsize, dtype=jnp.int32),
             depth=jnp.zeros((), jnp.int32),
             n_rad=n_rad,
@@ -235,7 +284,7 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
                 count=n_alive,
             )
             (seed, emitted, radiance, new_org, new_dir, atten_factor,
-             shadow_count) = _shade_and_nee(
+             shadow_count, is_delta) = _shade_and_nee(
                 scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive,
                 count=n_alive,
             )
@@ -243,9 +292,11 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
 
             # Miss program: constant ambient radiance, done=true (miss.cu:22-35)
             radiance = jnp.where(is_hit[:, None], radiance, bg[None, :])
-            emitted = jnp.where(
-                (is_hit & (s["depth"] == 0))[:, None], emitted, 0.0
-            )
+            # Emission collects at depth 0 (reference) and after delta chains
+            # (NEE cannot sample delta lobes, so mirrors/glass would
+            # otherwise never see lights).
+            see_emit = is_hit & ((s["depth"] == 0) | s["prev_delta"])
+            emitted = jnp.where(see_emit[:, None], emitted, 0.0)
 
             contrib = emitted + radiance * s["last_atten"]
             result = s["result"] + jnp.where(alive[:, None], contrib, 0.0)
@@ -278,6 +329,7 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
                 last_atten=last_atten,
                 result=result,
                 alive=new_alive,
+                prev_delta=jnp.where(alive, is_delta, s["prev_delta"]),
                 slot=s["slot"],
                 depth=s["depth"] + 1,
                 n_rad=s["n_rad"] + n_alive,
@@ -367,6 +419,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
         acc=jnp.zeros((pool, 3), jnp.float32),
         pixel=jnp.full((pool,), -1, jnp.int32),  # framebuffer slot, -1 = idle
         depth=jnp.zeros((pool,), jnp.int32),
+        prev_delta=jnp.zeros((pool,), bool),
         alive=jnp.zeros((pool,), bool),
         image=jnp.zeros((n_pix + 1, 3), jnp.float32),  # +1 = scatter sink
         next_work=jnp.zeros((), jnp.int32),
@@ -430,6 +483,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
                      jnp.where(flush[:, None], 0.0, s["acc"])),
             pixel=fill(new_pixel, jnp.where(flush, -1, s["pixel"])),
             depth=fill(jnp.zeros((pool,), jnp.int32), s["depth"]),
+            prev_delta=s["prev_delta"] & ~take,
             alive=s["alive"] | take,
             image=image,
             next_work=s["next_work"] + jnp.sum(take.astype(jnp.int32)),
@@ -449,13 +503,14 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             count=count_hint,
         )
         (seed, emitted, radiance, new_org2, new_dir2, atten_factor,
-         shadow_count) = _shade_and_nee(
+         shadow_count, is_delta) = _shade_and_nee(
             scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive,
             count=count_hint,
         )
         is_hit = hit.mask
         radiance = jnp.where(is_hit[:, None], radiance, bg[None, :])
-        emitted = jnp.where((is_hit & (s["depth"] == 0))[:, None], emitted, 0.0)
+        see_emit = is_hit & ((s["depth"] == 0) | s["prev_delta"])
+        emitted = jnp.where(see_emit[:, None], emitted, 0.0)
         contrib = emitted + radiance * s["last_atten"]
         acc = s["acc"] + jnp.where(alive[:, None], contrib, 0.0)
 
@@ -486,6 +541,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             last_atten=last_atten,
             acc=acc,
             depth=depth,
+            prev_delta=jnp.where(alive, is_delta, s["prev_delta"]),
             alive=new_alive,
             n_rad=s["n_rad"] + n_live,
             n_shad=s["n_shad"] + shadow_count,

@@ -39,6 +39,19 @@ def onb_local_to_world(p_local: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def onb_world_to_local(p_world: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Project a world vector into the (tangent, binormal, normal) frame."""
+    t, b, nn = onb_from_normal(n)
+    return jnp.stack(
+        [
+            jnp.sum(p_world * t, axis=-1),
+            jnp.sum(p_world * b, axis=-1),
+            jnp.sum(p_world * nn, axis=-1),
+        ],
+        axis=-1,
+    )
+
+
 class Onb:
     """Object-style wrapper mirroring the reference API shape."""
 

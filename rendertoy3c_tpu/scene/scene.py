@@ -94,6 +94,9 @@ class Scene:
     num_faces: int = field(metadata=dict(static=True), default=0)
     num_lights: int = field(metadata=dict(static=True), default=0)
     num_materials: int = field(metadata=dict(static=True), default=0)
+    # True when every material is plain DIFFUSE — lets the integrator keep
+    # the reference-exact Lambertian fast path with zero dispatch overhead.
+    all_diffuse: bool = field(metadata=dict(static=True), default=True)
 
 
 def _apply_affine(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
@@ -225,6 +228,8 @@ def build_scene(
 
     atlas = build_texture_atlas(textures) if textures else _empty_atlas()
 
+    from .material import MaterialType
+
     return Scene(
         geom=geom,
         materials=build_material_table(materials),
@@ -234,4 +239,7 @@ def build_scene(
         num_faces=num_faces_real,
         num_lights=int(num_lights),
         num_materials=len(materials),
+        all_diffuse=all(
+            m.material_type == MaterialType.DIFFUSE for m in materials
+        ),
     )
