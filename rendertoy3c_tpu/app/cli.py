@@ -38,7 +38,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="progressive launches to accumulate")
     p.add_argument("--max-depth", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--tracer", choices=["bvh", "brute"], default="bvh")
+    p.add_argument("--tracer", choices=["auto", "pallas", "bvh", "brute"],
+                   default="auto",
+                   help="auto = fused pallas kernels for static scenes on "
+                        "TPU, brute-force otherwise")
+    p.add_argument("--renderer", choices=["path", "direct"], default="path",
+                   help="path = progressive path tracer (primary stack); "
+                        "direct = GGX direct lighting with point+ambient "
+                        "lights (legacy whitted stack)")
+    p.add_argument("--integrator", choices=["pool", "wave"], default="pool",
+                   help="path-tracer schedule: persistent ray pool (fast) or "
+                        "per-block waves (reference-ordered)")
+    p.add_argument("--ambient", type=_vec3, default=(0.35, 0.35, 0.35),
+                   help="ambient light for --renderer direct")
     p.add_argument("--light-sampler", choices=["uniform", "power"],
                    default="uniform")
     p.add_argument("--throughput", choices=["reference", "physical"],
@@ -73,7 +85,7 @@ def _vec3(s: str):
 
 
 def _load_scene(args):
-    """Returns (scene_meshes, textures, camera)."""
+    """Returns (scene_meshes, textures, camera, point_lights)."""
     from ..scene.builtin import cornell_box, textured_quad_scene
 
     names = args.scene
@@ -81,18 +93,28 @@ def _load_scene(args):
         name = names[0]
         if name == "textured":
             meshes, textures, camera = textured_quad_scene()
-            return meshes, textures, camera
+            return meshes, textures, camera, []
         meshes, camera = cornell_box(with_blocks=(name == "cornell"))
-        return meshes, [], camera
+        return meshes, [], camera, []
+
+    from ..scene.camera import Camera
+
+    if len(names) == 1 and names[0].endswith((".gltf", ".glb")):
+        from ..io.gltf import load_gltf
+
+        meshes, textures, cameras, lights = load_gltf(names[0])
+        camera = cameras[0] if cameras else Camera(
+            eye=(5.0, 5.0, 5.0), lookat=(0.0, 1.0, 0.0), fov_y=45.0
+        )
+        return meshes, textures, camera, lights
 
     from ..io.obj import load_obj
-    from ..scene.camera import Camera
 
     meshes, textures = load_obj(names)
     # Default framing mirrors the reference app (eye (5,5,5) toward (0,1,0),
     # fov 45 — src/wavefront.cpp:238-253).
     camera = Camera(eye=(5.0, 5.0, 5.0), lookat=(0.0, 1.0, 0.0), fov_y=45.0)
-    return meshes, textures, camera
+    return meshes, textures, camera, []
 
 
 def main(argv=None) -> int:
@@ -120,11 +142,11 @@ def main(argv=None) -> int:
         width=w, height=h, samples_per_launch=args.spp,
         max_depth=args.max_depth, seed=args.seed,
         light_sampler=args.light_sampler, throughput_model=args.throughput,
-        ray_block=args.ray_block,
+        ray_block=args.ray_block, integrator=args.integrator,
     )
 
     with timers.phase("load"):
-        meshes, textures, camera = _load_scene(args)
+        meshes, textures, camera, point_lights = _load_scene(args)
         if args.eye:
             camera.eye = args.eye
         if args.lookat:
@@ -137,7 +159,17 @@ def main(argv=None) -> int:
         scene = build_scene(meshes, textures=textures or None)
 
     with timers.phase("accel"):
-        if args.tracer == "bvh":
+        tracer_kind = args.tracer
+        if tracer_kind == "auto":
+            import jax as _jax
+
+            on_tpu = _jax.devices()[0].platform == "tpu"
+            tracer_kind = "pallas" if (on_tpu and scene.num_keys == 1) else "brute"
+        if tracer_kind == "pallas":
+            from ..trace.pallas_mt import make_pallas_mt_tracer
+
+            tracer = make_pallas_mt_tracer(scene)
+        elif tracer_kind == "bvh":
             from ..trace.bvh_traverse import build_scene_bvh, make_bvh_tracer
 
             scene, bvh, _ = build_scene_bvh(scene)
@@ -145,7 +177,15 @@ def main(argv=None) -> int:
         else:
             tracer = None
 
-    if args.mesh_shape:
+    if args.renderer == "direct":
+        from ..integrate.direct import make_direct_render_fn
+
+        step = make_direct_render_fn(
+            scene, cfg, point_lights=point_lights, ambient=args.ambient,
+            tracer=tracer,
+        )
+        film = film_create(cfg.height, cfg.width)
+    elif args.mesh_shape:
         n_tile, n_spp = (int(x) for x in args.mesh_shape.lower().split("x"))
         from ..parallel.dist import (
             film_create_sharded,

@@ -1,0 +1,210 @@
+"""GGX direct-lighting renderer — parity with the reference's legacy whitted
+pipeline (cuda/whitted.cu:149-289): GLTF PBR metallic-roughness closest-hit
+shading with point + ambient lights and shadow attenuation.
+
+The reference's whitted stack shoots one radiance ray per pixel, shades the
+hit with base-color/metallic-roughness/emissive textures, GGX specular
+(D * vis * schlick F, whitted_cuda.h:47-70) plus Lambertian diffuse for each
+point light gated by an occlusion probe, and adds an ambient term
+(whitted.cu:200-287). No indirect bounces. Here that maps to a single
+wavefront super-step: camera rays -> trace closest -> vectorized shade with a
+static loop over the (few) point lights, each with one batched shadow trace.
+
+Anti-aliasing: the same per-pixel tea/LCG jitter stream as the path tracer,
+accumulated progressively through the Film.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..film.film import Film, film_accumulate
+from ..math import rng
+from ..math.microfacet import d_ggx, schlick_fresnel, smith_g
+from ..math.vec import dot, faceforward, length, normalize
+from ..scene.camera import CameraParams
+from ..scene.scene import Scene
+from ..scene.texture import sample_texture_bilinear
+from ..trace.intersect import make_bruteforce_tracer
+from .config import RenderConfig
+from .path import RenderStats, _camera_ray, _next_pow2
+
+_INV_PI = 1.0 / math.pi
+
+
+def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
+                 direction, point_lights, ambient, count=None):
+    """Vectorized whitted closest-hit (whitted.cu:149-289). Returns
+    (rgb [R,3], shadow_ray_count)."""
+    prim = jnp.maximum(hit.prim, 0)
+    u, v = hit.u, hit.v
+    w0 = (1.0 - u - v)[:, None]
+    w1 = u[:, None]
+    w2 = v[:, None]
+    g = scene.geom
+    ng = normalize(w0 * g.n0[0, prim] + w1 * g.n1[0, prim] + w2 * g.n2[0, prim])
+    texcoord = w0 * g.uv0[prim] + w1 * g.uv1[prim] + w2 * g.uv2[prim]
+    ns = faceforward(ng, -direction, ng)
+    p = org + hit.t[:, None] * direction
+    wo = -direction
+
+    mat = scene.materials
+    mid = g.mat_id[prim]
+
+    tex_id = mat.diffuse_tex[mid]
+    tex_rgb = sample_texture_bilinear(
+        scene.atlas, tex_id, texcoord[..., 0], texcoord[..., 1]
+    )
+    base = jnp.where((tex_id >= 0)[:, None], tex_rgb * mat.diffuse[mid],
+                     mat.diffuse[mid])
+    metallic = mat.metallic[mid]
+    rough = mat.roughness[mid]
+    rtex = mat.roughness_tex[mid]
+    # glTF metallicRoughness texture: G = roughness, B = metallic
+    mr_rgb = sample_texture_bilinear(
+        scene.atlas, rtex, texcoord[..., 0], texcoord[..., 1]
+    )
+    rough = jnp.where(rtex >= 0, rough * mr_rgb[..., 1], rough)
+    metallic = jnp.where(rtex >= 0, metallic * mr_rgb[..., 2], metallic)
+    alpha = jnp.maximum(rough * rough, 1e-4)
+
+    emitted = mat.emission[mid]
+    etex = mat.emissive_tex[mid]
+    emis_rgb = sample_texture_bilinear(
+        scene.atlas, etex, texcoord[..., 0], texcoord[..., 1]
+    )
+    emitted = jnp.where((etex >= 0)[:, None], emitted * emis_rgb, emitted)
+
+    # F0 = lerp(0.04, base, metallic); diffuse = base * (1 - metallic)
+    # (whitted.cu:208-214)
+    f0 = 0.04 * (1.0 - metallic[:, None]) + base * metallic[:, None]
+    diff_color = base * (1.0 - metallic[:, None])
+
+    result = emitted + ambient[None, :] * diff_color
+    n_do = jnp.maximum(dot(ns, wo), 1e-6)
+
+    shadow_count = jnp.zeros((), jnp.int32)
+    for light in point_lights:
+        lpos = jnp.asarray(light.position, jnp.float32)
+        lcol = jnp.asarray(light.color, jnp.float32) * jnp.float32(
+            light.intensity
+        )
+        lvec = lpos[None, :] - p
+        ldist = length(lvec)
+        ldir = lvec / jnp.maximum(ldist, 1e-20)[:, None]
+        n_dl = dot(ns, ldir)
+        want = hit.mask & (n_dl > 0.0)
+        occluded = trace_any(
+            p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps,
+            jnp.zeros_like(ldist), count=count,
+        )
+        lit = want & ~occluded
+
+        h = normalize(wo + ldir, eps=1e-20)
+        cos_h = dot(ns, h)
+        cos_oh = jnp.clip(dot(wo, h), 0.0, 1.0)
+        f = schlick_fresnel(f0, cos_oh[:, None])
+        spec = f * (
+            d_ggx(cos_h, alpha) * smith_g(n_dl, n_do, alpha)
+            / jnp.maximum(4.0 * n_dl * n_do, 1e-9)
+        )[:, None]
+        brdf = diff_color * _INV_PI + spec
+        contrib = lcol[None, :] * brdf * n_dl[:, None]
+        result = result + jnp.where(lit[:, None], contrib, 0.0)
+        shadow_count = shadow_count + jnp.sum(want.astype(jnp.int32))
+
+    return jnp.where(hit.mask[:, None], result, 0.0), shadow_count
+
+
+def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
+                         point_lights, ambient, bg):
+    trace_closest, trace_any = tracer
+    n = pixel_idx.shape[0]
+    width = jnp.float32(cfg.width)
+    height = jnp.float32(cfg.height)
+    px = pixel_idx % cfg.width
+    py = pixel_idx // cfg.width
+    seed = rng.tea(pixel_idx.astype(jnp.uint32), subframe_index)
+    if cfg.seed:
+        seed = rng.rot_seed(seed, jnp.uint32(cfg.seed))
+
+    def sample_body(carry, _):
+        seed, acc, n_rad, n_shad = carry
+        seed, jx = rng.rnd(seed)
+        seed, jy = rng.rnd(seed)
+        org, direction = _camera_ray(cam, px, py, jx, jy, width, height)
+        hit = trace_closest(
+            org, direction, cfg.primary_tmin, cfg.primary_tmax,
+            jnp.zeros((n,), jnp.float32),
+        )
+        rgb, n_sh = shade_direct(
+            scene, cfg, trace_any, hit, org, direction, point_lights, ambient
+        )
+        rgb = jnp.where(hit.mask[:, None], rgb, bg[None, :])
+        return (seed, acc + rgb, n_rad + n, n_shad + n_sh), None
+
+    init = (seed, jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (seed, acc, n_rad, n_shad), _ = jax.lax.scan(
+        sample_body, init, None, length=cfg.samples_per_launch
+    )
+    return acc / jnp.float32(cfg.samples_per_launch), n_rad, n_shad
+
+
+def make_direct_render_fn(
+    scene: Scene,
+    cfg: RenderConfig,
+    point_lights: Sequence = (),
+    ambient: tuple = (0.35, 0.35, 0.35),
+    tracer=None,
+) -> Callable:
+    """jit-compiled progressive direct-lighting subframe step.
+
+    Defaults mirror the whitted pipeline's ambient term (whitted.cu's
+    LaunchParams ambient light) — pass ambient=(0,0,0) to disable.
+    """
+    if tracer is None:
+        tracer = make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
+    bg = jnp.asarray(cfg.bg_radiance, jnp.float32)
+    ambient_v = jnp.asarray(ambient, jnp.float32)
+    n_pixels = cfg.width * cfg.height
+    pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
+
+    def step(cam: CameraParams, film: Film):
+        rgb, n_rad, n_shad = render_direct_pixels(
+            scene, cfg, cam, tracer, pixel_idx, film.subframe_index,
+            point_lights, ambient_v, bg,
+        )
+        film = film_accumulate(
+            film, rgb.reshape(cfg.height, cfg.width, 3)
+        )
+        return film, RenderStats(radiance_rays=n_rad, shadow_rays=n_shad)
+
+    return jax.jit(step, donate_argnames=("film",))
+
+
+def render_direct(
+    scene: Scene,
+    camera_params: CameraParams,
+    cfg: RenderConfig,
+    point_lights: Sequence = (),
+    ambient: tuple = (0.35, 0.35, 0.35),
+    subframes: int = 1,
+    film: Optional[Film] = None,
+    tracer=None,
+):
+    """Offline progressive direct-lighting render. Returns (film, stats)."""
+    from ..film.film import film_create
+
+    step = make_direct_render_fn(
+        scene, cfg, point_lights=point_lights, ambient=ambient, tracer=tracer
+    )
+    if film is None:
+        film = film_create(cfg.height, cfg.width)
+    total = RenderStats(jnp.zeros(()), jnp.zeros(()))
+    for _ in range(subframes):
+        film, stats = step(camera_params, film)
+    return film, stats

@@ -1,0 +1,336 @@
+"""GLTF 2.0 scene import — parity with the reference's legacy GLTF stack
+(sutil/Scene.cpp:267-551 `loadScene` + `processGLTFNode` :125-263, built on
+tinygltf).
+
+Supports .gltf (JSON + external/embedded buffers) and .glb containers:
+  * node hierarchy with TRS/matrix transforms, flattened to world space
+    (the reference likewise bakes node transforms into instance matrices);
+  * mesh primitives: POSITION / NORMAL / TEXCOORD_0 accessors, u8/u16/u32
+    indices, non-indexed fallback, per-primitive material split (same
+    granularity as processGLTFNode);
+  * pbrMetallicRoughness materials -> PRINCIPLED Material rows
+    (baseColor factor+texture, metallic/roughness factors, emissive factor+
+    texture, normal texture id carried);
+  * textures decoded via PIL (PNG/JPEG) from files, embedded base64 URIs, or
+    GLB buffer views;
+  * cameras (perspective) -> Camera;
+  * KHR_lights_punctual point lights -> PointLight list (the reference's
+    whitted pipeline consumes point+ambient lights, cuda/Light.h:31-71).
+
+Pure host-side numpy; returns the same (meshes, textures) building blocks the
+OBJ loader produces, plus cameras and point lights.
+"""
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..scene.camera import Camera
+from ..scene.material import Material, MaterialType
+from ..scene.mesh import Mesh
+
+_COMPONENT_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_TYPE_COUNTS = {
+    "SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+    "MAT2": 4, "MAT3": 9, "MAT4": 16,
+}
+
+
+@dataclass
+class PointLight:
+    """cuda/Light.h:31-50 Point light (color, intensity, position)."""
+
+    position: tuple
+    color: tuple = (1.0, 1.0, 1.0)
+    intensity: float = 1.0
+
+
+def _load_glb(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version, _length = struct.unpack_from("<III", data, 0)
+    if magic != 0x46546C67:
+        raise ValueError(f"{path}: not a GLB file")
+    if version != 2:
+        raise ValueError(f"{path}: unsupported GLB version {version}")
+    offset = 12
+    gltf = None
+    bin_chunk = b""
+    while offset < len(data):
+        clen, ctype = struct.unpack_from("<II", data, offset)
+        chunk = data[offset + 8: offset + 8 + clen]
+        if ctype == 0x4E4F534A:  # JSON
+            gltf = json.loads(chunk.decode("utf-8"))
+        elif ctype == 0x004E4942:  # BIN
+            bin_chunk = chunk
+        offset += 8 + clen + (-clen % 4)
+    if gltf is None:
+        raise ValueError(f"{path}: GLB missing JSON chunk")
+    return gltf, bin_chunk
+
+
+def _read_uri(uri: str, base_dir: str) -> bytes:
+    if uri.startswith("data:"):
+        _, payload = uri.split(",", 1)
+        return base64.b64decode(payload)
+    from urllib.parse import unquote
+
+    with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+        return f.read()
+
+
+class _GltfDoc:
+    def __init__(self, path: str):
+        self.base_dir = os.path.dirname(os.path.abspath(path))
+        if path.endswith(".glb"):
+            self.j, bin_chunk = _load_glb(path)
+        else:
+            with open(path) as f:
+                self.j = json.load(f)
+            bin_chunk = b""
+        self.buffers = []
+        for buf in self.j.get("buffers", []):
+            if "uri" in buf:
+                self.buffers.append(_read_uri(buf["uri"], self.base_dir))
+            else:
+                self.buffers.append(bin_chunk)
+
+    def buffer_view(self, idx: int) -> Tuple[bytes, int]:
+        bv = self.j["bufferViews"][idx]
+        buf = self.buffers[bv["buffer"]]
+        off = bv.get("byteOffset", 0)
+        return buf[off: off + bv["byteLength"]], bv.get("byteStride", 0)
+
+    def accessor(self, idx: int) -> np.ndarray:
+        acc = self.j["accessors"][idx]
+        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+        ncomp = _TYPE_COUNTS[acc["type"]]
+        count = acc["count"]
+        if "bufferView" not in acc:
+            return np.zeros((count, ncomp), dtype)
+        raw, stride = self.buffer_view(acc["bufferView"])
+        off = acc.get("byteOffset", 0)
+        itemsize = np.dtype(dtype).itemsize * ncomp
+        if stride and stride != itemsize:
+            out = np.empty((count, ncomp), dtype)
+            for i in range(count):
+                out[i] = np.frombuffer(
+                    raw, dtype, count=ncomp, offset=off + i * stride
+                )
+            arr = out
+        else:
+            arr = np.frombuffer(
+                raw, dtype, count=count * ncomp, offset=off
+            ).reshape(count, ncomp)
+        if acc.get("normalized"):
+            arr = arr.astype(np.float32) / np.iinfo(dtype).max
+        return arr
+
+    def image_rgba(self, image_idx: int) -> Optional[np.ndarray]:
+        import io as _io
+
+        try:
+            from PIL import Image
+        except ImportError:
+            return None
+        img = self.j["images"][image_idx]
+        if "uri" in img:
+            raw = _read_uri(img["uri"], self.base_dir)
+        else:
+            raw, _ = self.buffer_view(img["bufferView"])
+        with Image.open(_io.BytesIO(raw)) as im:
+            rgba = np.asarray(im.convert("RGBA"), np.uint8)
+        # the scene convention stores textures bottom-up (stbi vertical flip,
+        # src/mesh.cpp:131)
+        return rgba[::-1].copy()
+
+
+def _node_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
+    m = np.eye(4, dtype=np.float32)
+    if "scale" in node:
+        m[:3, :3] *= np.asarray(node["scale"], np.float32)
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ], np.float32)
+        m[:3, :3] = r @ m[:3, :3]
+    if "translation" in node:
+        m[:3, 3] = node["translation"]
+    return m
+
+
+def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
+                        texture_of_image) -> Material:
+    if mat_idx is None:
+        return Material(material_type=MaterialType.PRINCIPLED,
+                        diffuse=(0.8, 0.8, 0.8), roughness=1.0, metallic=0.0)
+    m = doc.j["materials"][mat_idx]
+    pbr = m.get("pbrMetallicRoughness", {})
+    base = pbr.get("baseColorFactor", [1, 1, 1, 1])
+
+    def tex_id(tinfo):
+        if tinfo is None:
+            return -1
+        tex = doc.j["textures"][tinfo["index"]]
+        src = tex.get("source")
+        return texture_of_image(src) if src is not None else -1
+
+    return Material(
+        material_type=MaterialType.PRINCIPLED,
+        diffuse=tuple(base[:3]),
+        diffuse_texture_id=tex_id(pbr.get("baseColorTexture")),
+        roughness=float(pbr.get("roughnessFactor", 1.0)),
+        metallic=float(pbr.get("metallicFactor", 1.0)),
+        roughness_texture_id=tex_id(pbr.get("metallicRoughnessTexture")),
+        emissive=tuple(m.get("emissiveFactor", [0, 0, 0])),
+        emissive_texture_id=tex_id(m.get("emissiveTexture")),
+        normal_texture_id=tex_id(m.get("normalTexture")),
+    )
+
+
+def load_gltf(path: str):
+    """Load a .gltf/.glb file.
+
+    Returns (meshes, textures, cameras, point_lights):
+      meshes: list[Mesh], one per primitive occurrence (node x primitive),
+              with node transforms baked to world space;
+      textures: list[np.ndarray] RGBA8, indexed by material texture ids;
+      cameras: list[Camera] (world-posed perspective cameras);
+      point_lights: list[PointLight] from KHR_lights_punctual.
+    """
+    doc = _GltfDoc(path)
+    j = doc.j
+
+    textures: List[np.ndarray] = []
+    image_to_texture = {}
+
+    def texture_of_image(image_idx: int) -> int:
+        if image_idx in image_to_texture:
+            return image_to_texture[image_idx]
+        rgba = doc.image_rgba(image_idx)
+        tid = -1
+        if rgba is not None:
+            tid = len(textures)
+            textures.append(rgba)
+        image_to_texture[image_idx] = tid
+        return tid
+
+    meshes: List[Mesh] = []
+    cameras: List[Camera] = []
+    point_lights: List[PointLight] = []
+
+    ext_lights = (
+        j.get("extensions", {}).get("KHR_lights_punctual", {}).get("lights", [])
+    )
+
+    def visit(node_idx: int, parent: np.ndarray):
+        node = j["nodes"][node_idx]
+        world = parent @ _node_matrix(node)
+
+        if "mesh" in node:
+            gmesh = j["meshes"][node["mesh"]]
+            for prim in gmesh.get("primitives", []):
+                if prim.get("mode", 4) != 4:  # TRIANGLES only
+                    continue
+                attrs = prim["attributes"]
+                pos = doc.accessor(attrs["POSITION"]).astype(np.float32)
+                pos_w = pos @ world[:3, :3].T + world[:3, 3]
+                nrm = None
+                if "NORMAL" in attrs:
+                    n = doc.accessor(attrs["NORMAL"]).astype(np.float32)
+                    lin_it = np.linalg.inv(world[:3, :3]).T
+                    nw = n @ lin_it.T
+                    nw /= np.maximum(
+                        np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20
+                    )
+                    nrm = nw.astype(np.float32)
+                uv = (
+                    doc.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
+                    if "TEXCOORD_0" in attrs else None
+                )
+                if uv is not None:
+                    # glTF uv origin is top-left; flipped textures expect
+                    # bottom-left (matches the OBJ/stbi convention)
+                    uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)
+                if "indices" in prim:
+                    idx = doc.accessor(prim["indices"]).reshape(-1)
+                    idx = idx.astype(np.int32).reshape(-1, 3)
+                else:
+                    idx = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
+                material = _material_from_gltf(
+                    doc, prim.get("material"), texture_of_image
+                )
+                mesh = Mesh(
+                    vertices=pos_w[None],
+                    indices=idx,
+                    normals=None if nrm is None else nrm[None],
+                    texcoords=uv,
+                    material=material,
+                )
+                if nrm is None:
+                    mesh = mesh.with_computed_normals()
+                meshes.append(mesh)
+
+        if "camera" in node:
+            cam = j["cameras"][node["camera"]]
+            if cam.get("type") == "perspective":
+                import math as _math
+
+                p = cam["perspective"]
+                eye = world[:3, 3]
+                fwd = -world[:3, 2]  # glTF cameras look down -z
+                up = world[:3, 1]
+                cameras.append(Camera(
+                    eye=tuple(eye.tolist()),
+                    lookat=tuple((eye + fwd).tolist()),
+                    up=tuple(up.tolist()),
+                    fov_y=_math.degrees(p.get("yfov", 0.8)),
+                    aspect_ratio=float(p.get("aspectRatio", 1.0)),
+                ))
+
+        light_idx = (
+            node.get("extensions", {})
+            .get("KHR_lights_punctual", {})
+            .get("light")
+        )
+        if light_idx is not None and light_idx < len(ext_lights):
+            li = ext_lights[light_idx]
+            if li.get("type") == "point":
+                point_lights.append(PointLight(
+                    position=tuple(world[:3, 3].tolist()),
+                    color=tuple(li.get("color", [1, 1, 1])),
+                    intensity=float(li.get("intensity", 1.0)),
+                ))
+
+        for child in node.get("children", []):
+            visit(child, world)
+
+    scene_idx = j.get("scene", 0)
+    scenes = j.get("scenes", [{}])
+    roots = scenes[scene_idx].get("nodes", []) if scenes else []
+    identity = np.eye(4, dtype=np.float32)
+    for r in roots:
+        visit(r, identity)
+    if not roots:  # no scene graph: visit every non-child node as a root
+        all_children = {
+            c for n in j.get("nodes", []) for c in n.get("children", [])
+        }
+        for i in range(len(j.get("nodes", []))):
+            if i not in all_children:
+                visit(i, identity)
+
+    return meshes, textures, cameras, point_lights

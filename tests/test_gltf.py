@@ -1,0 +1,146 @@
+"""GLTF loader + GGX direct-lighting renderer tests (legacy whitted stack
+parity, SURVEY.md S2.4/S3.4)."""
+import base64
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from rendertoy3c_tpu.io.gltf import PointLight, load_gltf
+from rendertoy3c_tpu.integrate.config import RenderConfig
+from rendertoy3c_tpu.integrate.direct import render_direct
+from rendertoy3c_tpu.scene.builtin import cornell_box
+from rendertoy3c_tpu.scene.camera import Camera
+from rendertoy3c_tpu.scene.material import MaterialType
+from rendertoy3c_tpu.scene.scene import build_scene
+
+
+def _quad_gltf(tmp_path, glb=False):
+    """Two-triangle quad with normals/uvs, a perspective camera and a point
+    light, positions in an embedded buffer."""
+    pos = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32)
+    nrm = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    buf = pos.tobytes() + nrm.tobytes() + uv.tobytes() + idx.tobytes()
+    j = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1, 2]}],
+        "nodes": [
+            {"mesh": 0, "translation": [0, 0, 0]},
+            {"camera": 0, "translation": [0, 2, 4]},
+            {"extensions": {"KHR_lights_punctual": {"light": 0}},
+             "translation": [0, 3, 0]},
+        ],
+        "extensions": {"KHR_lights_punctual": {"lights": [
+            {"type": "point", "color": [1, 0.9, 0.8], "intensity": 20.0},
+        ]}},
+        "cameras": [{"type": "perspective",
+                     "perspective": {"yfov": 0.7, "aspectRatio": 1.0}}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3, "material": 0,
+        }]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.8, 0.2, 0.2, 1.0],
+            "metallicFactor": 0.1, "roughnessFactor": 0.6,
+        }, "emissiveFactor": [0.0, 0.0, 0.0]}],
+        "buffers": [{"byteLength": len(buf)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 128, "byteLength": 12},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+    }
+    if glb:
+        jj = json.dumps(j).encode()
+        jj += b" " * (-len(jj) % 4)
+        bin_c = buf + b"\x00" * (-len(buf) % 4)
+        body = (
+            struct.pack("<II", len(jj), 0x4E4F534A) + jj
+            + struct.pack("<II", len(bin_c), 0x004E4942) + bin_c
+        )
+        data = struct.pack("<III", 0x46546C67, 2, 12 + len(body)) + body
+        path = tmp_path / "scene.glb"
+        path.write_bytes(data)
+    else:
+        j["buffers"][0]["uri"] = (
+            "data:application/octet-stream;base64,"
+            + base64.b64encode(buf).decode()
+        )
+        path = tmp_path / "scene.gltf"
+        path.write_text(json.dumps(j))
+    return str(path)
+
+
+@pytest.mark.parametrize("glb", [False, True])
+def test_load_gltf_quad(tmp_path, glb):
+    meshes, textures, cameras, lights = load_gltf(_quad_gltf(tmp_path, glb))
+    assert len(meshes) == 1
+    m = meshes[0]
+    assert m.num_faces == 2
+    assert m.vertices.shape == (1, 4, 3)
+    assert m.material.material_type == MaterialType.PRINCIPLED
+    np.testing.assert_allclose(m.material.diffuse, (0.8, 0.2, 0.2))
+    assert m.material.roughness == 0.6
+    assert len(cameras) == 1
+    np.testing.assert_allclose(cameras[0].eye, (0, 2, 4))
+    assert len(lights) == 1
+    np.testing.assert_allclose(lights[0].position, (0, 3, 0))
+    assert lights[0].intensity == 20.0
+
+
+def test_gltf_node_transform(tmp_path):
+    path = _quad_gltf(tmp_path)
+    j = json.loads(open(path).read())
+    j["nodes"][0]["translation"] = [5.0, 0.0, 0.0]
+    j["nodes"][0]["scale"] = [2.0, 2.0, 2.0]
+    open(path, "w").write(json.dumps(j))
+    meshes, _, _, _ = load_gltf(path)
+    v = meshes[0].vertices[0]
+    np.testing.assert_allclose(v[0], [3.0, 0.0, -2.0], atol=1e-6)
+
+
+def test_gltf_render_direct(tmp_path):
+    meshes, textures, cameras, lights = load_gltf(_quad_gltf(tmp_path))
+    scene = build_scene(meshes, textures=textures or None)
+    cam = cameras[0]
+    cam.lookat = (0, 0, 0)
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       ray_block=576)
+    film, stats = render_direct(
+        scene, cam.params(), cfg, point_lights=lights,
+        ambient=(0.1, 0.1, 0.1), subframes=1,
+    )
+    img = np.asarray(film.accum)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05  # lit quad visible
+    assert int(stats.shadow_rays) > 0
+
+
+def test_direct_shadowing():
+    """A box between light and floor must darken the floor beneath it."""
+    meshes, camera = cornell_box(with_blocks=True)
+    scene = build_scene(meshes)
+    light = PointLight(position=(0.0, 1.9, 0.0), intensity=6.0)
+    cfg = RenderConfig(width=32, height=32, samples_per_launch=1,
+                       ray_block=1024)
+    film, _ = render_direct(
+        scene, camera.params(), cfg, point_lights=[light],
+        ambient=(0.0, 0.0, 0.0), subframes=1,
+    )
+    img = np.asarray(film.accum)
+    assert np.isfinite(img).all()
+    lum = img.mean(axis=-1)
+    assert lum.max() > 0.05
+    assert (lum == 0).any()  # fully shadowed texels exist with no ambient
