@@ -77,18 +77,37 @@ def _tri_aabbs(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
 
 def build_bvh8(
     v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-    num_faces: int, max_leaf: int = 8,
+    num_faces: int, max_leaf: int = 8, use_native: bool = True,
 ) -> Tuple[np.ndarray, BVH8]:
     """Build over faces [0, num_faces) of [K, F, 3] slabs.
 
     Returns (perm, bvh): perm is the Morton ordering to apply to the face
     axis (length num_faces); leaves reference post-permutation indices.
+
+    Uses the C++ builder (native/lbvh.cc) when available — same Morton
+    scheme and split rule, tight loops instead of per-node Python — with
+    this Python implementation as the fallback/oracle.
     """
     assert 1 <= max_leaf <= MAX_LEAF
     v0 = np.asarray(v0, np.float32)[:, :num_faces]
     e1 = np.asarray(e1, np.float32)[:, :num_faces]
     e2 = np.asarray(e2, np.float32)[:, :num_faces]
     lo, hi = _tri_aabbs(v0, e1, e2)
+
+    if use_native:
+        try:
+            from ..native import native_build_bvh8
+
+            out = native_build_bvh8(lo, hi, max_leaf)
+        except Exception:
+            out = None
+        if out is not None:
+            perm, child_lo, child_hi, child = out
+            return perm, BVH8(
+                child_lo=jnp.asarray(child_lo),
+                child_hi=jnp.asarray(child_hi),
+                child=jnp.asarray(child),
+            )
     centroid = 0.5 * (lo + hi)
     scene_lo = centroid.min(axis=0)
     scene_hi = centroid.max(axis=0)

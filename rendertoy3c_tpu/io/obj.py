@@ -183,18 +183,91 @@ def _load_texture(path: str) -> Optional[np.ndarray]:
         return None
 
 
+def _parse_obj_arrays(path: str):
+    """Parse geometry to flat arrays: the native C++ parser when available
+    (native/objparse.cc via ctypes), the Python parser otherwise.
+
+    Returns (dict(v, vn, vt, face_idx [nf,3,3], face_mat [nf],
+    face_shape [nf], mat_names), materials {name: MtlMaterial}).
+    Material id -1 (no usemtl yet) maps to the unnamed material "".
+    """
+    base_dir = os.path.dirname(os.path.abspath(path))
+
+    nd = None
+    try:
+        from ..native import native_parse_obj
+
+        nd = native_parse_obj(path)
+    except Exception:
+        nd = None
+    if nd is not None:
+        materials: Dict[str, MtlMaterial] = {}
+        for lib in nd["mtllibs"]:
+            materials.update(
+                parse_mtl(os.path.join(base_dir, lib.replace("\\", "/")))
+            )
+        return nd, materials
+
+    data = _parse_obj(path)
+    mat_names: List[str] = []
+    mat_ids: Dict[str, int] = {}
+    fi, fm, fs = [], [], []
+    for shape_i, (_name, faces) in enumerate(data.shapes):
+        for c0, c1, c2, mname in faces:
+            if mname not in mat_ids:
+                mat_ids[mname] = len(mat_names)
+                mat_names.append(mname)
+            fi.append((c0, c1, c2))
+            fm.append(mat_ids[mname])
+            fs.append(shape_i)
+    nf = len(fi)
+    return (
+        dict(
+            v=np.asarray(data.vertices, np.float32).reshape(-1, 3),
+            vn=np.asarray(data.normals, np.float32).reshape(-1, 3),
+            vt=np.asarray(data.texcoords, np.float32).reshape(-1, 2),
+            face_idx=np.asarray(fi, np.int32).reshape(nf, 3, 3),
+            face_mat=np.asarray(fm, np.int32).reshape(nf),
+            face_shape=np.asarray(fs, np.int32).reshape(nf),
+            mat_names=mat_names,
+        ),
+        data.materials,
+    )
+
+
+def _unique_first_appearance(rows: np.ndarray):
+    """np.unique(axis=0) reordered to first appearance.
+
+    Returns (uniq_rows, inverse) with inverse mapping each input row to its
+    slot in uniq_rows — reproducing the reference loader's insertion-order
+    vertex dedup (src/mesh.cpp:13-35)."""
+    _, first_idx, inv = np.unique(
+        rows, axis=0, return_index=True, return_inverse=True
+    )
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return rows[np.sort(first_idx)], rank[inv.reshape(-1)]
+
+
 def load_obj(paths: Sequence[str] | str):
     """Load one or more .obj files (N files = N motion keyframes).
 
     Returns (meshes, textures): a list of scene.Mesh (one per
     shape x material, like the reference) and a list of RGBA8 numpy images
     indexed by the material texture ids.
+
+    Geometry parsing uses the native C++ parser when available; mesh
+    assembly (per-material split + vertex dedup + keyframe stacking) is
+    vectorized numpy either way.
     """
     if isinstance(paths, str):
         paths = [paths]
     key_frames = len(paths)
-    objs = [_parse_obj(p) for p in paths]
+    parsed = [_parse_obj_arrays(p) for p in paths]
+    objs = [p[0] for p in parsed]
     base = objs[0]
+    materials_by_name = parsed[0][1]
     model_dir = os.path.dirname(os.path.abspath(paths[0]))
 
     textures: List[np.ndarray] = []
@@ -216,49 +289,48 @@ def load_obj(paths: Sequence[str] | str):
         return tid
 
     meshes: List[Mesh] = []
-    for shape_i, (shape_name, faces) in enumerate(base.shapes):
-        mat_names = sorted({f[3] for f in faces})
-        for mat_name in mat_names:
-            known_vertices: Dict[Tuple[int, int, int], int] = {}
-            verts = [[] for _ in range(key_frames)]
-            norms = [[] for _ in range(key_frames)]
-            uvs: List[Tuple[float, float]] = []
-            indices: List[Tuple[int, int, int]] = []
-            has_normals = False
-            has_uvs = False
+    face_idx = base["face_idx"]
+    face_mat = base["face_mat"]
+    face_shape = base["face_shape"]
+    mat_name_of = dict(enumerate(base["mat_names"]))
+    mat_name_of[-1] = ""
 
-            def add_vertex(corner):
-                nonlocal has_normals, has_uvs
-                if corner in known_vertices:
-                    return known_vertices[corner]
-                idx = len(verts[0])
-                known_vertices[corner] = idx
-                vi, ti, ni = corner
-                for k in range(key_frames):
-                    ok = objs[k]
-                    verts[k].append(ok.vertices[vi])
-                    if ni >= 0:
-                        norms[k].append(ok.normals[ni])
-                    else:
-                        norms[k].append((0.0, 0.0, 0.0))
-                if ni >= 0:
-                    has_normals = True
-                if ti >= 0:
-                    has_uvs = True
-                    uvs.append(base.texcoords[ti])
-                else:
-                    uvs.append((0.0, 0.0))
-                return idx
-
-            for c0, c1, c2, mname in faces:
-                if mname != mat_name:
-                    continue
-                indices.append((add_vertex(c0), add_vertex(c1), add_vertex(c2)))
-
-            if not indices:
+    for shape_i in np.unique(face_shape):
+        in_shape = face_shape == shape_i
+        mats_here = sorted(
+            {mat_name_of[int(m)] for m in np.unique(face_mat[in_shape])}
+        )
+        for mat_name in mats_here:
+            mat_id = next(
+                mid for mid, nm in mat_name_of.items() if nm == mat_name
+            )
+            mask = in_shape & (face_mat == mat_id)
+            if not mask.any():
                 continue
+            corners = face_idx[mask].reshape(-1, 3)  # [3k, (v,t,n)]
+            uniq, inverse = _unique_first_appearance(corners)
+            indices = inverse.reshape(-1, 3)
+            vi = uniq[:, 0]
+            ti = uniq[:, 1]
+            ni = uniq[:, 2]
+            has_normals = bool((ni >= 0).any())
+            has_uvs = bool((ti >= 0).any())
 
-            mtl = base.materials.get(mat_name, MtlMaterial(name=mat_name))
+            verts = [objs[k]["v"][vi] for k in range(key_frames)]
+            norms = []
+            for k in range(key_frames):
+                vn = objs[k]["vn"]
+                nk = np.zeros((len(uniq), 3), np.float32)
+                if len(vn) and has_normals:
+                    ok_n = ni >= 0
+                    nk[ok_n] = vn[ni[ok_n]]
+                norms.append(nk)
+            uvs = np.zeros((len(uniq), 2), np.float32)
+            if len(base["vt"]) and has_uvs:
+                ok_t = ti >= 0
+                uvs[ok_t] = base["vt"][ti[ok_t]]
+
+            mtl = materials_by_name.get(mat_name, MtlMaterial(name=mat_name))
             material = Material(
                 diffuse=mtl.diffuse,
                 diffuse_texture_id=texture_id(mtl.diffuse_texname),
