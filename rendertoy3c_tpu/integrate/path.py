@@ -91,6 +91,11 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
     # record pointers (cuda_scene.h:78-81 point at the concatenated buffer
     # base = key 0).
     ng = normalize(w0 * g.n0[0, prim] + w1 * g.n1[0, prim] + w2 * g.n2[0, prim])
+    if hit.inst is not None:
+        # Two-level AS: object-space normal -> world via the instance's
+        # inverse-transpose (key 0, matching the shading-attribute key).
+        it = scene.instances.inv_t[jnp.maximum(hit.inst, 0), 0]
+        ng = normalize(jnp.einsum("rij,rj->ri", it, ng))
     texcoord = w0 * g.uv0[prim] + w1 * g.uv1[prim] + w2 * g.uv2[prim]
     ns = faceforward(ng, -direction, ng)
     p = org + hit.t[:, None] * direction

@@ -38,6 +38,9 @@ class Hit(NamedTuple):
     prim: jnp.ndarray  # [R] i32 primitive index, -1 on miss
     u: jnp.ndarray  # [R] f32 barycentric
     v: jnp.ndarray  # [R] f32 barycentric
+    # instance index (two-level AS tracers only; None on single-level paths,
+    # mirroring optixGetInstanceId being meaningful only under an IAS)
+    inst: jnp.ndarray = None
 
     @property
     def mask(self) -> jnp.ndarray:

@@ -76,24 +76,19 @@ def build_tri_soup(geom, key: int = 0) -> TriSoup:
     return TriSoup(tris=jnp.asarray(np.ascontiguousarray(tiled)), num_faces=f)
 
 
-def _mt_test(rays_ref, tile, k):
-    """One [RT, CT] Moller-Trumbore test block.
+def _mt_test_cols(cols, tile, prim_base):
+    """One [RT, CT] Moller-Trumbore test block over ray component columns.
 
-    rays_ref [RT, 8]; tile [9, CT] (a value, not a ref); k = tri-tile index.
+    cols = (ox..oz, dx..dz, tmin, tmax), each [RT, 1]; tile [9, CT] (a
+    value); prim_base = scalar id of the tile's first triangle.
     Returns (t, u, v, hit, prim_f) each [RT, CT] (prim_f float32 ids).
     """
-    rt = rays_ref.shape[0]
+    ox, oy, oz, dx, dy, dz, tmin, tmax = cols
+    rt = ox.shape[0]
     ct = tile.shape[1]
-
-    def rcol(c):  # ray component -> [RT, 1]
-        return rays_ref[:, c:c + 1]
 
     def trow(c):  # tri component -> [1, CT]
         return tile[c:c + 1, :]
-
-    ox, oy, oz = rcol(0), rcol(1), rcol(2)
-    dx, dy, dz = rcol(3), rcol(4), rcol(5)
-    tmin, tmax = rcol(6), rcol(7)
     v0x, v0y, v0z = trow(0), trow(1), trow(2)
     e1x, e1y, e1z = trow(3), trow(4), trow(5)
     e2x, e2y, e2z = trow(6), trow(7), trow(8)
@@ -121,10 +116,20 @@ def _mt_test(rays_ref, tile, k):
         & (t > tmin) & (t < tmax)
     )
     prim_f = (
-        (k * TRI_TILE).astype(jnp.float32)
+        prim_base.astype(jnp.float32)
         + jax.lax.broadcasted_iota(jnp.int32, (rt, ct), 1).astype(jnp.float32)
     )
     return t, u, v, hit, prim_f
+
+
+def _ray_cols(rays_ref):
+    """Slice a [RT, 8] ray block into its component columns."""
+    return tuple(rays_ref[:, c:c + 1] for c in range(8))
+
+
+def _mt_test(rays_ref, tile, k):
+    """Back-compat wrapper: [RT,8] ray block vs tri tile k."""
+    return _mt_test_cols(_ray_cols(rays_ref), tile, k * TRI_TILE)
 
 
 def _closest_kernel(count_ref, rays_ref, tris_ref, out_ref):
