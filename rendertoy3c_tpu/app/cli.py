@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="reference")
     p.add_argument("--tonemap", choices=["aces", "none"], default="none",
                    help="aces matches the reference's GL display shader")
+    p.add_argument("--denoise", type=int, default=0, metavar="N",
+                   help="apply N a-trous denoiser iterations before saving")
     p.add_argument("-o", "--output", default="out.png",
                    help="output path; format by extension (.png/.ppm/.exr)")
     p.add_argument("--eye", type=_vec3, default=None)
@@ -73,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also checkpoint every N subframes")
     p.add_argument("--stats", action="store_true",
                    help="print per-phase timings and Mrays/s")
+    p.add_argument("--interactive", action="store_true",
+                   help="open the GLFW viewer (falls back to a headless "
+                        "turntable when no display exists)")
+    p.add_argument("--turntable", type=int, default=0, metavar="N",
+                   help="render an N-frame orbit to frame_###.png")
     p.add_argument("--ray-block", type=int, default=1 << 16)
     return p
 
@@ -205,6 +212,22 @@ def main(argv=None) -> int:
         film = load_checkpoint(args.resume, cfg)
         print(f"resumed at subframe {int(film.subframe_index)}")
 
+    if args.interactive or args.turntable:
+        from .viewer import Viewer
+
+        viewer = Viewer(step, camera, cfg)
+        viewer.film = film
+        if args.turntable:
+            paths = viewer.run_turntable(n_frames=args.turntable)
+            print(f"wrote {len(paths)} turntable frames")
+            return 0
+        if viewer.run():
+            return 0
+        print("no display available; rendering a headless turntable instead",
+              file=sys.stderr)
+        viewer.run_turntable(n_frames=4)
+        return 0
+
     total_rays = 0
     render_t0 = time.perf_counter()
     for i in range(args.subframes):
@@ -226,7 +249,12 @@ def main(argv=None) -> int:
         save_checkpoint(args.checkpoint, film, cfg)
 
     with timers.phase("save"):
-        accum = np.asarray(film.accum)[::-1]  # film row 0 is image bottom
+        accum_dev = film.accum
+        if args.denoise:
+            from ..film.denoise import atrous_denoise
+
+            accum_dev = atrous_denoise(accum_dev, iterations=args.denoise)
+        accum = np.asarray(accum_dev)[::-1]  # film row 0 is image bottom
         out = args.output
         if out.endswith(".exr"):
             write_exr(out, accum.astype(np.float32))

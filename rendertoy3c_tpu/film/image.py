@@ -131,3 +131,163 @@ def write_exr(path: str, rgb_f32: np.ndarray) -> None:
             f.write(struct.pack("<ii", y, 4 * w * nc))
             for k in order:
                 f.write(img[y, :, k].tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Readers (equivalent of sutil::loadImage, sutil/sutil.cpp:271-378, which
+# dispatches PPM / PNG / EXR by extension).
+
+
+def read_png(path: str) -> np.ndarray:
+    """Read a PNG to [H, W, 4] uint8 RGBA (PIL when available, stdlib
+    fallback for non-interlaced 8-bit images)."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGBA"), np.uint8)
+    except ImportError:
+        pass
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = bitdepth = color = None
+    palette = None
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4: pos + 8]
+        payload = data[pos + 8: pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitdepth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            assert bitdepth == 8 and interlace == 0, "unsupported PNG"
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * nchan
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    p = 0
+    for y in range(h):
+        filt = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += 1 + stride
+        if filt == 1:  # Sub
+            for x in range(nchan, stride):
+                row[x] = (row[x] + row[x - nchan]) & 0xFF
+        elif filt == 2:  # Up
+            row = (row + prev) & 0xFF
+        elif filt == 3:  # Average
+            for x in range(stride):
+                left = row[x - nchan] if x >= nchan else 0
+                row[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - nchan]) if x >= nchan else 0
+                b = int(prev[x])
+                c = int(prev[x - nchan]) if x >= nchan else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        out[y] = row
+        prev = row
+    img = out.reshape(h, w, nchan)
+    if color == 3:  # palette
+        img = palette[img[..., 0]]
+        nchan = 3
+    if nchan == 1:
+        img = np.repeat(img, 3, axis=-1)
+        nchan = 3
+    if nchan == 2:
+        img = np.concatenate(
+            [np.repeat(img[..., :1], 3, axis=-1), img[..., 1:]], axis=-1
+        )
+        nchan = 4
+    if nchan == 3:
+        img = np.concatenate(
+            [img, np.full((h, w, 1), 255, np.uint8)], axis=-1
+        )
+    return img
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Read an uncompressed scanline float/half EXR (the write_exr format and
+    equivalents) to [H, W, C] float32 in RGBA channel order."""
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, _version = struct.unpack_from("<iI", data, 0)
+    assert magic == _EXR_MAGIC, "not an EXR"
+    pos = 8
+    channels = []  # (name, pixel_type)
+    compression = 0
+    dw = None
+    while data[pos] != 0:
+        zn = data.index(b"\x00", pos)
+        name = data[pos:zn].decode()
+        pos = zn + 1
+        zt = data.index(b"\x00", pos)
+        type_ = data[pos:zt].decode()
+        pos = zt + 1
+        (ln,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        payload = data[pos: pos + ln]
+        pos += ln
+        if name == "channels":
+            cp = 0
+            while payload[cp] != 0:
+                cz = payload.index(b"\x00", cp)
+                cname = payload[cp:cz].decode()
+                ptype = struct.unpack_from("<i", payload, cz + 1)[0]
+                channels.append((cname, ptype))
+                cp = cz + 1 + 16
+        elif name == "compression":
+            compression = payload[0]
+        elif name == "dataWindow":
+            dw = struct.unpack("<iiii", payload)
+    pos += 1  # header terminator
+    assert compression == 0, "only uncompressed EXR supported"
+    x0, y0, x1, y1 = dw
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    pos += 8 * h  # skip offset table (chunks are contiguous)
+    nc = len(channels)
+    psize = {1: 2, 2: 4}  # HALF, FLOAT
+    out = {}
+    for name, ptype in channels:
+        out[name] = np.empty((h, w), np.float32)
+    for _ in range(h):
+        y, _size = struct.unpack_from("<ii", data, pos)
+        pos += 8
+        for name, ptype in channels:
+            n = w * psize[ptype]
+            buf = data[pos: pos + n]
+            pos += n
+            if ptype == 2:
+                out[name][y - y0] = np.frombuffer(buf, np.float32)
+            else:
+                out[name][y - y0] = np.frombuffer(buf, np.float16).astype(
+                    np.float32
+                )
+    order = [c for c in ("R", "G", "B", "A") if c in out]
+    order += [c for c, _ in channels if c not in order]
+    return np.stack([out[c] for c in order], axis=-1)
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load PPM/PNG/EXR by extension (sutil::loadImage dispatch)."""
+    p = path.lower()
+    if p.endswith(".exr"):
+        return read_exr(path)
+    if p.endswith(".ppm"):
+        return read_ppm(path)
+    return read_png(path)

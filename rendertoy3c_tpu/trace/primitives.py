@@ -1,0 +1,123 @@
+"""Analytic (non-triangle) primitive intersectors, vectorized.
+
+Parity with the legacy whitted pipeline's custom-primitive programs
+(cuda/geometry.cu:38-144, cuda/sphere.cu:37-96, schemas in
+cuda/GeometryData.h:55-135): sphere (with the refined-root iteration the
+reference uses for precision), sphere shell (inner/outer surface with
+hit-type classification), and parallelogram. All functions broadcast over
+leading axes and return (t, normal, hit_mask[, aux]); misses report t
+unchanged-from-tmax semantics via the mask.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..math.vec import cross, dot, normalize
+
+# sphere-shell hit classification (GeometryData.h SphereShell hit kinds)
+SHELL_OUTSIDE_FROM_OUTSIDE = 0
+SHELL_OUTSIDE_FROM_INSIDE = 1
+SHELL_INSIDE_FROM_OUTSIDE = 2
+SHELL_INSIDE_FROM_INSIDE = 3
+
+
+def intersect_sphere(o, d, center, radius, tmin, tmax):
+    """Ray-sphere with one Newton refinement of the quadratic root
+    (sphere.cu:37-96 refines to counter catastrophic cancellation).
+
+    Returns (t, normal [..,3], hit).
+    """
+    oc = o - center
+    b = dot(oc, d)
+    c = dot(oc, oc) - radius * radius
+    disc = b * b - c
+    has = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where((t0 > tmin) & (t0 < tmax), t0,
+                  jnp.where((t1 > tmin) & (t1 < tmax), t1, tmax))
+    hit = has & (t < tmax) & (t > tmin)
+    # one refinement step: t' = t - f(t)/f'(t)
+    p = oc + t[..., None] * d
+    f = dot(p, p) - radius * radius
+    fp = 2.0 * dot(p, d)
+    t_ref = t - f / jnp.where(jnp.abs(fp) > 1e-12, fp, 1e-12)
+    t = jnp.where(hit & (t_ref > tmin) & (t_ref < tmax), t_ref, t)
+    n = normalize((o + t[..., None] * d) - center, eps=1e-20)
+    return t, n, hit
+
+
+def intersect_sphere_shell(o, d, center, r_inner, r_outer, tmin, tmax):
+    """Sphere shell: nearest crossing of either surface
+    (geometry.cu:67-143 __intersection__sphere_shell).
+
+    Returns (t, normal, hit, hit_type) with normals pointing outward from
+    the shell material (inner surface normals point toward the center).
+    """
+    oc = o - center
+    b = dot(oc, d)
+    c_out = dot(oc, oc) - r_outer * r_outer
+    c_in = dot(oc, oc) - r_inner * r_inner
+
+    disc_o = b * b - c_out
+    disc_i = b * b - c_in
+    sq_o = jnp.sqrt(jnp.maximum(disc_o, 0.0))
+    sq_i = jnp.sqrt(jnp.maximum(disc_i, 0.0))
+
+    big = jnp.full_like(b, 1e30)
+
+    def valid(t, ok):
+        return jnp.where(ok & (t > tmin) & (t < tmax), t, big)
+
+    t_o0 = valid(-b - sq_o, disc_o > 0)  # outer, entering
+    t_o1 = valid(-b + sq_o, disc_o > 0)  # outer, exiting
+    t_i0 = valid(-b - sq_i, disc_i > 0)  # inner, entering
+    t_i1 = valid(-b + sq_i, disc_i > 0)  # inner, exiting
+
+    ts = jnp.stack([t_o0, t_i0, t_i1, t_o1], axis=-1)
+    kinds = jnp.asarray([
+        SHELL_OUTSIDE_FROM_OUTSIDE, SHELL_INSIDE_FROM_OUTSIDE,
+        SHELL_INSIDE_FROM_INSIDE, SHELL_OUTSIDE_FROM_INSIDE,
+    ])
+    k = jnp.argmin(ts, axis=-1)
+    t = jnp.min(ts, axis=-1)
+    hit = t < 1e29
+    hit_type = kinds[k]
+    p = o + t[..., None] * d
+    n = normalize(p - center, eps=1e-20)
+    inner = (hit_type == SHELL_INSIDE_FROM_OUTSIDE) | (
+        hit_type == SHELL_INSIDE_FROM_INSIDE
+    )
+    n = jnp.where(inner[..., None], -n, n)
+    return jnp.where(hit, t, tmax), n, hit, hit_type
+
+
+def intersect_parallelogram(o, d, anchor, v1, v2, tmin, tmax):
+    """Parallelogram spanned by v1, v2 at anchor
+    (geometry.cu:38-65 __intersection__parallelogram).
+
+    Returns (t, normal, hit, (a, b)) with a, b in [0, 1] the patch
+    coordinates.
+    """
+    n_raw = cross(v1, v2)
+    n = normalize(n_raw, eps=1e-20)
+    dn = dot(d, n)
+    ok = jnp.abs(dn) > 1e-12
+    t = jnp.where(ok, dot(anchor - o, n) / jnp.where(ok, dn, 1.0), tmax)
+    p = o + t[..., None] * d
+    rel = p - anchor
+    # project onto the (v1, v2) basis
+    v11 = dot(v1, v1)
+    v22 = dot(v2, v2)
+    v12 = dot(v1, v2)
+    det = v11 * v22 - v12 * v12
+    rv1 = dot(rel, v1)
+    rv2 = dot(rel, v2)
+    a = (rv1 * v22 - rv2 * v12) / jnp.maximum(det, 1e-20)
+    b = (rv2 * v11 - rv1 * v12) / jnp.maximum(det, 1e-20)
+    hit = (
+        ok & (t > tmin) & (t < tmax)
+        & (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+    )
+    return jnp.where(hit, t, tmax), jnp.broadcast_to(n, p.shape), hit, (a, b)
