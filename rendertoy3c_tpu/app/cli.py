@@ -171,7 +171,7 @@ def main(argv=None) -> int:
             import jax as _jax
 
             on_tpu = _jax.devices()[0].platform == "tpu"
-            tracer_kind = "pallas" if (on_tpu and scene.num_keys == 1) else "brute"
+            tracer_kind = "pallas" if (on_tpu and scene.num_keys <= 2) else "brute"
         if tracer_kind == "pallas":
             from ..trace.pallas_mt import make_pallas_mt_tracer
 

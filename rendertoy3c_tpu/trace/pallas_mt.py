@@ -275,20 +275,43 @@ def trace_any_mt(soup: TriSoup, o, d, tmin, tmax, *, count=None,
 
 
 def make_pallas_mt_tracer(scene, interpret: bool | None = None):
-    """(closest, any) tracer over the fused kernels. Static scenes only —
-    animated scenes (num_keys > 1) fall back to the jnp brute-force path
-    which lerps vertices per-ray.
+    """(closest, any) tracer over the fused kernels.
+
+    Static scenes use the base kernels; 2-key scenes (the reference's motion
+    format) use the in-kernel time-lerp variants. >2-key scenes fall back to
+    the jnp brute-force path, whose piecewise key selection is
+    data-dependent.
 
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere
     (the Mosaic kernels only compile for TPU)."""
-    if scene.num_keys != 1:
-        raise ValueError("pallas MT tracer supports static scenes only")
+    if scene.num_keys > 2:
+        raise ValueError(
+            "pallas MT tracer supports <= 2 motion keys; use the jnp tracer"
+        )
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     # Exclude padding by building the soup only over real faces; the soup
     # re-pads to TRI_TILE with all-zero (unhittable) triangles.
     soup = build_tri_soup(scene.geom)
     soup = TriSoup(tris=soup.tris, num_faces=scene.num_faces)
+
+    if scene.num_keys == 2:
+        soup1 = build_tri_soup(scene.geom, key=1)
+        soup1 = TriSoup(tris=soup1.tris, num_faces=scene.num_faces)
+
+        def closest(o, d, tmin, tmax, time, count=None):
+            return trace_closest_mt_motion(
+                soup, soup1, o, d, tmin, tmax, time, count=count,
+                interpret=interpret,
+            )
+
+        def any_hit(o, d, tmin, tmax, time, count=None):
+            return trace_any_mt_motion(
+                soup, soup1, o, d, tmin, tmax, time, count=count,
+                interpret=interpret,
+            )
+
+        return closest, any_hit
 
     def closest(o, d, tmin, tmax, time, count=None):
         del time
@@ -303,3 +326,205 @@ def make_pallas_mt_tracer(scene, interpret: bool | None = None):
         )
 
     return closest, any_hit
+
+
+# ---------------------------------------------------------------------------
+# Motion-blur variants: 2-key scenes (the reference's matrix/vertex motion is
+# 2-key, cuda_accel.h:38-73) lerp triangle data to each ray's time inside the
+# kernel — v0/e1/e2 are linear in the keyed vertices so the lerp is exact
+# (shader_common.h:64 per-ray rayTime). Scenes with >2 keys use the jnp
+# brute-force tracer, whose piecewise-key selection is data-dependent.
+
+MOTION_RAY_TILE = 128  # lerped [RT, CT] tri components raise VMEM pressure
+
+
+def _mt_test_motion(cols, tcol, tile0, tile1, prim_base):
+    """[RT, CT] MT test with per-ray time-lerped triangles.
+
+    cols as in _mt_test_cols; tcol [RT, 1]; tile0/tile1 [9, CT]."""
+    ox, oy, oz, dx, dy, dz, tmin, tmax = cols
+    rt = ox.shape[0]
+    ct = tile0.shape[1]
+
+    def trow(c):  # [RT, CT] lerped component
+        r0 = tile0[c:c + 1, :]
+        r1 = tile1[c:c + 1, :]
+        return r0 + (r1 - r0) * tcol
+
+    v0x, v0y, v0z = trow(0), trow(1), trow(2)
+    e1x, e1y, e1z = trow(3), trow(4), trow(5)
+    e2x, e2y, e2z = trow(6), trow(7), trow(8)
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        (jnp.abs(det) > _DET_EPS)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > tmin) & (t < tmax)
+    )
+    prim_f = (
+        prim_base.astype(jnp.float32)
+        + jax.lax.broadcasted_iota(jnp.int32, (rt, ct), 1).astype(jnp.float32)
+    )
+    return t, u, v, hit, prim_f
+
+
+def _closest_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref,
+                           tris1_ref, out_ref):
+    i = pl.program_id(0)
+    rt = rays_ref.shape[0]
+    tcol = time_ref[:, 0:1]
+    cols = _ray_cols(rays_ref)
+    init = (
+        rays_ref[:, 7:8],
+        jnp.full((rt, 1), -1.0, jnp.float32),
+        jnp.zeros((rt, 1), jnp.float32),
+        jnp.zeros((rt, 1), jnp.float32),
+    )
+
+    def sweep(k, carry):
+        best_t, best_prim, best_u, best_v = carry
+        c = cols[:7] + (best_t,)
+        t, u, v, hit, prim_f = _mt_test_motion(
+            c, tcol, tris0_ref[k], tris1_ref[k], k * TRI_TILE
+        )
+        t = jnp.where(hit, t, _BIG)
+        t_c = jnp.min(t, axis=1, keepdims=True)
+        at_min = t <= t_c
+        prim_c = jnp.min(jnp.where(at_min, prim_f, _BIG), axis=1, keepdims=True)
+        one = at_min & (prim_f == prim_c)
+        u_c = jnp.sum(jnp.where(one, u, 0.0), axis=1, keepdims=True)
+        v_c = jnp.sum(jnp.where(one, v, 0.0), axis=1, keepdims=True)
+        better = t_c < best_t
+        return (
+            jnp.where(better, t_c, best_t),
+            jnp.where(better, prim_c, best_prim),
+            jnp.where(better, u_c, best_u),
+            jnp.where(better, v_c, best_v),
+        )
+
+    live = i * MOTION_RAY_TILE < count_ref[0]
+    n_tiles = tris0_ref.shape[0]
+    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
+        0, jnp.where(live, n_tiles, 0), sweep, init
+    )
+    out_ref[:, 0:1] = best_t
+    out_ref[:, 1:2] = best_prim
+    out_ref[:, 2:3] = best_u
+    out_ref[:, 3:4] = best_v
+
+
+def _any_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref, tris1_ref,
+                       out_ref):
+    i = pl.program_id(0)
+    rt = rays_ref.shape[0]
+    tcol = time_ref[:, 0:1]
+    cols = _ray_cols(rays_ref)
+
+    def sweep(k, occ):
+        _, _, _, hit, _ = _mt_test_motion(
+            cols, tcol, tris0_ref[k], tris1_ref[k], k * TRI_TILE
+        )
+        return jnp.maximum(occ, jnp.max(hit.astype(jnp.float32), axis=1,
+                                        keepdims=True))
+
+    live = i * MOTION_RAY_TILE < count_ref[0]
+    n_tiles = tris0_ref.shape[0]
+    occ = jax.lax.fori_loop(
+        0, jnp.where(live, n_tiles, 0), sweep,
+        jnp.zeros((rt, 1), jnp.float32),
+    )
+    out_ref[:, 0:1] = occ
+    out_ref[:, 1:4] = jnp.zeros((rt, 3), jnp.float32)
+
+
+def _mt_motion_call(kernel, count, rays, time_col, tris0, tris1, r_pad,
+                    interpret):
+    f_tiles = tris0.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r_pad // MOTION_RAY_TILE,),
+            in_specs=[
+                pl.BlockSpec((MOTION_RAY_TILE, 8), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((MOTION_RAY_TILE, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((MOTION_RAY_TILE, 4), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
+        interpret=interpret,
+    )(count, rays, time_col, tris0, tris1)
+
+
+def _pack_rays_motion(o, d, tmin, tmax, time):
+    r = o.shape[0]
+    r_pad = -(-r // MOTION_RAY_TILE) * MOTION_RAY_TILE
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    time = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (r,))
+    rays = jnp.concatenate(
+        [o, d, tmin[:, None], tmax[:, None]], axis=1
+    ).astype(jnp.float32)
+    tcol = time[:, None]
+    if r_pad != r:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((r_pad - r, 8), jnp.float32)], axis=0
+        )
+        tcol = jnp.concatenate(
+            [tcol, jnp.zeros((r_pad - r, 1), jnp.float32)], axis=0
+        )
+    return rays, tcol, r, r_pad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def trace_closest_mt_motion(soup0: TriSoup, soup1: TriSoup, o, d, tmin, tmax,
+                            time, *, count=None, interpret=False) -> Hit:
+    rays, tcol, r, r_pad = _pack_rays_motion(o, d, tmin, tmax, time)
+    if count is None:
+        count = r
+    count = jnp.asarray(count, jnp.int32).reshape(1)
+    out = _mt_motion_call(_closest_kernel_motion, count, rays, tcol,
+                          soup0.tris, soup1.tris, r_pad, interpret)
+    out = out[:r]
+    t = out[:, 0]
+    prim_f = out[:, 1]
+    valid = (prim_f >= 0.0) & (prim_f < soup0.num_faces) & (t < _BIG)
+    return Hit(
+        t=jnp.where(valid, t,
+                    jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))),
+        prim=jnp.where(valid, prim_f.astype(jnp.int32), -1),
+        u=jnp.where(valid, out[:, 2], 0.0),
+        v=jnp.where(valid, out[:, 3], 0.0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def trace_any_mt_motion(soup0: TriSoup, soup1: TriSoup, o, d, tmin, tmax,
+                        time, *, count=None, interpret=False):
+    rays, tcol, r, r_pad = _pack_rays_motion(o, d, tmin, tmax, time)
+    if count is None:
+        count = r
+    count = jnp.asarray(count, jnp.int32).reshape(1)
+    out = _mt_motion_call(_any_kernel_motion, count, rays, tcol,
+                          soup0.tris, soup1.tris, r_pad, interpret)
+    return out[:r, 0] > 0.0

@@ -101,3 +101,70 @@ def test_nonaligned_ray_count(cornell):
         num_keys=1, num_faces=scene.num_faces, chunk=512,
     )
     np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(ref.prim))
+
+
+def test_motion_matches_bruteforce():
+    """2-key motion kernel vs the jnp lerped brute force."""
+    from rendertoy3c_tpu.scene.mesh import Mesh
+    from rendertoy3c_tpu.scene.material import Material
+
+    v_k0 = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                     [2, 0, 0], [3, 0, 0], [2, 1, 0]], np.float32)
+    v_k1 = v_k0 + np.array([0.5, 0.25, 0.0], np.float32)
+    mesh = Mesh(vertices=np.stack([v_k0, v_k1]),
+                indices=[[0, 1, 2], [3, 4, 5]],
+                material=Material())
+    scene = build_scene([mesh])
+    assert scene.num_keys == 2
+
+    rng = np.random.default_rng(5)
+    n = 200
+    o = jnp.asarray(
+        rng.uniform([-1, -1, 0.5], [4, 2, 2.0], (n, 3)), jnp.float32
+    )
+    d = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    time = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+
+    ref = trace_closest_bruteforce(
+        scene.geom, o, d, 0.001, 100.0, time,
+        num_keys=2, num_faces=scene.num_faces, chunk=512,
+    )
+    closest, any_hit = make_pallas_mt_tracer(scene, interpret=True)
+    got = closest(o, d, 0.001, 100.0, time)
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+
+    ref_a = trace_any_bruteforce(
+        scene.geom, o, d, 0.001, 100.0, time,
+        num_keys=2, num_faces=scene.num_faces, chunk=512,
+    )
+    got_a = any_hit(o, d, 0.001, 100.0, time)
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(ref_a))
+
+
+def test_motion_render_matches_bruteforce():
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+    from rendertoy3c_tpu.scene.builtin import cornell_box
+    from rendertoy3c_tpu.scene.scene import Instance, build_scene as bs
+    import numpy as _np
+
+    meshes, camera = cornell_box(with_blocks=False)
+    # animate the light quad sideways with 2-key instance motion
+    two_key = _np.zeros((2, 3, 4), _np.float32)
+    two_key[:, :, :3] = _np.eye(3)
+    two_key[1, 0, 3] = 0.4
+    instances = [Instance(mesh_index=i) for i in range(len(meshes) - 1)]
+    instances.append(Instance(mesh_index=len(meshes) - 1, transforms=two_key))
+    scene = bs(meshes, instances=instances)
+    assert scene.num_keys == 2
+
+    cfg = RenderConfig(width=16, height=16, samples_per_launch=2,
+                       max_depth=3, ray_block=256)
+    cam = camera.params()
+    f_ref, _ = render_frame(scene, cam, cfg, subframes=1)
+    tracer = make_pallas_mt_tracer(scene, interpret=True)
+    f_mt, _ = render_frame(scene, cam, cfg, subframes=1, tracer=tracer)
+    np.testing.assert_allclose(np.asarray(f_mt.accum), np.asarray(f_ref.accum),
+                               rtol=1e-4, atol=1e-4)
