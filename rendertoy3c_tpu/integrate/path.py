@@ -116,11 +116,17 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
     seed, u1 = rng.rnd_masked(seed, adv)
     seed, u2 = rng.rnd_masked(seed, adv)
 
-    tex_id = mat.diffuse_tex[mid]
-    tex_rgb = sample_texture_bilinear(
-        scene.atlas, tex_id, texcoord[..., 0], texcoord[..., 1]
-    )
-    albedo = jnp.where((tex_id >= 0)[:, None], tex_rgb, mat.diffuse[mid])
+    # Texture-less scenes (1x1 empty atlas, statically known) skip the
+    # 4-tap gather entirely.
+    has_textures = scene.atlas.data.shape[:2] != (1, 1)
+    if has_textures:
+        tex_id = mat.diffuse_tex[mid]
+        tex_rgb = sample_texture_bilinear(
+            scene.atlas, tex_id, texcoord[..., 0], texcoord[..., 1]
+        )
+        albedo = jnp.where((tex_id >= 0)[:, None], tex_rgb, mat.diffuse[mid])
+    else:
+        albedo = mat.diffuse[mid]
 
     if scene.all_diffuse:
         # Reference-exact Lambertian fast path (zero dispatch overhead).
@@ -143,16 +149,18 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
         # Full material dispatch (bsdf.py): DIFFUSE / SPECULAR /
         # FRESNEL_TRANSMISSIVE / PRINCIPLED, branch-free across the wave.
         rough = mat.roughness[mid]
-        rtex = mat.roughness_tex[mid]
-        rough_tex = sample_texture_bilinear(
-            scene.atlas, rtex, texcoord[..., 0], texcoord[..., 1]
-        )[..., 0]
-        rough = jnp.where(rtex >= 0, rough_tex, rough)
-        etex = mat.emissive_tex[mid]
-        emis_rgb = sample_texture_bilinear(
-            scene.atlas, etex, texcoord[..., 0], texcoord[..., 1]
-        )
-        emitted = jnp.where((etex >= 0)[:, None], emitted * emis_rgb, emitted)
+        if has_textures:
+            rtex = mat.roughness_tex[mid]
+            rough_tex = sample_texture_bilinear(
+                scene.atlas, rtex, texcoord[..., 0], texcoord[..., 1]
+            )[..., 0]
+            rough = jnp.where(rtex >= 0, rough_tex, rough)
+            etex = mat.emissive_tex[mid]
+            emis_rgb = sample_texture_bilinear(
+                scene.atlas, etex, texcoord[..., 0], texcoord[..., 1]
+            )
+            emitted = jnp.where((etex >= 0)[:, None], emitted * emis_rgb,
+                                emitted)
         params = MatParams(
             mtype=mat.mtype[mid],
             albedo=albedo,
