@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="aces matches the reference's GL display shader")
     p.add_argument("--denoise", type=int, default=0, metavar="N",
                    help="apply N a-trous denoiser iterations before saving")
+    p.add_argument("--env", default=None, metavar="IMG",
+                   help="lat-long environment map (.exr/.png/.ppm) used by "
+                        "the miss program instead of the constant ambient")
+    p.add_argument("--env-scale", type=float, default=1.0)
     p.add_argument("-o", "--output", default="out.png",
                    help="output path; format by extension (.png/.ppm/.exr)")
     p.add_argument("--eye", type=_vec3, default=None)
@@ -163,7 +167,14 @@ def main(argv=None) -> int:
         if args.fov:
             camera.fov_y = args.fov
         camera.aspect_ratio = w / h
-        scene = build_scene(meshes, textures=textures or None)
+        env_map = None
+        if args.env:
+            from ..film.image import load_image
+            from ..scene.envmap import build_env_map
+
+            env_map = build_env_map(load_image(args.env), scale=args.env_scale)
+        scene = build_scene(meshes, textures=textures or None,
+                            env_map=env_map)
 
     with timers.phase("accel"):
         tracer_kind = args.tracer

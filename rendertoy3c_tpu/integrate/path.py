@@ -61,6 +61,16 @@ class RenderStats(NamedTuple):
     shadow_rays: jnp.ndarray
 
 
+def _miss_radiance(scene, bg, direction):
+    """Background radiance for miss lanes: the environment-map callable when
+    the scene has one, else the constant ambient (miss.cu:30, test.cu:3-6)."""
+    if getattr(scene, "env", None) is not None:
+        from ..scene.envmap import sample_env_map
+
+        return sample_env_map(scene.env, direction)
+    return jnp.broadcast_to(bg[None, :], direction.shape)
+
+
 def _camera_ray(cam: CameraParams, px, py, jx, jy, width, height):
     """Jittered pinhole ray (raygen.cu:32-39)."""
     dx = 2.0 * ((px.astype(jnp.float32) + jx) / width) - 1.0
@@ -303,8 +313,11 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
             )
             is_hit = hit.mask
 
-            # Miss program: constant ambient radiance, done=true (miss.cu:22-35)
-            radiance = jnp.where(is_hit[:, None], radiance, bg[None, :])
+            # Miss program (miss.cu:22-35): env-map or constant callable
+            radiance = jnp.where(
+                is_hit[:, None], radiance,
+                _miss_radiance(scene, bg, s["dir"]),
+            )
             # Emission collects at depth 0 (reference) and after delta chains
             # (NEE cannot sample delta lobes, so mirrors/glass would
             # otherwise never see lights).
@@ -521,7 +534,9 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             count=count_hint,
         )
         is_hit = hit.mask
-        radiance = jnp.where(is_hit[:, None], radiance, bg[None, :])
+        radiance = jnp.where(
+            is_hit[:, None], radiance, _miss_radiance(scene, bg, s["dir"])
+        )
         see_emit = is_hit & ((s["depth"] == 0) | s["prev_delta"])
         emitted = jnp.where(see_emit[:, None], emitted, 0.0)
         contrib = emitted + radiance * s["last_atten"]

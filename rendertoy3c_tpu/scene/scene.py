@@ -90,6 +90,9 @@ class Scene:
     materials: MaterialTable
     lights: LightTable
     atlas: TextureAtlas
+    # optional lat-long environment map consumed by the miss program
+    # (the reference's background direct-callable slot, miss.cu:30)
+    env: Optional[object] = None
     num_keys: int = field(metadata=dict(static=True), default=1)
     num_faces: int = field(metadata=dict(static=True), default=0)
     num_lights: int = field(metadata=dict(static=True), default=0)
@@ -117,6 +120,7 @@ def build_scene(
     instances: Optional[Sequence[Instance]] = None,
     textures: Optional[Sequence[np.ndarray]] = None,
     emissive_threshold: float = 1e-5,
+    env_map=None,
 ) -> Scene:
     """Flatten meshes/instances into a world-space device scene.
 
@@ -235,6 +239,7 @@ def build_scene(
         materials=build_material_table(materials),
         lights=lights,
         atlas=atlas,
+        env=env_map,
         num_keys=num_keys,
         num_faces=num_faces_real,
         num_lights=int(num_lights),
