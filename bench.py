@@ -112,7 +112,19 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     iscene = build_instanced_scene(meshes, inst)
     tracer = (make_pallas_instanced_tracer(iscene) if on_tpu
               else make_instanced_tracer(iscene))
-    record("multi_instance_tlas", iscene, tracer)
+    import dataclasses as _dc
+
+    cfg_sorted = _dc.replace(cfg, sort_rays=True)  # coherence helps TLAS cull
+    step = make_render_fn(iscene, cfg_sorted, tracer=tracer)
+    meshes_cam.aspect_ratio = cfg.width / cfg.height
+    mrays, dt = _bench_step(
+        step, meshes_cam.params(),
+        lambda: film_create(cfg.height, cfg.width), warmup, timed,
+    )
+    results["multi_instance_tlas"] = {
+        "mrays_per_sec": round(mrays, 3),
+        "spp_per_sec": round(timed * spp_per_frame / dt, 3),
+    }
 
     # 4. motion blur (2-key instance matrix motion)
     meshes, meshes_cam = cornell_box()

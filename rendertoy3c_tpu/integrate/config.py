@@ -41,6 +41,12 @@ class RenderConfig:
     # identical per-path arithmetic, sample sums in pool-flush order).
     integrator: str = "wave"
 
+    # Pool-only: re-sort live lanes by direction-octant Morton keys each
+    # iteration. Costs an argsort + state permutation; pays off for tracers
+    # with coherence-dependent culling (the instanced TLAS kernel) — the TPU
+    # analog of SER ray reordering (optixReorder, shader_common.h:89).
+    sort_rays: bool = False
+
     # 'uniform' (reference, closehit_radiance.cu:10-15) or 'power'
     # (reference roadmap: power light sampler, README.md:19).
     light_sampler: str = "uniform"

@@ -514,12 +514,35 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             image=image,
             next_work=s["next_work"] + jnp.sum(take.astype(jnp.int32)),
         )
+
+        if cfg.sort_rays:
+            # Coherence re-sort (SER analog): order live lanes by the Morton
+            # code of their direction (octant-major), dead lanes last. Each
+            # per-lane array rides along, so per-path results are unchanged;
+            # alive lanes become a dense prefix again.
+            from ..accel.morton import morton3d
+
+            key = morton3d(s["dir"] * 0.5 + 0.5)
+            key = jnp.where(s["alive"], key, jnp.uint32(0xFFFFFFFF))
+            order = jnp.argsort(key)
+            per_lane = ("org", "dir", "seed", "atten", "last_atten", "acc",
+                        "pixel", "depth", "prev_delta", "alive")
+            s = {
+                k: (jnp.take(v, order, axis=0) if k in per_lane else v)
+                for k, v in s.items()
+            }
+
         alive = s["alive"]
         n_live = jnp.sum(alive.astype(jnp.int32))
-        # Lanes refill in place, so alive lanes are not a prefix; the tracer
-        # count must cover the highest live lane. While work remains the pool
-        # is full anyway; this only trims endgame cost.
-        count_hint = jnp.max(jnp.where(alive, jnp.arange(pool, dtype=jnp.int32), -1)) + 1
+        if cfg.sort_rays:
+            count_hint = n_live  # sorted: alive lanes are a dense prefix
+        else:
+            # Lanes refill in place, so alive lanes are not a prefix; the
+            # tracer count must cover the highest live lane. While work
+            # remains the pool is full anyway; this only trims endgame cost.
+            count_hint = jnp.max(
+                jnp.where(alive, jnp.arange(pool, dtype=jnp.int32), -1)
+            ) + 1
 
         # --- one path segment for every live lane (same math as the wave
         # integrator / reference S3.3) ---

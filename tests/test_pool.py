@@ -60,3 +60,17 @@ def test_pool_spp1(cornell):
     # spp=1: one contribution per pixel, same math per path — differences are
     # limited to XLA fusion/FMA reassociation (last-ulp).
     np.testing.assert_allclose(pool, wave, rtol=1e-6, atol=1e-6)
+
+
+def test_pool_sorted_matches_unsorted(cornell):
+    scene, camera = cornell
+    base = dict(width=20, height=20, samples_per_launch=2, max_depth=4,
+                ray_block=128, integrator="pool")
+    cam = camera.params()
+    from rendertoy3c_tpu.integrate.path import render_frame as rf
+
+    f0, s0 = rf(scene, cam, RenderConfig(**base), subframes=1)
+    f1, s1 = rf(scene, cam, RenderConfig(sort_rays=True, **base), subframes=1)
+    np.testing.assert_allclose(np.asarray(f1.accum), np.asarray(f0.accum),
+                               rtol=2e-5, atol=2e-5)
+    assert int(s1.radiance_rays) == int(s0.radiance_rays)
