@@ -162,6 +162,15 @@ def run_config_suite(cfg_kwargs, warmup, timed):
 def main():
     import jax
 
+    # persistent XLA compilation cache (the NVRTC SourceCache analog,
+    # sutil/sutil.cpp:1046-1055): repeated runs skip the 15-45s compiles
+    import os as _os
+
+    _cache = _os.path.expanduser("~/.cache/rendertoy3c_jax")
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from rendertoy3c_tpu.film.film import film_create
     from rendertoy3c_tpu.integrate.config import RenderConfig
     from rendertoy3c_tpu.integrate.path import make_render_fn
