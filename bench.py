@@ -65,6 +65,10 @@ def run_config_suite(cfg_kwargs, warmup, timed):
         make_pallas_instanced_tracer,
     )
     from rendertoy3c_tpu.trace.instanced import make_instanced_tracer
+    from rendertoy3c_tpu.trace.pallas_shade import (
+        fused_shade_eligible,
+        make_fused_pipeline,
+    )
 
     on_tpu = jax.devices()[0].platform == "tpu"
     results = {}
@@ -84,8 +88,14 @@ def run_config_suite(cfg_kwargs, warmup, timed):
             "spp_per_sec": round(timed * spp_per_frame / dt, 3),
         }
 
-    def mt(scene):
-        return make_pallas_mt_tracer(scene) if on_tpu else None
+    def mt(scene, cfg_for=None):
+        c = cfg_for or cfg
+        if not on_tpu:
+            return None
+        if (c.integrator == "pool" and fused_shade_eligible(scene, c)
+                and c.ray_block % 256 == 0):
+            return make_fused_pipeline(scene, c)
+        return make_pallas_mt_tracer(scene)
 
     # 1. static Lambertian + NEE
     meshes, meshes_cam = cornell_box()
@@ -191,7 +201,16 @@ def main():
     meshes, camera = cornell_box()
     camera.aspect_ratio = cfg.width / cfg.height
     scene = build_scene(meshes)
-    tracer = make_pallas_mt_tracer(scene) if on_tpu else None
+    if on_tpu:
+        from rendertoy3c_tpu.trace.pallas_shade import (
+            fused_shade_eligible, make_fused_pipeline,
+        )
+
+        tracer = (make_fused_pipeline(scene, cfg)
+                  if fused_shade_eligible(scene, cfg)
+                  else make_pallas_mt_tracer(scene))
+    else:
+        tracer = None
     step = make_render_fn(scene, cfg, tracer=tracer)
     cam = camera.params()
 

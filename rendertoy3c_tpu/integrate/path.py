@@ -405,7 +405,8 @@ def _lcg_advance_table(spp: int) -> jnp.ndarray:
     return np.array(rows, np.uint64).astype(np.uint32)  # host constants
 
 
-def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
+def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
+                 fused=None):
     """Persistent ray-pool integrator.
 
     Where the wave integrator runs a bounce while_loop per (block, sample)
@@ -421,8 +422,13 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
     (and the reference, SURVEY.md S3.3); only the order in which a pixel's
     samples are summed differs, so images match to float addition order.
     Returns (rgb [N,3] mean over spp, n_radiance_rays, n_shadow_rays).
+
+    With `fused` (a trace.pallas_shade.FusedPipeline), the whole
+    trace+shade+NEE+shadow+RR stage runs as two Pallas kernels instead of a
+    trace + shadow-trace + ~40 XLA fusions; results are identical to float
+    fusion order.
     """
-    trace_closest, trace_any = tracer
+    trace_closest, trace_any = tracer if fused is None else (None, None)
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
     spp = cfg.samples_per_launch
@@ -547,6 +553,57 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
         # --- one path segment for every live lane (same math as the wave
         # integrator / reference S3.3) ---
         seed, _time = rng.rnd_masked(s["seed"], alive)
+
+        if fused is not None:
+            # two Pallas kernels: closest-hit + fused shade/NEE/shadow/RR
+            rays = jnp.concatenate(
+                [
+                    s["org"], s["dir"],
+                    jnp.full((pool, 1), cfg.primary_tmin, jnp.float32),
+                    jnp.full((pool, 1), cfg.primary_tmax, jnp.float32),
+                ],
+                axis=1,
+            )
+            hit4 = fused.closest_raw(rays, count_hint)
+            misc8 = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(seed, jnp.float32)[:, None],
+                    s["atten"], s["last_atten"],
+                    (s["depth"] == 0).astype(jnp.float32)[:, None],
+                ],
+                axis=1,
+            )
+            rays2, misc16 = fused.shade(rays, hit4, misc8, count_hint)
+            seed = jnp.where(
+                alive,
+                jax.lax.bitcast_convert_type(misc16[:, 0], jnp.uint32),
+                s["seed"],
+            )
+            atten = jnp.where(alive[:, None], misc16[:, 1:4], s["atten"])
+            last_atten = jnp.where(
+                alive[:, None], misc16[:, 4:7], s["last_atten"]
+            )
+            acc = s["acc"] + jnp.where(alive[:, None], misc16[:, 7:10], 0.0)
+            survive = misc16[:, 10] > 0.5
+            want_shadow = alive & (misc16[:, 11] > 0.5)
+            depth = jnp.where(alive, s["depth"] + 1, s["depth"])
+            new_alive = alive & survive & (depth < cfg.max_depth)
+            org = jnp.where(new_alive[:, None], rays2[:, 0:3], s["org"])
+            direction = jnp.where(new_alive[:, None], rays2[:, 3:6], s["dir"])
+            return dict(
+                s,
+                org=org,
+                dir=direction,
+                seed=seed,
+                atten=atten,
+                last_atten=last_atten,
+                acc=acc,
+                depth=depth,
+                alive=new_alive,
+                n_rad=s["n_rad"] + n_live,
+                n_shad=s["n_shad"] + jnp.sum(want_shadow.astype(jnp.int32)),
+            )
+
         hit = trace_closest(
             s["org"], s["dir"], cfg.primary_tmin, cfg.primary_tmax, _time,
             count=count_hint,
@@ -626,6 +683,17 @@ def render_pixels(
     golden tests) or "pool" (persistent ray pool, ~100% lane occupancy, the
     fast path — identical per-path arithmetic, float-order-different sums).
     """
+    from ..trace.pallas_shade import FusedPipeline
+
+    if isinstance(tracer, FusedPipeline):
+        if cfg.integrator != "pool":
+            raise ValueError("FusedPipeline requires cfg.integrator='pool'")
+        pool = min(cfg.ray_block,
+                   _next_pow2(pixel_idx.shape[0] * cfg.samples_per_launch))
+        if pool % 256:
+            raise ValueError("fused pipeline needs a pool multiple of 256")
+        return _render_pool(scene, cfg, cam, None, pixel_idx, subframe_index,
+                            fused=tracer)
     if tracer is None:
         tracer = make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
     if cfg.integrator == "pool":

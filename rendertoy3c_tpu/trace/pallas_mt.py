@@ -528,3 +528,14 @@ def trace_any_mt_motion(soup0: TriSoup, soup1: TriSoup, o, d, tmin, tmax,
     out = _mt_motion_call(_any_kernel_motion, count, rays, tcol,
                           soup0.tris, soup1.tris, r_pad, interpret)
     return out[:r, 0] > 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def trace_closest_mt_raw(soup: TriSoup, rays_padded, count, *,
+                         interpret=False):
+    """Raw closest-hit over pre-packed [R_pad, 8] rays -> [R_pad, 4]
+    (t, prim_f, u, v; prim_f = -1 on miss). The fused pipeline consumes this
+    directly, skipping Hit unpack/repack."""
+    count = jnp.asarray(count, jnp.int32).reshape(1)
+    return _mt_pallas_call(_closest_kernel, count, rays_padded, soup.tris,
+                           rays_padded.shape[0], interpret)

@@ -1,0 +1,380 @@
+"""Fused shade + NEE + shadow-trace + Russian-roulette Pallas kernel.
+
+One kernel performs everything between two closest-hit traces of the pool
+integrator: attribute interpolation, Lambertian BSDF sampling, next-event
+estimation with the uniform light sampler, the occlusion sweep, progressive
+contribution, and RR termination — the body of __closesthit__radiance plus
+the raygen bookkeeping (closehit_radiance.cu:60-160, raygen.cu:48-72)
+compiled as a single fused program instead of ~40 XLA fusions.
+
+TPU-native tricks:
+  * per-lane attribute fetch is a ONE-HOT MATMUL: onehot(prim) [RT, F] @
+    attribute table [F, 16] on the MXU — the fast "gather" for tables that
+    fit VMEM (F <= ~2048);
+  * the light row is fetched the same way ([RT, L] @ [L, 16]);
+  * the RNG is the reference's LCG advanced in-kernel on uint32 columns
+    (identical streams to the XLA path, including masked draws);
+  * the shadow probe sweeps the same VMEM-resident triangle soup as the
+    closest kernel (any-hit with per-lane light distance as tmax).
+
+Gated fast path: DIFFUSE-only scenes, no textures, static geometry, uniform
+light sampler, reference throughput model, constant background. Everything
+else uses the general XLA shading path (integrate/path.py) — same results,
+more kernels.
+
+Table layouts (VMEM, lane-friendly):
+  attr   [F, 16] f32 : n0.xyz n1.xyz n2.xyz emission.xyz diffuse.xyz pad
+  lights [Lp, 16] f32: v0.xyz v1.xyz v2.xyz emission.xyz normal.xyz area
+  misc_in  [R, 8] f32: seed(bits) atten.xyz last_atten.xyz emit_gate
+  rays_out [R, 8] f32: new org/dir + tmin/tmax for the next bounce
+  misc_out [R, 16] f32: seed(bits) atten.xyz last_atten.xyz contrib.xyz
+                        survive want_shadow pad*3
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_mt import RAY_TILE, TRI_TILE, _BIG, _DET_EPS, _mt_test_cols
+
+_INV_PI = 1.0 / math.pi
+_LCG_A = 1664525
+_LCG_C = 1013904223
+_INV_2_24 = 1.0 / float(1 << 24)
+MAX_ONEHOT_FACES = 2048
+
+
+def build_shade_tables(scene):
+    """(attr [F,16], lights [Lp,16]) from a gated scene (see module doc)."""
+    g = scene.geom
+    f = g.mat_id.shape[0]
+    mat_id = np.asarray(g.mat_id)
+    emission = np.asarray(scene.materials.emission)[mat_id]
+    diffuse = np.asarray(scene.materials.diffuse)[mat_id]
+    attr = np.zeros((f, 16), np.float32)
+    attr[:, 0:3] = np.asarray(g.n0[0])
+    attr[:, 3:6] = np.asarray(g.n1[0])
+    attr[:, 6:9] = np.asarray(g.n2[0])
+    attr[:, 9:12] = emission
+    attr[:, 12:15] = diffuse
+
+    lt = scene.lights
+    n_l = max(scene.num_lights, 1)
+    lp = -(-n_l // 8) * 8
+    lights = np.zeros((lp, 16), np.float32)
+    lights[:n_l, 0:3] = np.asarray(lt.v0)[:n_l]
+    lights[:n_l, 3:6] = np.asarray(lt.v1)[:n_l]
+    lights[:n_l, 6:9] = np.asarray(lt.v2)[:n_l]
+    lights[:n_l, 9:12] = np.asarray(lt.emission)[:n_l]
+    lights[:n_l, 12:15] = np.asarray(lt.normal)[:n_l]
+    lights[:n_l, 15] = np.asarray(lt.area)[:n_l]
+    return jnp.asarray(attr), jnp.asarray(lights)
+
+
+def _rnd(state_f):
+    """One LCG draw on a uint32-bits column carried as f32 bitcast.
+    Returns (new_state_f, uniform [RT,1] f32)."""
+    s = pltpu.bitcast(state_f, jnp.uint32)
+    s = jnp.uint32(_LCG_A) * s + jnp.uint32(_LCG_C)
+    # Mosaic lacks uint32->f32 casts; the masked 24-bit value fits int32
+    bits = pltpu.bitcast(s & jnp.uint32(0x00FFFFFF), jnp.int32)
+    u = bits.astype(jnp.float32) * _INV_2_24
+    return pltpu.bitcast(s, jnp.float32), u
+
+
+def _rnd_masked(state_f, mask):
+    new_f, u = _rnd(state_f)
+    return jnp.where(mask, new_f, state_f), u
+
+
+def _onehot_fetch(prim_col, table_ref, rt):
+    """[RT,1] float ids -> [RT, 16] rows via one-hot matmul on the MXU."""
+    f = table_ref.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (rt, f), 1).astype(jnp.float32)
+    onehot = (ids == prim_col).astype(jnp.float32)
+    # HIGHEST precision: the default MXU f32 path truncates the table
+    # values toward bf16, which perturbs normals/albedo enough to bias RR
+    return jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _normalize3(x, y, z, eps=1e-20):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, eps))
+    return x * inv, y * inv, z * inv, inv
+
+
+def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
+                       shadow_eps):
+    bgx, bgy, bgz = (float(b) for b in bg)
+
+    def kernel(count_ref, rays_ref, hit_ref, misc_ref, tris_ref, attr_ref,
+               lights_ref, rays_out, misc_out):
+        i = pl.program_id(0)
+        rt = rays_ref.shape[0]
+
+        ox, oy, oz = (rays_ref[:, c:c + 1] for c in (0, 1, 2))
+        dx, dy, dz = (rays_ref[:, c:c + 1] for c in (3, 4, 5))
+        t_hit = hit_ref[:, 0:1]
+        prim_f = hit_ref[:, 1:2]
+        bu = hit_ref[:, 2:3]
+        bv = hit_ref[:, 3:4]
+        seed = misc_ref[:, 0:1]
+        atten = [misc_ref[:, c:c + 1] for c in (1, 2, 3)]
+        last_at = [misc_ref[:, c:c + 1] for c in (4, 5, 6)]
+        emit_gate = misc_ref[:, 7:8]  # 1.0 when emission may collect
+
+        is_hit = prim_f >= 0.0
+        prim_c = jnp.maximum(prim_f, 0.0)
+
+        # --- attribute fetch (one-hot matmul) ---
+        a = _onehot_fetch(prim_c, attr_ref, rt)  # [RT, 16]
+        w0 = 1.0 - bu - bv
+        ngx = w0 * a[:, 0:1] + bu * a[:, 3:4] + bv * a[:, 6:7]
+        ngy = w0 * a[:, 1:2] + bu * a[:, 4:5] + bv * a[:, 7:8]
+        ngz = w0 * a[:, 2:3] + bu * a[:, 5:6] + bv * a[:, 8:9]
+        ngx, ngy, ngz, _ = _normalize3(ngx, ngy, ngz)
+        # faceforward onto the -d hemisphere
+        side = jnp.where(-(dx * ngx + dy * ngy + dz * ngz) >= 0.0, 1.0, -1.0)
+        nsx, nsy, nsz = ngx * side, ngy * side, ngz * side
+        px = ox + t_hit * dx
+        py = oy + t_hit * dy
+        pz = oz + t_hit * dz
+        hit_f = is_hit.astype(jnp.float32)
+        emitted = [a[:, 9 + c:10 + c] * emit_gate * hit_f for c in range(3)]
+        albedo = [a[:, 12 + c:13 + c] for c in range(3)]
+
+        # --- BSDF sample (cosine hemisphere; reference draw order) ---
+        adv = is_hit  # every lane in a live tile advances like the XLA path
+        seed, _z1 = _rnd_masked(seed, adv)
+        seed, _z2 = _rnd_masked(seed, adv)
+        seed, u1 = _rnd_masked(seed, adv)
+        seed, u2 = _rnd_masked(seed, adv)
+        r = jnp.sqrt(u1)
+        phi = (2.0 * math.pi) * u2
+        wx = r * jnp.cos(phi)
+        wy = r * jnp.sin(phi)
+        wz = jnp.sqrt(jnp.maximum(1.0 - wx * wx - wy * wy, 0.0))
+        # ONB about ns (shader_common.h:15-48 branch as a select)
+        use_x = jnp.abs(nsx) > jnp.abs(nsz)
+        bx0 = jnp.where(use_x, -nsy, 0.0)
+        by0 = jnp.where(use_x, nsx, -nsz)
+        bz0 = jnp.where(use_x, 0.0, nsy)
+        bx0, by0, bz0, _ = _normalize3(bx0, by0, bz0)
+        txx = by0 * nsz - bz0 * nsy
+        txy = bz0 * nsx - bx0 * nsz
+        txz = bx0 * nsy - by0 * nsx
+        ndx = wx * txx + wy * bx0 + wz * nsx
+        ndy = wx * txy + wy * by0 + wz * nsy
+        ndz = wx * txz + wy * bz0 + wz * nsz
+        # attenuation factor: albedo * (1/pi) / (cos/pi) = albedo / cos
+        inv_cos = 1.0 / jnp.maximum(wz * _INV_PI, 1e-12) * _INV_PI
+        at_fac = [albedo[c] * inv_cos for c in range(3)]
+
+        # --- NEE (uniform light pick; closehit_radiance.cu:117-156) ---
+        seed, u_pick = _rnd_masked(seed, adv)
+        seed, lu = _rnd_masked(seed, adv)
+        seed, lv = _rnd_masked(seed, adv)
+        lidx = jnp.minimum(
+            jnp.floor(u_pick * float(num_lights)), float(num_lights - 1)
+        )
+        lrow = _onehot_fetch(lidx, lights_ref, rt)  # [RT, 16]
+        su = jnp.sqrt(lu)
+        b0 = 1.0 - su
+        b1 = lv * su
+        b2 = 1.0 - b0 - b1
+        lpx = b0 * lrow[:, 0:1] + b1 * lrow[:, 3:4] + b2 * lrow[:, 6:7]
+        lpy = b0 * lrow[:, 1:2] + b1 * lrow[:, 4:5] + b2 * lrow[:, 7:8]
+        lpz = b0 * lrow[:, 2:3] + b1 * lrow[:, 5:6] + b2 * lrow[:, 8:9]
+        lvx, lvy, lvz = lpx - px, lpy - py, lpz - pz
+        dist2 = lvx * lvx + lvy * lvy + lvz * lvz
+        sdist2 = jnp.maximum(dist2, 1e-20)
+        inv_d = jax.lax.rsqrt(sdist2)
+        ldist = sdist2 * inv_d
+        ldx, ldy, ldz = lvx * inv_d, lvy * inv_d, lvz * inv_d
+        cos_l = jnp.abs(
+            ldx * lrow[:, 12:13] + ldy * lrow[:, 13:14] + ldz * lrow[:, 14:15]
+        )
+        omega = cos_l * lrow[:, 15:16] / sdist2
+        degen = (dist2 < 1e-5) | (omega < 1e-5)
+        le = [jnp.where(degen, 0.0, lrow[:, 9 + c:10 + c] * omega)
+              for c in range(3)]
+        pdf_light = jnp.where(degen, 1.0, 1.0 / jnp.maximum(omega, 1e-20)) \
+            * (1.0 / float(num_lights))
+        n_dl = nsx * ldx + nsy * ldy + nsz * ldz
+        want_shadow = adv & (n_dl > 0.0)
+
+        # --- shadow sweep over the soup (traceOcclusion) ---
+        tmax_s = jnp.where(want_shadow, ldist - shadow_eps, 0.0)
+        cols = (px, py, pz, ldx, ldy, ldz,
+                jnp.full((rt, 1), shadow_tmin, jnp.float32), tmax_s)
+
+        def sweep(k, occ):
+            _, _, _, hit, _ = _mt_test_cols(
+                cols, tris_ref[k], jnp.int32(k * TRI_TILE)
+            )
+            return jnp.maximum(
+                occ, jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+            )
+
+        # compaction gating: tiles past the live count skip the sweep
+        live = i * RAY_TILE < count_ref[0]
+        occ = jax.lax.fori_loop(
+            0, jnp.where(live, n_tiles_static, 0), sweep,
+            jnp.zeros((rt, 1), jnp.float32),
+        )
+        lit = want_shadow & (occ < 0.5)
+
+        # weight = albedo/pi * powerHeuristic(pdf_light, |n.l|/pi)
+        pdf_sc = jnp.abs(n_dl) * _INV_PI
+        ph = (pdf_light * pdf_light) / jnp.maximum(
+            pdf_light * pdf_light + pdf_sc * pdf_sc, 1e-20
+        )
+        radiance = [
+            jnp.where(lit, le[c] * albedo[c] * (ph * _INV_PI), 0.0)
+            for c in range(3)
+        ]
+        # miss lanes collect the constant background callable
+        radiance = [
+            jnp.where(is_hit, radiance[c], b)
+            for c, b in zip(range(3), (bgx, bgy, bgz))
+        ]
+        contrib = [emitted[c] + radiance[c] * last_at[c] for c in range(3)]
+
+        new_at = [jnp.where(is_hit, atten[c] * at_fac[c], atten[c])
+                  for c in range(3)]
+        new_last = list(new_at)
+
+        # --- RR (raygen.cu:62-66): draw only on hit lanes ---
+        p_rr = 0.30 * new_at[0] + 0.59 * new_at[1] + 0.11 * new_at[2]
+        seed, u_rr = _rnd_masked(seed, adv)
+        survive = is_hit & (u_rr <= p_rr)
+        inv_p = 1.0 / jnp.maximum(p_rr, 1e-12)
+        new_at = [jnp.where(survive, new_at[c] * inv_p, new_at[c])
+                  for c in range(3)]
+
+        rays_out[:, 0:1] = jnp.where(survive, px, ox)
+        rays_out[:, 1:2] = jnp.where(survive, py, oy)
+        rays_out[:, 2:3] = jnp.where(survive, pz, oz)
+        rays_out[:, 3:4] = jnp.where(survive, ndx, dx)
+        rays_out[:, 4:5] = jnp.where(survive, ndy, dy)
+        rays_out[:, 5:6] = jnp.where(survive, ndz, dz)
+        rays_out[:, 6:8] = rays_ref[:, 6:8]
+
+        misc_out[:, 0:1] = seed
+        for c in range(3):
+            misc_out[:, 1 + c:2 + c] = new_at[c]
+            misc_out[:, 4 + c:5 + c] = new_last[c]
+            misc_out[:, 7 + c:8 + c] = contrib[c]
+        misc_out[:, 10:11] = survive.astype(jnp.float32)
+        misc_out[:, 11:12] = want_shadow.astype(jnp.float32)
+        misc_out[:, 12:16] = jnp.zeros((rt, 4), jnp.float32)
+
+    return kernel
+
+
+def fused_shade_eligible(scene, cfg) -> bool:
+    return (
+        getattr(scene, "all_diffuse", False)
+        and scene.num_keys == 1
+        and scene.num_lights >= 1
+        and scene.atlas.data.shape[:2] == (1, 1)
+        and getattr(scene, "env", None) is None
+        and cfg.light_sampler == "uniform"
+        and cfg.throughput_model == "reference"
+        and scene.geom.mat_id.shape[0] <= MAX_ONEHOT_FACES
+        and getattr(scene, "instances", None) is None
+    )
+
+
+def make_fused_shader(scene, cfg, soup_tris, interpret: bool | None = None):
+    """Returns shade(rays, hit4, misc8, count) -> (rays_out, misc_out16).
+
+    soup_tris: the closest kernel's [F/CT, 9, CT] triangle tiles (shared)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    attr, lights = build_shade_tables(scene)
+    n_tiles = soup_tris.shape[0]
+    kernel = _make_shade_kernel(
+        n_tiles, scene.num_lights, cfg.bg_radiance,
+        cfg.shadow_tmin, cfg.shadow_tmax_eps,
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def shade(rays, hit4, misc8, count):
+        r_pad = rays.shape[0]
+        count = jnp.asarray(count, jnp.int32).reshape(1)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(r_pad // RAY_TILE,),
+                in_specs=[
+                    pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_tiles, 9, TRI_TILE),
+                                 lambda i, *_: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((attr.shape[0], 16), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((lights.shape[0], 16), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((RAY_TILE, 16), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, 16), jnp.float32),
+            ),
+            interpret=interpret,
+        )(count, rays, hit4, misc8, soup_tris, attr, lights)
+
+    return shade
+
+
+class FusedPipeline:
+    """closest-raw + fused-shade kernel pair for the pool integrator.
+
+    Recognized by integrate/path.py's pool schedule as a drop-in replacement
+    for the (trace, shade, shadow) stage stack."""
+
+    def __init__(self, scene, cfg, interpret: bool | None = None):
+        from .pallas_mt import TriSoup, build_tri_soup, trace_closest_mt_raw
+
+        if not fused_shade_eligible(scene, cfg):
+            raise ValueError(
+                "scene/cfg outside the fused fast path (needs all-diffuse, "
+                "untextured, static, uniform sampler, reference throughput, "
+                f"<= {MAX_ONEHOT_FACES} faces)"
+            )
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        soup = build_tri_soup(scene.geom)
+        self.soup = TriSoup(tris=soup.tris, num_faces=scene.num_faces)
+        self.num_faces = scene.num_faces
+        self.shade = make_fused_shader(scene, cfg, self.soup.tris,
+                                       interpret=interpret)
+        self._closest_raw = functools.partial(
+            trace_closest_mt_raw, interpret=interpret
+        )
+
+    def closest_raw(self, rays_padded, count):
+        return self._closest_raw(self.soup, rays_padded, count)
+
+
+def make_fused_pipeline(scene, cfg, interpret: bool | None = None):
+    return FusedPipeline(scene, cfg, interpret=interpret)
