@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from .lbvh import BVH8, ENC_EMPTY, decode_leaf
+from .lbvh import BVH8, decode_leaf
 
 
 class PackedBVH(NamedTuple):

@@ -30,7 +30,7 @@ from ..scene.scene import Scene
 from ..scene.texture import sample_texture_bilinear
 from ..trace.intersect import make_bruteforce_tracer
 from .config import RenderConfig
-from .path import RenderStats, _camera_ray, _next_pow2
+from .path import RenderStats, _camera_ray
 
 _INV_PI = 1.0 / math.pi
 
@@ -204,7 +204,6 @@ def render_direct(
     )
     if film is None:
         film = film_create(cfg.height, cfg.width)
-    total = RenderStats(jnp.zeros(()), jnp.zeros(()))
     for _ in range(subframes):
         film, stats = step(camera_params, film)
     return film, stats

@@ -34,7 +34,6 @@ build bit-for-bit under matched seeds:
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -27,7 +27,7 @@ import numpy as np
 from .light import build_light_table
 from .material import Material, build_material_table
 from .mesh import Mesh
-from .scene import FACE_ALIGN, GeometrySoA, Instance, _apply_affine, _apply_normal
+from .scene import FACE_ALIGN, GeometrySoA, Instance, _apply_affine
 from .texture import build_texture_atlas, _empty_atlas
 
 

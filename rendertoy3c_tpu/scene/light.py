@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..math.sampling import sample_uniform_triangle
-from ..math.vec import dot, normalize
+from ..math.vec import dot
 
 
 class LightTable(NamedTuple):

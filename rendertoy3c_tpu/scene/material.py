@@ -9,7 +9,7 @@ material arrays by per-face material id inside one fused shading kernel.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp

@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mt import RAY_TILE, TRI_TILE, _BIG, _DET_EPS, _mt_test_cols
+from .pallas_mt import RAY_TILE, TRI_TILE, _mt_test_cols
 
 _INV_PI = 1.0 / math.pi
 _LCG_A = 1664525
