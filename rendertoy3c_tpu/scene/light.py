@@ -31,6 +31,9 @@ class LightTable(NamedTuple):
     normal: jnp.ndarray  # [L, 3]
     area: jnp.ndarray  # [L]
     power_cdf: jnp.ndarray  # [L] inclusive normalized CDF of luminance*area
+    # packed row-major copy (v0 v1 v2 emission normal area) — TPU gathers pay
+    # per-row costs, so sampling fetches ONE [L,16] row instead of six arrays
+    packed: jnp.ndarray = None  # [L, 16]
 
 
 def build_light_table(v0, v1, v2, emission) -> LightTable:
@@ -51,6 +54,13 @@ def build_light_table(v0, v1, v2, emission) -> LightTable:
     power = np.sum(emission * np.array([0.30, 0.59, 0.11], np.float32), -1) * area
     total = power.sum()
     cdf = np.cumsum(power) / (total if total > 0 else 1.0)
+    packed = np.zeros((len(v0), 16), np.float32)
+    packed[:, 0:3] = v0
+    packed[:, 3:6] = v1
+    packed[:, 6:9] = v2
+    packed[:, 9:12] = emission
+    packed[:, 12:15] = normal
+    packed[:, 15] = area
     return LightTable(
         v0=jnp.asarray(v0),
         v1=jnp.asarray(v1),
@@ -59,6 +69,7 @@ def build_light_table(v0, v1, v2, emission) -> LightTable:
         normal=jnp.asarray(normal),
         area=jnp.asarray(area.astype(np.float32)),
         power_cdf=jnp.asarray(cdf.astype(np.float32)),
+        packed=jnp.asarray(packed),
     )
 
 
@@ -92,20 +103,26 @@ def sample_light(lights: LightTable, idx: jnp.ndarray, u: jnp.ndarray,
     guards: dist^2 < 1e-5 or omega < 1e-5 -> emission 0, pdf 1.
     """
     b0, b1, b2 = sample_uniform_triangle(u, v)
-    lv0 = lights.v0[idx]
-    lv1 = lights.v1[idx]
-    lv2 = lights.v2[idx]
+    if lights.packed is not None:
+        row = lights.packed[idx]  # one gather for all six fields
+        lv0, lv1, lv2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        l_emis, l_norm, l_area = row[..., 9:12], row[..., 12:15], row[..., 15]
+    else:
+        lv0, lv1, lv2 = lights.v0[idx], lights.v1[idx], lights.v2[idx]
+        l_emis, l_norm, l_area = (
+            lights.emission[idx], lights.normal[idx], lights.area[idx]
+        )
     pos = b0[..., None] * lv0 + b1[..., None] * lv1 + b2[..., None] * lv2
 
     dvec = pos - p
     dist2 = dot(dvec, dvec)
     safe_dist2 = jnp.maximum(dist2, 1e-20)
     ndir = dvec * jax_rsqrt(safe_dist2)[..., None]
-    omega = jnp.abs(dot(ndir, lights.normal[idx])) * lights.area[idx] / safe_dist2
+    omega = jnp.abs(dot(ndir, l_norm)) * l_area / safe_dist2
 
     degenerate = (dist2 < 1e-5) | (omega < 1e-5)
     emission = jnp.where(
-        degenerate[..., None], 0.0, lights.emission[idx] * omega[..., None]
+        degenerate[..., None], 0.0, l_emis * omega[..., None]
     )
     pdf = jnp.where(degenerate, 1.0, 1.0 / jnp.maximum(omega, 1e-20))
     return pos, emission, pdf

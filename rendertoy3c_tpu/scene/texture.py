@@ -18,6 +18,10 @@ import numpy as np
 class TextureAtlas(NamedTuple):
     data: jnp.ndarray  # [AH, AW, 4] uint8 (RGBA, rows already v-flipped at load)
     meta: jnp.ndarray  # [T, 4] int32: (y0, x0, height, width) per texture
+    # Optional single-gather bilinear table: for each atlas texel, the RGB of
+    # its 2x2 wrap-mode footprint (c00 c01 c10 c11), f32/255. TPU gathers pay
+    # per-row costs, so one [N,12] gather beats four [N,3] gathers ~4x.
+    quad: jnp.ndarray = None
 
 
 def _empty_atlas() -> TextureAtlas:
@@ -25,6 +29,10 @@ def _empty_atlas() -> TextureAtlas:
         data=jnp.zeros((1, 1, 4), jnp.uint8),
         meta=jnp.zeros((1, 4), jnp.int32).at[0, 2:].set(1),
     )
+
+
+# build the quad table only while it stays under ~48 MB
+_QUAD_TABLE_MAX_TEXELS = 1 << 20
 
 
 def build_texture_atlas(images: Sequence[np.ndarray]) -> TextureAtlas:
@@ -63,7 +71,29 @@ def build_texture_atlas(images: Sequence[np.ndarray]) -> TextureAtlas:
     for idx, im in enumerate(images):
         y0, x0, h, w = meta[idx]
         data[y0 : y0 + h, x0 : x0 + w] = im
-    return TextureAtlas(data=jnp.asarray(data), meta=jnp.asarray(meta))
+
+    quad = None
+    if atlas_h * atlas_w <= _QUAD_TABLE_MAX_TEXELS:
+        # per-texel 2x2 wrap-mode footprint, respecting texture regions
+        rgbf = data[..., :3].astype(np.float32) * (1.0 / 255.0)
+        c01 = rgbf.copy()
+        c10 = rgbf.copy()
+        c11 = rgbf.copy()
+        for idx, im in enumerate(images):
+            y0, x0, h, w = meta[idx]
+            sub = rgbf[y0:y0 + h, x0:x0 + w]
+            right = np.roll(sub, -1, axis=1)
+            down = np.roll(sub, -1, axis=0)
+            diag = np.roll(right, -1, axis=0)
+            c01[y0:y0 + h, x0:x0 + w] = right
+            c10[y0:y0 + h, x0:x0 + w] = down
+            c11[y0:y0 + h, x0:x0 + w] = diag
+        quad = np.concatenate([rgbf, c01, c10, c11], axis=-1)
+        quad = quad.reshape(atlas_h * atlas_w, 12)
+    return TextureAtlas(
+        data=jnp.asarray(data), meta=jnp.asarray(meta),
+        quad=None if quad is None else jnp.asarray(quad),
+    )
 
 
 def sample_texture_bilinear(
@@ -98,6 +128,21 @@ def sample_texture_bilinear(
     iu1 = jnp.mod(iu0 + 1, tw)
     iv1 = jnp.mod(iv0 + 1, th)
 
+    fu = fu[..., None]
+    fv = fv[..., None]
+    if atlas.quad is not None:
+        # single-gather path: the 2x2 footprint rides in one table row
+        aw = atlas.data.shape[1]
+        flat = (y0 + iv0) * aw + (x0 + iu0)
+        q = atlas.quad[flat]  # [..., 12]
+        rgb = (
+            q[..., 0:3] * (1 - fu) * (1 - fv)
+            + q[..., 3:6] * fu * (1 - fv)
+            + q[..., 6:9] * (1 - fu) * fv
+            + q[..., 9:12] * fu * fv
+        )
+        return jnp.where((tex_id >= 0)[..., None], rgb, 0.0)
+
     def fetch(iy, ix):
         texel = atlas.data[y0 + iy, x0 + ix, :3].astype(jnp.float32)
         return texel * (1.0 / 255.0)
@@ -106,8 +151,6 @@ def sample_texture_bilinear(
     c01 = fetch(iv0, iu1)
     c10 = fetch(iv1, iu0)
     c11 = fetch(iv1, iu1)
-    fu = fu[..., None]
-    fv = fv[..., None]
     rgb = (
         c00 * (1 - fu) * (1 - fv)
         + c01 * fu * (1 - fv)
