@@ -194,8 +194,18 @@ def main(argv=None) -> int:
             tracer_kind = "pallas" if (on_tpu and scene.num_keys <= 2) else "brute"
         if tracer_kind == "pallas":
             from ..trace.pallas_mt import make_pallas_mt_tracer
+            from ..trace.pallas_shade import (
+                fused_shade_eligible,
+                make_fused_pipeline,
+            )
 
-            tracer = make_pallas_mt_tracer(scene)
+            if (args.renderer == "path" and cfg.integrator == "pool"
+                    and not args.mesh_shape
+                    and fused_shade_eligible(scene, cfg)
+                    and cfg.ray_block % 256 == 0):
+                tracer = make_fused_pipeline(scene, cfg)
+            else:
+                tracer = make_pallas_mt_tracer(scene)
         elif tracer_kind == "bvh":
             from ..trace.bvh_traverse import build_scene_bvh, make_bvh_tracer
 
