@@ -441,6 +441,21 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
     # (full frame = arange, dist shard = base + arange).
     pixel_base = pixel_idx[0]
 
+    if cfg.sort_rays:
+        # scene bounds for origin-Morton sort keys (host-side, build time)
+        import numpy as _np
+
+        if getattr(scene, "instances", None) is not None:
+            s_lo = _np.asarray(scene.instances.aabb_lo).min(axis=0)
+            s_hi = _np.asarray(scene.instances.aabb_hi).max(axis=0)
+        else:
+            _v0 = _np.asarray(scene.geom.v0[0][: scene.num_faces])
+            s_lo = _v0.min(axis=0)
+            s_hi = _v0.max(axis=0)
+        s_inv = 1.0 / _np.maximum(s_hi - s_lo, 1e-6)
+        sort_lo = jnp.asarray(s_lo, jnp.float32)
+        sort_inv = jnp.asarray(s_inv, jnp.float32)
+
     state = dict(
         org=jnp.zeros((pool, 3), jnp.float32),
         dir=jnp.zeros((pool, 3), jnp.float32),
@@ -521,13 +536,21 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
         )
 
         if cfg.sort_rays:
-            # Coherence re-sort (SER analog): order live lanes by the Morton
-            # code of their direction (octant-major), dead lanes last. Each
-            # per-lane array rides along, so per-path results are unchanged;
-            # alive lanes become a dense prefix again.
+            # Coherence re-sort (SER analog): order live lanes by direction
+            # octant then origin Morton code (rays in one tile then share a
+            # direction cone AND a spatial cluster, which is what tile-level
+            # instance-AABB culling keys on). Dead lanes sort last, so alive
+            # lanes become a dense prefix again; per-lane state rides along,
+            # leaving per-path results unchanged.
             from ..accel.morton import morton3d
 
-            key = morton3d(s["dir"] * 0.5 + 0.5)
+            oct_key = (
+                (s["dir"][:, 0] >= 0).astype(jnp.uint32)
+                + 2 * (s["dir"][:, 1] >= 0).astype(jnp.uint32)
+                + 4 * (s["dir"][:, 2] >= 0).astype(jnp.uint32)
+            )
+            om = morton3d((s["org"] - sort_lo) * sort_inv)
+            key = (oct_key << jnp.uint32(27)) | (om >> jnp.uint32(3))
             key = jnp.where(s["alive"], key, jnp.uint32(0xFFFFFFFF))
             order = jnp.argsort(key)
             per_lane = ("org", "dir", "seed", "atten", "last_atten", "acc",
