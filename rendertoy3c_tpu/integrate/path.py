@@ -442,19 +442,16 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
     pixel_base = pixel_idx[0]
 
     if cfg.sort_rays:
-        # scene bounds for origin-Morton sort keys (host-side, build time)
-        import numpy as _np
-
+        # scene bounds for origin-Morton sort keys (loop-invariant jnp ops —
+        # scene leaves may be tracers under jit, so no host conversion here)
         if getattr(scene, "instances", None) is not None:
-            s_lo = _np.asarray(scene.instances.aabb_lo).min(axis=0)
-            s_hi = _np.asarray(scene.instances.aabb_hi).max(axis=0)
+            sort_lo = jnp.min(scene.instances.aabb_lo, axis=0)
+            s_hi = jnp.max(scene.instances.aabb_hi, axis=0)
         else:
-            _v0 = _np.asarray(scene.geom.v0[0][: scene.num_faces])
-            s_lo = _v0.min(axis=0)
-            s_hi = _v0.max(axis=0)
-        s_inv = 1.0 / _np.maximum(s_hi - s_lo, 1e-6)
-        sort_lo = jnp.asarray(s_lo, jnp.float32)
-        sort_inv = jnp.asarray(s_inv, jnp.float32)
+            v0s = scene.geom.v0[0][: scene.num_faces]
+            sort_lo = jnp.min(v0s, axis=0)
+            s_hi = jnp.max(v0s, axis=0)
+        sort_inv = 1.0 / jnp.maximum(s_hi - sort_lo, 1e-6)
 
     state = dict(
         org=jnp.zeros((pool, 3), jnp.float32),
