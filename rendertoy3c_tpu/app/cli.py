@@ -199,6 +199,14 @@ def main(argv=None) -> int:
                 make_fused_pipeline,
             )
 
+            if scene.num_faces > 512 and scene.num_keys == 1:
+                # spatially coherent face order tightens the kernels'
+                # per-tile cull AABBs (must happen before tracer build so
+                # prim ids match the shaded scene)
+                from ..accel.lbvh import morton_order_scene
+
+                scene = morton_order_scene(scene)
+
             if (args.renderer == "path" and cfg.integrator == "pool"
                     and not args.mesh_shape
                     and fused_shade_eligible(scene, cfg)

@@ -56,6 +56,11 @@ class TriSoup(NamedTuple):
 
     tris: jnp.ndarray  # [F/CT, 9, CT] f32
     num_faces: int     # real faces (padding beyond is all-zero)
+    # per-tile AABB (lo.xyz hi.xyz pad2): a 1-level BVH over 512-tri leaves.
+    # Tiles whose box the whole ray tile misses skip the MT sweep; all-padding
+    # tiles carry an inverted box and are always skipped. Spatially coherent
+    # face order (accel.lbvh.morton_order_scene) makes this effective.
+    aabb: jnp.ndarray = None  # [F/CT, 8] f32
 
 
 def build_tri_soup(geom, key: int = 0) -> TriSoup:
@@ -73,7 +78,24 @@ def build_tri_soup(geom, key: int = 0) -> TriSoup:
     soup[3:6, :f] = e1.T
     soup[6:9, :f] = e2.T
     tiled = soup.reshape(9, f_pad // TRI_TILE, TRI_TILE).transpose(1, 0, 2)
-    return TriSoup(tris=jnp.asarray(np.ascontiguousarray(tiled)), num_faces=f)
+
+    # per-tile AABBs over real faces (empty tiles get an inverted box)
+    n_tiles = f_pad // TRI_TILE
+    aabb = np.zeros((n_tiles, 8), np.float32)
+    aabb[:, 0:3] = 1e30
+    aabb[:, 3:6] = -1e30
+    p0 = v0
+    p1 = v0 + e1
+    p2 = v0 + e2
+    for k in range(n_tiles):
+        s0, s1 = k * TRI_TILE, min((k + 1) * TRI_TILE, f)
+        if s0 >= f:
+            break
+        pts = np.concatenate([p0[s0:s1], p1[s0:s1], p2[s0:s1]])
+        aabb[k, 0:3] = pts.min(axis=0)
+        aabb[k, 3:6] = pts.max(axis=0)
+    return TriSoup(tris=jnp.asarray(np.ascontiguousarray(tiled)), num_faces=f,
+                   aabb=jnp.asarray(aabb))
 
 
 def _mt_test_cols(cols, tile, prim_base):
@@ -132,7 +154,36 @@ def _mt_test(rays_ref, tile, k):
     return _mt_test_cols(_ray_cols(rays_ref), tile, k * TRI_TILE)
 
 
-def _closest_kernel(count_ref, rays_ref, tris_ref, out_ref):
+def _tile_box_hits(aabb_ref, k, cols_o, cols_inv, tmin, tcur):
+    """Does ANY ray in the tile hit tri-tile k's AABB? Returns f32 scalar."""
+    ox, oy, oz = cols_o
+    ix, iy, iz = cols_inv
+    t0x = (aabb_ref[k, 0] - ox) * ix
+    t1x = (aabb_ref[k, 3] - ox) * ix
+    t0y = (aabb_ref[k, 1] - oy) * iy
+    t1y = (aabb_ref[k, 4] - oy) * iy
+    t0z = (aabb_ref[k, 2] - oz) * iz
+    t1z = (aabb_ref[k, 5] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                 jnp.minimum(t0y, t1y)),
+                     jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                 jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    hit = (tn <= tf) & (tf >= tmin) & (tn <= tcur)
+    return jnp.max(hit.astype(jnp.float32))
+
+
+def _inv_cols(dx, dy, dz):
+    big = jnp.float32(_BIG)
+    return (
+        jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, big),
+        jnp.where(jnp.abs(dy) > 1e-20, 1.0 / dy, big),
+        jnp.where(jnp.abs(dz) > 1e-20, 1.0 / dz, big),
+    )
+
+
+def _closest_kernel(count_ref, rays_ref, tris_ref, aabb_ref, out_ref):
     i = pl.program_id(0)
     rt = rays_ref.shape[0]
     miss_t = rays_ref[:, 7:8]  # tmax
@@ -142,8 +193,10 @@ def _closest_kernel(count_ref, rays_ref, tris_ref, out_ref):
         jnp.zeros((rt, 1), jnp.float32),
         jnp.zeros((rt, 1), jnp.float32),
     )
+    cols = _ray_cols(rays_ref)
+    inv_d = _inv_cols(cols[3], cols[4], cols[5])
 
-    def sweep(k, carry):
+    def mt_tile(k, carry):
         best_t, best_prim, best_u, best_v = carry
         t, u, v, hit, prim_f = _mt_test(rays_ref, tris_ref[k], k)
         t = jnp.where(hit, t, _BIG)
@@ -161,6 +214,13 @@ def _closest_kernel(count_ref, rays_ref, tris_ref, out_ref):
             jnp.where(better, v_c, best_v),
         )
 
+    def sweep(k, carry):
+        # 1-level BVH: skip the 55-op MT sweep when no ray can hit the tile
+        any_box = _tile_box_hits(aabb_ref, k, cols[0:3], inv_d,
+                                 cols[6], carry[0])
+        return jax.lax.cond(any_box > 0.0,
+                            lambda c: mt_tile(k, c), lambda c: c, carry)
+
     # Wavefront compaction: rays are sorted alive-first; tiles past the live
     # count skip the whole sweep (they only pay their block DMA).
     live = i * RAY_TILE < count_ref[0]
@@ -174,14 +234,22 @@ def _closest_kernel(count_ref, rays_ref, tris_ref, out_ref):
     out_ref[:, 3:4] = best_v
 
 
-def _any_kernel(count_ref, rays_ref, tris_ref, out_ref):
+def _any_kernel(count_ref, rays_ref, tris_ref, aabb_ref, out_ref):
     i = pl.program_id(0)
     rt = rays_ref.shape[0]
+    cols = _ray_cols(rays_ref)
+    inv_d = _inv_cols(cols[3], cols[4], cols[5])
+    tmax = cols[7]
 
-    def sweep(k, occ):
+    def mt_tile(k, occ):
         _, _, _, hit, _ = _mt_test(rays_ref, tris_ref[k], k)
         return jnp.maximum(occ, jnp.max(hit.astype(jnp.float32), axis=1,
                                         keepdims=True))
+
+    def sweep(k, occ):
+        any_box = _tile_box_hits(aabb_ref, k, cols[0:3], inv_d, cols[6], tmax)
+        return jax.lax.cond(any_box > 0.0,
+                            lambda c: mt_tile(k, c), lambda c: c, occ)
 
     live = i * RAY_TILE < count_ref[0]
     n_tiles = tris_ref.shape[0]
@@ -208,9 +276,13 @@ def _pack_rays(o, d, tmin, tmax):
     return rays, r, r_pad
 
 
-def _mt_pallas_call(kernel, count, rays, tris, r_pad, interpret):
+def _mt_pallas_call(kernel, count, rays, soup: TriSoup, r_pad, interpret):
+    tris = soup.tris
     f_tiles = tris.shape[0]
     pairs = r_pad * f_tiles * TRI_TILE
+    aabb = soup.aabb
+    if aabb is None:  # soups built before the cull table existed
+        aabb = jnp.zeros((f_tiles, 8), jnp.float32).at[:, 3:6].set(1e30)             .at[:, 0:3].set(-1e30)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -220,6 +292,8 @@ def _mt_pallas_call(kernel, count, rays, tris, r_pad, interpret):
                 pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f_tiles, 8), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
@@ -232,7 +306,7 @@ def _mt_pallas_call(kernel, count, rays, tris, r_pad, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(count, rays, tris)
+    )(count, rays, tris, aabb)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -246,7 +320,7 @@ def trace_closest_mt(soup: TriSoup, o, d, tmin, tmax, *, count=None,
     if count is None:
         count = r
     count = jnp.asarray(count, jnp.int32).reshape(1)
-    out = _mt_pallas_call(_closest_kernel, count, rays, soup.tris, r_pad,
+    out = _mt_pallas_call(_closest_kernel, count, rays, soup, r_pad,
                           interpret)
     out = out[:r]
     t = out[:, 0]
@@ -269,7 +343,7 @@ def trace_any_mt(soup: TriSoup, o, d, tmin, tmax, *, count=None,
     if count is None:
         count = r
     count = jnp.asarray(count, jnp.int32).reshape(1)
-    out = _mt_pallas_call(_any_kernel, count, rays, soup.tris, r_pad,
+    out = _mt_pallas_call(_any_kernel, count, rays, soup, r_pad,
                           interpret)
     return out[:r, 0] > 0.0
 
@@ -293,11 +367,11 @@ def make_pallas_mt_tracer(scene, interpret: bool | None = None):
     # Exclude padding by building the soup only over real faces; the soup
     # re-pads to TRI_TILE with all-zero (unhittable) triangles.
     soup = build_tri_soup(scene.geom)
-    soup = TriSoup(tris=soup.tris, num_faces=scene.num_faces)
+    soup = soup._replace(num_faces=scene.num_faces)
 
     if scene.num_keys == 2:
         soup1 = build_tri_soup(scene.geom, key=1)
-        soup1 = TriSoup(tris=soup1.tris, num_faces=scene.num_faces)
+        soup1 = soup1._replace(num_faces=scene.num_faces)
 
         def closest(o, d, tmin, tmax, time, count=None):
             return trace_closest_mt_motion(
@@ -537,5 +611,5 @@ def trace_closest_mt_raw(soup: TriSoup, rays_padded, count, *,
     (t, prim_f, u, v; prim_f = -1 on miss). The fused pipeline consumes this
     directly, skipping Hit unpack/repack."""
     count = jnp.asarray(count, jnp.int32).reshape(1)
-    return _mt_pallas_call(_closest_kernel, count, rays_padded, soup.tris,
+    return _mt_pallas_call(_closest_kernel, count, rays_padded, soup,
                            rays_padded.shape[0], interpret)

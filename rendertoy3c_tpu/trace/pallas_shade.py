@@ -41,7 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mt import RAY_TILE, TRI_TILE, _mt_test_cols
+from .pallas_mt import (RAY_TILE, TRI_TILE, _inv_cols,
+                        _mt_test_cols, _tile_box_hits)
 
 _INV_PI = 1.0 / math.pi
 _LCG_A = 1664525
@@ -113,8 +114,8 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        shadow_eps):
     bgx, bgy, bgz = (float(b) for b in bg)
 
-    def kernel(count_ref, rays_ref, hit_ref, misc_ref, tris_ref, attr_ref,
-               lights_ref, rays_out, misc_out):
+    def kernel(count_ref, rays_ref, hit_ref, misc_ref, tris_ref, aabb_ref,
+               attr_ref, lights_ref, rays_out, misc_out):
         i = pl.program_id(0)
         rt = rays_ref.shape[0]
 
@@ -211,16 +212,23 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
 
         # --- shadow sweep over the soup (traceOcclusion) ---
         tmax_s = jnp.where(want_shadow, ldist - shadow_eps, 0.0)
-        cols = (px, py, pz, ldx, ldy, ldz,
-                jnp.full((rt, 1), shadow_tmin, jnp.float32), tmax_s)
+        stmin = jnp.full((rt, 1), shadow_tmin, jnp.float32)
+        cols = (px, py, pz, ldx, ldy, ldz, stmin, tmax_s)
+        inv_sd = _inv_cols(ldx, ldy, ldz)
 
-        def sweep(k, occ):
+        def mt_tile(k, occ):
             _, _, _, hit, _ = _mt_test_cols(
                 cols, tris_ref[k], jnp.int32(k * TRI_TILE)
             )
             return jnp.maximum(
                 occ, jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
             )
+
+        def sweep(k, occ):
+            any_box = _tile_box_hits(aabb_ref, k, (px, py, pz), inv_sd,
+                                     stmin, tmax_s)
+            return jax.lax.cond(any_box > 0.0,
+                                lambda c: mt_tile(k, c), lambda c: c, occ)
 
         # compaction gating: tiles past the live count skip the sweep
         live = i * RAY_TILE < count_ref[0]
@@ -292,14 +300,18 @@ def fused_shade_eligible(scene, cfg) -> bool:
     )
 
 
-def make_fused_shader(scene, cfg, soup_tris, interpret: bool | None = None):
+def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
     """Returns shade(rays, hit4, misc8, count) -> (rays_out, misc_out16).
 
-    soup_tris: the closest kernel's [F/CT, 9, CT] triangle tiles (shared)."""
+    soup: the closest kernel's TriSoup (tiles + cull AABBs, shared)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     attr, lights = build_shade_tables(scene)
+    soup_tris = soup.tris
+    soup_aabb = soup.aabb
     n_tiles = soup_tris.shape[0]
+    if soup_aabb is None:
+        soup_aabb = jnp.zeros((n_tiles, 8), jnp.float32)             .at[:, 3:6].set(1e30).at[:, 0:3].set(-1e30)
     kernel = _make_shade_kernel(
         n_tiles, scene.num_lights, cfg.bg_radiance,
         cfg.shadow_tmin, cfg.shadow_tmax_eps,
@@ -324,6 +336,8 @@ def make_fused_shader(scene, cfg, soup_tris, interpret: bool | None = None):
                     pl.BlockSpec((n_tiles, 9, TRI_TILE),
                                  lambda i, *_: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_tiles, 8), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
                     pl.BlockSpec((attr.shape[0], 16), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((lights.shape[0], 16), lambda i, *_: (0, 0),
@@ -341,7 +355,7 @@ def make_fused_shader(scene, cfg, soup_tris, interpret: bool | None = None):
                 jax.ShapeDtypeStruct((r_pad, 16), jnp.float32),
             ),
             interpret=interpret,
-        )(count, rays, hit4, misc8, soup_tris, attr, lights)
+        )(count, rays, hit4, misc8, soup_tris, soup_aabb, attr, lights)
 
     return shade
 
@@ -364,9 +378,9 @@ class FusedPipeline:
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         soup = build_tri_soup(scene.geom)
-        self.soup = TriSoup(tris=soup.tris, num_faces=scene.num_faces)
+        self.soup = soup._replace(num_faces=scene.num_faces)
         self.num_faces = scene.num_faces
-        self.shade = make_fused_shader(scene, cfg, self.soup.tris,
+        self.shade = make_fused_shader(scene, cfg, self.soup,
                                        interpret=interpret)
         self._closest_raw = functools.partial(
             trace_closest_mt_raw, interpret=interpret

@@ -43,7 +43,7 @@ def test_closest_matches_bruteforce(cornell):
         num_keys=1, num_faces=scene.num_faces, chunk=512,
     )
     soup = build_tri_soup(scene.geom)
-    soup = TriSoup(tris=soup.tris, num_faces=scene.num_faces)
+    soup = soup._replace(num_faces=scene.num_faces)
     got = trace_closest_mt(soup, o, d, 0.01, 1e16, interpret=True)
     np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
     np.testing.assert_allclose(
@@ -66,7 +66,7 @@ def test_any_matches_bruteforce(cornell):
         num_keys=1, num_faces=scene.num_faces, chunk=512,
     )
     soup = build_tri_soup(scene.geom)
-    soup = TriSoup(tris=soup.tris, num_faces=scene.num_faces)
+    soup = soup._replace(num_faces=scene.num_faces)
     got = trace_any_mt(soup, o, d, 0.001, 1.5, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
@@ -92,7 +92,7 @@ def test_nonaligned_ray_count(cornell):
     scene, _ = cornell
     o, d = _random_rays(77, seed=2)
     soup = build_tri_soup(scene.geom)
-    soup = TriSoup(tris=soup.tris, num_faces=scene.num_faces)
+    soup = soup._replace(num_faces=scene.num_faces)
     hit = trace_closest_mt(soup, o, d, 0.01, 1e16, interpret=True)
     assert hit.t.shape == (77,)
     time = jnp.zeros((77,))
@@ -168,3 +168,45 @@ def test_motion_render_matches_bruteforce():
     f_mt, _ = render_frame(scene, cam, cfg, subframes=1, tracer=tracer)
     np.testing.assert_allclose(np.asarray(f_mt.accum), np.asarray(f_ref.accum),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_tile_cull_with_morton_order():
+    """Tile-AABB culling + Morton face order must not change results."""
+    from rendertoy3c_tpu.accel.lbvh import morton_order_scene
+    from rendertoy3c_tpu.scene.builtin import box_mesh
+    from rendertoy3c_tpu.scene.material import Material
+    from rendertoy3c_tpu.scene.mesh import Mesh
+
+    rng = np.random.default_rng(7)
+    white = Material(diffuse=(0.7, 0.7, 0.7))
+    v_all, f_all = [], []
+    off = 0
+    for gx in range(8):
+        for gz in range(8):
+            m = box_mesh([gx, 0, gz], [gx + 0.8, rng.uniform(0.3, 2.0),
+                                       gz + 0.8], white)
+            v_all.append(m.vertices[0])
+            f_all.append(m.indices + off)
+            off += m.vertices.shape[1]
+    big = Mesh(vertices=np.concatenate(v_all)[None],
+               indices=np.concatenate(f_all), material=white)
+    scene = morton_order_scene(build_scene([big]))
+    assert scene.geom.mat_id.shape[0] > 512  # multiple tri tiles
+
+    n = 300
+    o = jnp.asarray(rng.uniform([0, 3, 0], [8, 6, 8], (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    time = jnp.zeros((n,))
+
+    ref = trace_closest_bruteforce(
+        scene.geom, o, d, 0.01, 1e16, time,
+        num_keys=1, num_faces=scene.num_faces, chunk=512,
+    )
+    soup = build_tri_soup(scene.geom)._replace(num_faces=scene.num_faces)
+    got = trace_closest_mt(soup, o, d, 0.01, 1e16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+    # no-cull soup agrees too
+    got2 = trace_closest_mt(soup._replace(aabb=None), o, d, 0.01, 1e16,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2.prim), np.asarray(ref.prim))
