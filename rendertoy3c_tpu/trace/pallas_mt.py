@@ -47,6 +47,7 @@ from .intersect import Hit
 
 RAY_TILE = 256
 TRI_TILE = 512
+SUPER_TILE = 8  # tri tiles per supertile (2-level cull)
 _BIG = 1e30  # plain float: jnp scalars would be captured kernel constants
 _DET_EPS = 1e-10
 
@@ -60,7 +61,10 @@ class TriSoup(NamedTuple):
     # Tiles whose box the whole ray tile misses skip the MT sweep; all-padding
     # tiles carry an inverted box and are always skipped. Spatially coherent
     # face order (accel.lbvh.morton_order_scene) makes this effective.
-    aabb: jnp.ndarray = None  # [F/CT, 8] f32
+    aabb: jnp.ndarray = None  # [ceil(F/CT/SUPER)*SUPER, 8] f32
+    # supertile AABBs (union of SUPER_TILE consecutive tile boxes): the
+    # second hierarchy level — one test can skip SUPER_TILE tiles at once.
+    super_aabb: jnp.ndarray = None  # [n_super, 8] f32
 
 
 def build_tri_soup(geom, key: int = 0) -> TriSoup:
@@ -79,9 +83,12 @@ def build_tri_soup(geom, key: int = 0) -> TriSoup:
     soup[6:9, :f] = e2.T
     tiled = soup.reshape(9, f_pad // TRI_TILE, TRI_TILE).transpose(1, 0, 2)
 
-    # per-tile AABBs over real faces (empty tiles get an inverted box)
+    # per-tile AABBs over real faces (empty tiles get an inverted box),
+    # padded to a SUPER_TILE multiple so the 2-level sweep needs no edge
+    # handling
     n_tiles = f_pad // TRI_TILE
-    aabb = np.zeros((n_tiles, 8), np.float32)
+    n_tiles_pad = -(-n_tiles // SUPER_TILE) * SUPER_TILE
+    aabb = np.zeros((n_tiles_pad, 8), np.float32)
     aabb[:, 0:3] = 1e30
     aabb[:, 3:6] = -1e30
     p0 = v0
@@ -94,8 +101,13 @@ def build_tri_soup(geom, key: int = 0) -> TriSoup:
         pts = np.concatenate([p0[s0:s1], p1[s0:s1], p2[s0:s1]])
         aabb[k, 0:3] = pts.min(axis=0)
         aabb[k, 3:6] = pts.max(axis=0)
+    n_super = n_tiles_pad // SUPER_TILE
+    super_aabb = np.zeros((n_super, 8), np.float32)
+    grp = aabb.reshape(n_super, SUPER_TILE, 8)
+    super_aabb[:, 0:3] = grp[:, :, 0:3].min(axis=1)
+    super_aabb[:, 3:6] = grp[:, :, 3:6].max(axis=1)
     return TriSoup(tris=jnp.asarray(np.ascontiguousarray(tiled)), num_faces=f,
-                   aabb=jnp.asarray(aabb))
+                   aabb=jnp.asarray(aabb), super_aabb=jnp.asarray(super_aabb))
 
 
 def _mt_test_cols(cols, tile, prim_base):
@@ -138,7 +150,7 @@ def _mt_test_cols(cols, tile, prim_base):
         & (t > tmin) & (t < tmax)
     )
     prim_f = (
-        prim_base.astype(jnp.float32)
+        jnp.asarray(prim_base).astype(jnp.float32)
         + jax.lax.broadcasted_iota(jnp.int32, (rt, ct), 1).astype(jnp.float32)
     )
     return t, u, v, hit, prim_f
@@ -174,6 +186,58 @@ def _tile_box_hits(aabb_ref, k, cols_o, cols_inv, tmin, tcur):
     return jnp.max(hit.astype(jnp.float32))
 
 
+def _culled_sweep(aabb_ref, super_ref, n_tiles, cols_o, inv_d, tmin,
+                  tcur_fn, mt_tile, carry, live):
+    """2-level AABB-culled sweep over tri tiles.
+
+    mt_tile(k, carry) -> carry runs the expensive test for tile k;
+    tcur_fn(carry) -> [RT,1] current upper t bound. Supertiles whose box no
+    ray can hit skip SUPER_TILE tiles with a single test.
+
+    n_tiles is static, so the sweep specializes: tiny scenes skip the cull
+    machinery entirely (a Cornell-sized single tile costs nothing extra),
+    small scenes use one level, large scenes both."""
+    if n_tiles == 1:
+        return jax.lax.cond(live, lambda c: mt_tile(0, c), lambda c: c, carry)
+
+    if n_tiles <= 2 * SUPER_TILE:  # one cull level is enough
+        def tile_only(k, c):
+            any_box = _tile_box_hits(aabb_ref, k, cols_o, inv_d, tmin,
+                                     tcur_fn(c))
+            return jax.lax.cond(any_box > 0.0,
+                                lambda cc: mt_tile(k, cc), lambda cc: cc, c)
+
+        return jax.lax.fori_loop(
+            0, jnp.where(live, n_tiles, 0), tile_only, carry
+        )
+
+    n_super = jnp.where(
+        live, (n_tiles + SUPER_TILE - 1) // SUPER_TILE, 0
+    )
+
+    def tile_body(j, kc):
+        ks, c = kc
+        k = ks * SUPER_TILE + j
+        any_box = _tile_box_hits(aabb_ref, k, cols_o, inv_d, tmin, tcur_fn(c))
+        c = jax.lax.cond(
+            (any_box > 0.0) & (k < n_tiles),
+            lambda cc: mt_tile(k, cc), lambda cc: cc, c,
+        )
+        return (ks, c)
+
+    def super_body(ks, c):
+        any_super = _tile_box_hits(super_ref, ks, cols_o, inv_d, tmin,
+                                   tcur_fn(c))
+
+        def descend(cc):
+            _, out = jax.lax.fori_loop(0, SUPER_TILE, tile_body, (ks, cc))
+            return out
+
+        return jax.lax.cond(any_super > 0.0, descend, lambda cc: cc, c)
+
+    return jax.lax.fori_loop(0, n_super, super_body, carry)
+
+
 def _inv_cols(dx, dy, dz):
     big = jnp.float32(_BIG)
     return (
@@ -183,7 +247,8 @@ def _inv_cols(dx, dy, dz):
     )
 
 
-def _closest_kernel(count_ref, rays_ref, tris_ref, aabb_ref, out_ref):
+def _closest_kernel(count_ref, rays_ref, tris_ref, aabb_ref, super_ref,
+                    out_ref):
     i = pl.program_id(0)
     rt = rays_ref.shape[0]
     miss_t = rays_ref[:, 7:8]  # tmax
@@ -214,19 +279,13 @@ def _closest_kernel(count_ref, rays_ref, tris_ref, aabb_ref, out_ref):
             jnp.where(better, v_c, best_v),
         )
 
-    def sweep(k, carry):
-        # 1-level BVH: skip the 55-op MT sweep when no ray can hit the tile
-        any_box = _tile_box_hits(aabb_ref, k, cols[0:3], inv_d,
-                                 cols[6], carry[0])
-        return jax.lax.cond(any_box > 0.0,
-                            lambda c: mt_tile(k, c), lambda c: c, carry)
-
     # Wavefront compaction: rays are sorted alive-first; tiles past the live
     # count skip the whole sweep (they only pay their block DMA).
     live = i * RAY_TILE < count_ref[0]
     n_tiles = tris_ref.shape[0]
-    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-        0, jnp.where(live, n_tiles, 0), sweep, init
+    best_t, best_prim, best_u, best_v = _culled_sweep(
+        aabb_ref, super_ref, n_tiles, cols[0:3], inv_d, cols[6],
+        lambda c: c[0], mt_tile, init, live,
     )
     out_ref[:, 0:1] = best_t
     out_ref[:, 1:2] = best_prim
@@ -234,7 +293,8 @@ def _closest_kernel(count_ref, rays_ref, tris_ref, aabb_ref, out_ref):
     out_ref[:, 3:4] = best_v
 
 
-def _any_kernel(count_ref, rays_ref, tris_ref, aabb_ref, out_ref):
+def _any_kernel(count_ref, rays_ref, tris_ref, aabb_ref, super_ref,
+                out_ref):
     i = pl.program_id(0)
     rt = rays_ref.shape[0]
     cols = _ray_cols(rays_ref)
@@ -246,16 +306,11 @@ def _any_kernel(count_ref, rays_ref, tris_ref, aabb_ref, out_ref):
         return jnp.maximum(occ, jnp.max(hit.astype(jnp.float32), axis=1,
                                         keepdims=True))
 
-    def sweep(k, occ):
-        any_box = _tile_box_hits(aabb_ref, k, cols[0:3], inv_d, cols[6], tmax)
-        return jax.lax.cond(any_box > 0.0,
-                            lambda c: mt_tile(k, c), lambda c: c, occ)
-
     live = i * RAY_TILE < count_ref[0]
     n_tiles = tris_ref.shape[0]
-    occ = jax.lax.fori_loop(
-        0, jnp.where(live, n_tiles, 0), sweep,
-        jnp.zeros((rt, 1), jnp.float32),
+    occ = _culled_sweep(
+        aabb_ref, super_ref, n_tiles, cols[0:3], inv_d, cols[6],
+        lambda c: tmax, mt_tile, jnp.zeros((rt, 1), jnp.float32), live,
     )
     out_ref[:, 0:1] = occ
     out_ref[:, 1:4] = jnp.zeros((rt, 3), jnp.float32)
@@ -281,8 +336,13 @@ def _mt_pallas_call(kernel, count, rays, soup: TriSoup, r_pad, interpret):
     f_tiles = tris.shape[0]
     pairs = r_pad * f_tiles * TRI_TILE
     aabb = soup.aabb
-    if aabb is None:  # soups built before the cull table existed
-        aabb = jnp.zeros((f_tiles, 8), jnp.float32).at[:, 3:6].set(1e30)             .at[:, 0:3].set(-1e30)
+    super_aabb = soup.super_aabb
+    if aabb is None:  # cull disabled: everything-boxes pass every test
+        n_pad = -(-f_tiles // SUPER_TILE) * SUPER_TILE
+        aabb = (jnp.zeros((n_pad, 8), jnp.float32)
+                .at[:, 0:3].set(-1e30).at[:, 3:6].set(1e30))
+        super_aabb = (jnp.zeros((n_pad // SUPER_TILE, 8), jnp.float32)
+                      .at[:, 0:3].set(-1e30).at[:, 3:6].set(1e30))
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -293,7 +353,9 @@ def _mt_pallas_call(kernel, count, rays, soup: TriSoup, r_pad, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f_tiles, 8), lambda i, *_: (0, 0),
+                pl.BlockSpec((aabb.shape[0], 8), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((super_aabb.shape[0], 8), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
@@ -306,7 +368,7 @@ def _mt_pallas_call(kernel, count, rays, soup: TriSoup, r_pad, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(count, rays, tris, aabb)
+    )(count, rays, tris, aabb, super_aabb)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -449,7 +511,7 @@ def _mt_test_motion(cols, tcol, tile0, tile1, prim_base):
         & (t > tmin) & (t < tmax)
     )
     prim_f = (
-        prim_base.astype(jnp.float32)
+        jnp.asarray(prim_base).astype(jnp.float32)
         + jax.lax.broadcasted_iota(jnp.int32, (rt, ct), 1).astype(jnp.float32)
     )
     return t, u, v, hit, prim_f

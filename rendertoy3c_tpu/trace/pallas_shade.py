@@ -41,8 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mt import (RAY_TILE, TRI_TILE, _inv_cols,
-                        _mt_test_cols, _tile_box_hits)
+from .pallas_mt import (RAY_TILE, SUPER_TILE, TRI_TILE,
+                        _culled_sweep, _inv_cols, _mt_test_cols)
 
 _INV_PI = 1.0 / math.pi
 _LCG_A = 1664525
@@ -115,7 +115,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
     bgx, bgy, bgz = (float(b) for b in bg)
 
     def kernel(count_ref, rays_ref, hit_ref, misc_ref, tris_ref, aabb_ref,
-               attr_ref, lights_ref, rays_out, misc_out):
+               super_ref, attr_ref, lights_ref, rays_out, misc_out):
         i = pl.program_id(0)
         rt = rays_ref.shape[0]
 
@@ -224,17 +224,12 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                 occ, jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
             )
 
-        def sweep(k, occ):
-            any_box = _tile_box_hits(aabb_ref, k, (px, py, pz), inv_sd,
-                                     stmin, tmax_s)
-            return jax.lax.cond(any_box > 0.0,
-                                lambda c: mt_tile(k, c), lambda c: c, occ)
-
         # compaction gating: tiles past the live count skip the sweep
         live = i * RAY_TILE < count_ref[0]
-        occ = jax.lax.fori_loop(
-            0, jnp.where(live, n_tiles_static, 0), sweep,
-            jnp.zeros((rt, 1), jnp.float32),
+        occ = _culled_sweep(
+            aabb_ref, super_ref, n_tiles_static, (px, py, pz), inv_sd,
+            stmin, lambda c: tmax_s, mt_tile,
+            jnp.zeros((rt, 1), jnp.float32), live,
         )
         lit = want_shadow & (occ < 0.5)
 
@@ -309,9 +304,14 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
     attr, lights = build_shade_tables(scene)
     soup_tris = soup.tris
     soup_aabb = soup.aabb
+    soup_super = soup.super_aabb
     n_tiles = soup_tris.shape[0]
-    if soup_aabb is None:
-        soup_aabb = jnp.zeros((n_tiles, 8), jnp.float32)             .at[:, 3:6].set(1e30).at[:, 0:3].set(-1e30)
+    if soup_aabb is None:  # cull disabled: everything-boxes pass every test
+        n_pad = -(-n_tiles // SUPER_TILE) * SUPER_TILE
+        soup_aabb = (jnp.zeros((n_pad, 8), jnp.float32)
+                     .at[:, 0:3].set(-1e30).at[:, 3:6].set(1e30))
+        soup_super = (jnp.zeros((n_pad // SUPER_TILE, 8), jnp.float32)
+                      .at[:, 0:3].set(-1e30).at[:, 3:6].set(1e30))
     kernel = _make_shade_kernel(
         n_tiles, scene.num_lights, cfg.bg_radiance,
         cfg.shadow_tmin, cfg.shadow_tmax_eps,
@@ -336,7 +336,11 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
                     pl.BlockSpec((n_tiles, 9, TRI_TILE),
                                  lambda i, *_: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_tiles, 8), lambda i, *_: (0, 0),
+                    pl.BlockSpec((soup_aabb.shape[0], 8),
+                                 lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((soup_super.shape[0], 8),
+                                 lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((attr.shape[0], 16), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
@@ -355,7 +359,8 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
                 jax.ShapeDtypeStruct((r_pad, 16), jnp.float32),
             ),
             interpret=interpret,
-        )(count, rays, hit4, misc8, soup_tris, soup_aabb, attr, lights)
+        )(count, rays, hit4, misc8, soup_tris, soup_aabb, soup_super,
+          attr, lights)
 
     return shade
 
