@@ -146,6 +146,46 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     scene = build_scene(meshes, instances=inst)
     record("motion_blur", scene, mt(scene))
 
+    # 5b. large scene: 49k-triangle box field (tile-cull scaling story)
+    rng = np.random.default_rng(0)
+    v_all, f_all = [], []
+    off = 0
+    from rendertoy3c_tpu.scene.builtin import box_mesh
+    from rendertoy3c_tpu.scene.mesh import Mesh as _Mesh
+    from rendertoy3c_tpu.scene.camera import Camera as _Camera
+    from rendertoy3c_tpu.accel.lbvh import morton_order_scene
+
+    white = Material(diffuse=(0.7, 0.7, 0.7))
+    for gx in range(64):
+        for gz in range(64):
+            m = box_mesh([gx - 32, 0, gz - 32],
+                         [gx - 31.2, rng.uniform(0.3, 2.0), gz - 31.2], white)
+            v_all.append(m.vertices[0])
+            f_all.append(m.indices + off)
+            off += m.vertices.shape[1]
+    bigm = _Mesh(vertices=np.concatenate(v_all)[None],
+                 indices=np.concatenate(f_all), material=white)
+    from rendertoy3c_tpu.scene.builtin import quad as _quad
+    lv, lf = _quad([-6, 25, -6], [-6, 25, 6], [6, 25, 6], [6, 25, -6])
+    lampm = _Mesh(vertices=lv[None], indices=lf,
+                  material=Material(emissive=(40.0, 40.0, 40.0)))
+    big_scene = morton_order_scene(build_scene([bigm, lampm]))
+    meshes_cam = _Camera(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0)
+    import dataclasses as _dcl
+
+    cfg_big = _dcl.replace(cfg, sort_rays=True)  # coherent tiles feed the cull
+    tracer_big = mt(big_scene, cfg_big)
+    step = make_render_fn(big_scene, cfg_big, tracer=tracer_big)
+    meshes_cam.aspect_ratio = cfg.width / cfg.height
+    mrays, dt = _bench_step(
+        step, meshes_cam.params(),
+        lambda: film_create(cfg.height, cfg.width), warmup, timed,
+    )
+    results["large_scene_49k"] = {
+        "mrays_per_sec": round(mrays, 3),
+        "spp_per_sec": round(timed * spp_per_frame / dt, 3),
+    }
+
     # 5. principled BSDF + power light sampler (reference roadmap workload)
     meshes, meshes_cam = cornell_box()
     meshes[0].material = Material(
