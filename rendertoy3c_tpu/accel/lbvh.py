@@ -289,6 +289,7 @@ def reorder_scene_by_bvh(scene, perm: np.ndarray):
         num_lights=scene.num_lights,
         num_materials=scene.num_materials,
         all_diffuse=scene.all_diffuse,
+        any_uv_transform=scene.any_uv_transform,
     )
 
 

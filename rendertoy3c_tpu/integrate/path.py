@@ -106,6 +106,13 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
         it = scene.instances.inv_t[jnp.maximum(hit.inst, 0), 0]
         ng = normalize(jnp.einsum("rij,rj->ri", it, ng))
     texcoord = w0 * g.uv0[prim] + w1 * g.uv1[prim] + w2 * g.uv2[prim]
+    if getattr(scene, "any_uv_transform", False):
+        # per-material texture-coordinate transform (MaterialData.h texture
+        # desc / KHR_texture_transform): uv' = offset + M @ uv
+        xf = scene.materials.uv_xform[scene.geom.mat_id[prim]]
+        tu = xf[:, 0] * texcoord[:, 0] + xf[:, 1] * texcoord[:, 1] + xf[:, 4]
+        tv = xf[:, 2] * texcoord[:, 0] + xf[:, 3] * texcoord[:, 1] + xf[:, 5]
+        texcoord = jnp.stack([tu, tv], axis=-1)
     ns = faceforward(ng, -direction, ng)
     p = org + hit.t[:, None] * direction
 

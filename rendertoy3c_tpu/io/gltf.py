@@ -189,6 +189,13 @@ def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
         src = tex.get("source")
         return texture_of_image(src) if src is not None else -1
 
+    # KHR_texture_transform on the base color texture -> material uv xform
+    xform = (
+        pbr.get("baseColorTexture", {})
+        .get("extensions", {})
+        .get("KHR_texture_transform", {})
+    )
+
     return Material(
         material_type=MaterialType.PRINCIPLED,
         diffuse=tuple(base[:3]),
@@ -199,6 +206,9 @@ def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
         emissive=tuple(m.get("emissiveFactor", [0, 0, 0])),
         emissive_texture_id=tex_id(m.get("emissiveTexture")),
         normal_texture_id=tex_id(m.get("normalTexture")),
+        tex_offset=tuple(xform.get("offset", [0.0, 0.0])),
+        tex_rotation=float(xform.get("rotation", 0.0)),
+        tex_scale=tuple(xform.get("scale", [1.0, 1.0])),
     )
 
 

@@ -43,6 +43,25 @@ class Material:
     specular_tint: float = 0.0
     sheen: float = 0.0
     clearcoat: float = 0.0
+    # texture-coordinate transform (cuda/MaterialData.h texture desc
+    # offset/rotation/scale; glTF KHR_texture_transform):
+    # uv' = offset + R(rotation) @ (scale * uv)
+    tex_offset: tuple = (0.0, 0.0)
+    tex_rotation: float = 0.0
+    tex_scale: tuple = (1.0, 1.0)
+
+    def uv_transform_row(self):
+        """Packed (m00, m01, m10, m11, ox, oy) row for the device table."""
+        import math as _m
+
+        c, sn = _m.cos(self.tex_rotation), _m.sin(self.tex_rotation)
+        sx, sy = self.tex_scale
+        return (c * sx, -sn * sy, sn * sx, c * sy,
+                self.tex_offset[0], self.tex_offset[1])
+
+    def has_uv_transform(self) -> bool:
+        return (self.tex_offset != (0.0, 0.0) or self.tex_rotation != 0.0
+                or self.tex_scale != (1.0, 1.0))
 
 
 class MaterialTable(NamedTuple):
@@ -62,6 +81,7 @@ class MaterialTable(NamedTuple):
     emissive_tex: jnp.ndarray  # [M] int32
     roughness_tex: jnp.ndarray  # [M] int32
     normal_tex: jnp.ndarray  # [M] int32
+    uv_xform: jnp.ndarray  # [M, 6] f32 (m00 m01 m10 m11 ox oy)
 
 
 def build_material_table(materials: Sequence[Material]) -> MaterialTable:
@@ -84,4 +104,9 @@ def build_material_table(materials: Sequence[Material]) -> MaterialTable:
         emissive_tex=i32([m.emissive_texture_id for m in materials]),
         roughness_tex=i32([m.roughness_texture_id for m in materials]),
         normal_tex=i32([m.normal_texture_id for m in materials]),
+        uv_xform=f32([m.uv_transform_row() for m in materials]),
     )
+
+
+def any_uv_transform(materials) -> bool:
+    return any(m.has_uv_transform() for m in materials)

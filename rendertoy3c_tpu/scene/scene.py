@@ -100,6 +100,8 @@ class Scene:
     # True when every material is plain DIFFUSE — lets the integrator keep
     # the reference-exact Lambertian fast path with zero dispatch overhead.
     all_diffuse: bool = field(metadata=dict(static=True), default=True)
+    # True when any material carries a texture-coordinate transform
+    any_uv_transform: bool = field(metadata=dict(static=True), default=False)
 
 
 def _apply_affine(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
@@ -247,4 +249,5 @@ def build_scene(
         all_diffuse=all(
             m.material_type == MaterialType.DIFFUSE for m in materials
         ),
+        any_uv_transform=any(m.has_uv_transform() for m in materials),
     )

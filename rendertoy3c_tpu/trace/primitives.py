@@ -121,3 +121,70 @@ def intersect_parallelogram(o, d, anchor, v1, v2, tmin, tmax):
         & (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
     )
     return jnp.where(hit, t, tmax), jnp.broadcast_to(n, p.shape), hit, (a, b)
+
+
+def intersect_capsule(o, d, p0, p1, r0, r1, tmin, tmax):
+    """Ray vs. a linearly-swept sphere segment (round cone / capsule with
+    lerped radius) — the primitive a subdivided swept-sphere curve reduces
+    to. Approximates the varying-radius side wall by iterating the sphere
+    at the closest curve parameter (2 fixed refinement steps), which
+    converges fast for the small segments curve subdivision produces.
+
+    o, d: [..., 3]; p0/p1/r0/r1 broadcastable. Returns (t, normal, hit, s)
+    with s in [0, 1] the segment parameter of the hit.
+    """
+    axis = p1 - p0
+    len2 = jnp.maximum(dot(axis, axis), 1e-20)
+
+    def sphere_at(s):
+        c = p0 + s[..., None] * axis
+        r = r0 * (1.0 - s) + r1 * s
+        return c, r
+
+    # initial s: parameter of the ray origin's projection onto the axis
+    s = jnp.clip(dot(o - p0, axis) / len2, 0.0, 1.0)
+    t = jnp.zeros_like(s)
+    for _ in range(3):
+        c, r = sphere_at(s)
+        t, _, _ = intersect_sphere(o, d, c, r, tmin, tmax)
+        p = o + t[..., None] * d
+        s = jnp.clip(dot(p - p0, axis) / len2, 0.0, 1.0)
+    c, r = sphere_at(s)
+    t, n, hit = intersect_sphere(o, d, c, r, tmin, tmax)
+    return t, n, hit, s
+
+
+def intersect_curve(kind, ctrl, radii, o, d, tmin, tmax, segments: int = 8):
+    """Ray vs. swept-sphere curve by uniform subdivision into capsule
+    segments (the software counterpart of OptiX's built-in curve
+    intersectors consuming cuda/curve.h's evaluators).
+
+    ctrl [..., n, 3], radii [..., n] per the curve kind; o, d [..., 3].
+    Returns (t, normal, hit, u) with u the curve parameter of the hit.
+    """
+    from ..math.curves import curve_eval, curve_surface_normal
+
+    us = [i / segments for i in range(segments + 1)]
+    pts = []
+    rads = []
+    for uu in us:
+        u_arr = jnp.full(o.shape[:-1], uu, jnp.float32)
+        pos, _, rad, _ = curve_eval(kind, ctrl, radii, u_arr)
+        pts.append(pos)
+        rads.append(rad)
+
+    best_t = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), o.shape[:-1])
+    best_u = jnp.zeros_like(best_t)
+    any_hit = jnp.zeros(o.shape[:-1], bool)
+    for i in range(segments):
+        t, _, hit, s = intersect_capsule(
+            o, d, pts[i], pts[i + 1], rads[i], rads[i + 1], tmin, best_t
+        )
+        better = hit & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_u = jnp.where(better, (us[i] + s * (1.0 / segments)), best_u)
+        any_hit = any_hit | better
+
+    hit_p = o + best_t[..., None] * d
+    n = curve_surface_normal(kind, ctrl, radii, best_u, hit_p)
+    return best_t, n, any_hit, best_u

@@ -131,3 +131,48 @@ def test_image_readers_roundtrip(tmp_path):
     np.testing.assert_array_equal(read_ppm(pp), img)
     assert load_image(e).shape == (5, 6, 3)
     assert load_image(p).shape == (9, 7, 4)
+
+
+def test_capsule_intersection():
+    from rendertoy3c_tpu.trace.primitives import intersect_capsule
+
+    o = jnp.asarray([[0.0, 0.0, 5.0], [3.0, 0.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    p0 = jnp.asarray([-1.0, 0.0, 0.0])
+    p1 = jnp.asarray([1.0, 0.0, 0.0])
+    t, n, hit, s = intersect_capsule(o, d, p0, p1, 0.5, 0.5, 0.0, 100.0)
+    assert bool(hit[0]) and not bool(hit[1])
+    np.testing.assert_allclose(float(t[0]), 4.5, rtol=1e-4)
+    np.testing.assert_allclose(float(s[0]), 0.5, atol=1e-3)
+
+
+def test_curve_intersection():
+    from rendertoy3c_tpu.trace.primitives import intersect_curve
+
+    # straight cubic-bspline "hair" along x at y=0,z=0, radius 0.3
+    ctrl = jnp.asarray(
+        [[[-3, 0, 0], [-1, 0, 0], [1, 0, 0], [3, 0, 0]]], jnp.float32
+    )
+    radii = jnp.asarray([[0.3, 0.3, 0.3, 0.3]], jnp.float32)
+    o = jnp.asarray([[0.0, 0.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    t, n, hit, u = intersect_curve("cubic_bspline", ctrl, radii, o, d,
+                                   0.0, 100.0)
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(t[0]), 4.7, rtol=2e-2)
+    # normal points back toward the ray
+    assert float(n[0, 2]) > 0.9
+
+
+def test_curve_intersection_miss():
+    from rendertoy3c_tpu.trace.primitives import intersect_curve
+
+    ctrl = jnp.asarray(
+        [[[-3, 0, 0], [-1, 0, 0], [1, 0, 0], [3, 0, 0]]], jnp.float32
+    )
+    radii = jnp.asarray([[0.1, 0.1, 0.1, 0.1]], jnp.float32)
+    o = jnp.asarray([[0.0, 2.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    _, _, hit, _ = intersect_curve("cubic_bspline", ctrl, radii, o, d,
+                                   0.0, 100.0)
+    assert not bool(hit[0])
