@@ -27,8 +27,8 @@ from ..math.microfacet import d_ggx, schlick_fresnel, smith_g
 from ..math.vec import dot, faceforward, length, normalize
 from ..scene.camera import CameraParams
 from ..scene.scene import Scene
-from ..scene.texture import sample_texture_bilinear
-from ..trace.intersect import make_bruteforce_tracer
+from ..scene.texture import sample_texture_alpha, sample_texture_bilinear
+from ..trace.intersect import Hit, make_bruteforce_tracer
 from .config import RenderConfig
 from .path import RenderStats, _camera_ray
 
@@ -119,8 +119,51 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
     return jnp.where(hit.mask[:, None], result, 0.0), shadow_count
 
 
+def _hit_alpha(scene, hit, direction):
+    """Cutout alpha at a hit: base-color-texture A (nearest) x alpha factor
+    for MASK materials, 1 otherwise (whitted anyhit alpha semantics,
+    cuda/whitted.cu:100-137)."""
+    g = scene.geom
+    prim = jnp.maximum(hit.prim, 0)
+    mid = g.mat_id[prim]
+    mat = scene.materials
+    w0 = (1.0 - hit.u - hit.v)[:, None]
+    texcoord = (w0 * g.uv0[prim] + hit.u[:, None] * g.uv1[prim]
+                + hit.v[:, None] * g.uv2[prim])
+    a = sample_texture_alpha(
+        scene.atlas, mat.diffuse_tex[mid], texcoord[..., 0], texcoord[..., 1]
+    ) * mat.alpha[mid]
+    opaque_lane = ~mat.alpha_mask[mid]
+    return jnp.where(opaque_lane, 1.0, a), mat.alpha_cutoff[mid]
+
+
+def trace_closest_alpha(scene, trace_closest, o, d, tmin, tmax, time,
+                        max_transparent: int = 4):
+    """Closest hit skipping MASK texels below their cutoff: re-traces past
+    transparent hits up to max_transparent times (the anyhit-continuation
+    loop expressed as wavefront iterations)."""
+    hit = trace_closest(o, d, tmin, tmax, time)
+    any_mask = bool(scene.num_materials) and True
+    for _ in range(max_transparent):
+        a, cutoff = _hit_alpha(scene, hit, d)
+        transparent = hit.mask & (a < cutoff)
+        # re-trace transparent lanes from just past the hit
+        tmin2 = jnp.where(transparent, hit.t + 1e-4, tmin)
+        hit2 = trace_closest(o, d, tmin2, tmax, time)
+        hit = Hit(
+            t=jnp.where(transparent, hit2.t, hit.t),
+            prim=jnp.where(transparent, hit2.prim, hit.prim),
+            u=jnp.where(transparent, hit2.u, hit.u),
+            v=jnp.where(transparent, hit2.v, hit.v),
+            inst=None if hit.inst is None else jnp.where(
+                transparent, hit2.inst, hit.inst
+            ),
+        )
+    return hit
+
+
 def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
-                         point_lights, ambient, bg):
+                         point_lights, ambient, bg, alpha_masked=False):
     trace_closest, trace_any = tracer
     n = pixel_idx.shape[0]
     width = jnp.float32(cfg.width)
@@ -136,10 +179,16 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
         seed, jx = rng.rnd(seed)
         seed, jy = rng.rnd(seed)
         org, direction = _camera_ray(cam, px, py, jx, jy, width, height)
-        hit = trace_closest(
-            org, direction, cfg.primary_tmin, cfg.primary_tmax,
-            jnp.zeros((n,), jnp.float32),
-        )
+        time0 = jnp.zeros((n,), jnp.float32)
+        if alpha_masked:
+            hit = trace_closest_alpha(
+                scene, trace_closest, org, direction,
+                cfg.primary_tmin, cfg.primary_tmax, time0,
+            )
+        else:
+            hit = trace_closest(
+                org, direction, cfg.primary_tmin, cfg.primary_tmax, time0
+            )
         rgb, n_sh = shade_direct(
             scene, cfg, trace_any, hit, org, direction, point_lights, ambient
         )
@@ -172,11 +221,16 @@ def make_direct_render_fn(
     ambient_v = jnp.asarray(ambient, jnp.float32)
     n_pixels = cfg.width * cfg.height
     pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
+    # static gate: the transparent-continuation loop only compiles in when
+    # some material is alpha-masked
+    import numpy as _np
+
+    alpha_masked = bool(_np.asarray(scene.materials.alpha_mask).any())
 
     def step(cam: CameraParams, film: Film):
         rgb, n_rad, n_shad = render_direct_pixels(
             scene, cfg, cam, tracer, pixel_idx, film.subframe_index,
-            point_lights, ambient_v, bg,
+            point_lights, ambient_v, bg, alpha_masked=alpha_masked,
         )
         film = film_accumulate(
             film, rgb.reshape(cfg.height, cfg.width, 3)

@@ -43,6 +43,11 @@ class Material:
     specular_tint: float = 0.0
     sheen: float = 0.0
     clearcoat: float = 0.0
+    # alpha handling (cuda/MaterialData.h alpha modes / glTF alphaMode):
+    # 'OPAQUE' or 'MASK' (cutout by base-color-texture alpha * alpha factor)
+    alpha_mode: str = "OPAQUE"
+    alpha_cutoff: float = 0.5
+    alpha: float = 1.0
     # texture-coordinate transform (cuda/MaterialData.h texture desc
     # offset/rotation/scale; glTF KHR_texture_transform):
     # uv' = offset + R(rotation) @ (scale * uv)
@@ -82,6 +87,9 @@ class MaterialTable(NamedTuple):
     roughness_tex: jnp.ndarray  # [M] int32
     normal_tex: jnp.ndarray  # [M] int32
     uv_xform: jnp.ndarray  # [M, 6] f32 (m00 m01 m10 m11 ox oy)
+    alpha_mask: jnp.ndarray  # [M] bool (alpha_mode == MASK)
+    alpha_cutoff: jnp.ndarray  # [M] f32
+    alpha: jnp.ndarray  # [M] f32 alpha factor
 
 
 def build_material_table(materials: Sequence[Material]) -> MaterialTable:
@@ -105,6 +113,11 @@ def build_material_table(materials: Sequence[Material]) -> MaterialTable:
         roughness_tex=i32([m.roughness_texture_id for m in materials]),
         normal_tex=i32([m.normal_texture_id for m in materials]),
         uv_xform=f32([m.uv_transform_row() for m in materials]),
+        alpha_mask=jnp.asarray(
+            np.asarray([m.alpha_mode == "MASK" for m in materials], bool)
+        ),
+        alpha_cutoff=f32([m.alpha_cutoff for m in materials]),
+        alpha=f32([m.alpha for m in materials]),
     )
 
 

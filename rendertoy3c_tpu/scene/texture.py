@@ -158,3 +158,22 @@ def sample_texture_bilinear(
         + c11 * fu * fv
     )
     return jnp.where((tex_id >= 0)[..., None], rgb, 0.0)
+
+
+def sample_texture_alpha(
+    atlas: TextureAtlas, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """Nearest-sample the alpha channel (cutout masks use point sampling).
+
+    Returns alpha in [0, 1]; lanes with tex_id < 0 return 1 (opaque).
+    """
+    tid = jnp.maximum(tex_id, 0)
+    m = atlas.meta[tid]
+    y0, x0 = m[..., 0], m[..., 1]
+    th, tw = m[..., 2], m[..., 3]
+    uu = (u - jnp.floor(u)) * tw.astype(jnp.float32)
+    vv = (v - jnp.floor(v)) * th.astype(jnp.float32)
+    iu = jnp.mod(jnp.floor(uu).astype(jnp.int32), tw)
+    iv = jnp.mod(jnp.floor(vv).astype(jnp.int32), th)
+    a = atlas.data[y0 + iv, x0 + iu, 3].astype(jnp.float32) * (1.0 / 255.0)
+    return jnp.where(tex_id >= 0, a, 1.0)

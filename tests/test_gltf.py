@@ -144,3 +144,59 @@ def test_direct_shadowing():
     lum = img.mean(axis=-1)
     assert lum.max() > 0.05
     assert (lum == 0).any()  # fully shadowed texels exist with no ambient
+
+
+def test_alpha_mask_cutout():
+    """A MASK-mode checkerboard-alpha quad lets rays through transparent
+    texels (whitted anyhit alpha parity)."""
+    import jax.numpy as jnp
+    from rendertoy3c_tpu.scene.builtin import quad
+    from rendertoy3c_tpu.scene.material import Material
+    from rendertoy3c_tpu.scene.mesh import Mesh
+    from rendertoy3c_tpu.scene.camera import Camera
+    from rendertoy3c_tpu.integrate.direct import render_direct
+
+    # 2x2 alpha checker: opaque red / transparent
+    tex = np.zeros((2, 2, 4), np.uint8)
+    tex[0, 0] = (255, 0, 0, 255)
+    tex[1, 1] = (255, 0, 0, 255)
+    # (other texels alpha 0)
+    v, f = quad([-1, 1, -1], [1, 1, -1], [1, 1, 1], [-1, 1, 1])
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    masked = Mesh(vertices=v[None], indices=f, texcoords=uvs,
+                  material=Material(diffuse=(1, 1, 1), diffuse_texture_id=0,
+                                    alpha_mode="MASK"))
+    fv, ff = quad([-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2])
+    floor = Mesh(vertices=fv[None], indices=ff,
+                 material=Material(diffuse=(0.0, 0.8, 0.0)))
+    scene = build_scene([masked, floor], textures=[tex])
+
+    from rendertoy3c_tpu.io.gltf import PointLight
+
+    cam = Camera(eye=(0, 4.0, 0.01), lookat=(0, 0, 0), fov_y=60.0)
+    cfg = RenderConfig(width=16, height=16, samples_per_launch=4,
+                       ray_block=256)
+    film, _ = render_direct(
+        scene, cam.params(), cfg,
+        point_lights=[PointLight(position=(0, 6, 0), intensity=30.0)],
+        ambient=(0.2, 0.2, 0.2), subframes=1,
+    )
+    img = np.asarray(film.accum)
+    assert np.isfinite(img).all()
+    # both the red quad (opaque texels) and the green floor (through
+    # transparent texels) must be visible
+    red_px = (img[..., 0] > 2 * img[..., 1]) & (img[..., 0] > 0.01)
+    green_px = (img[..., 1] > 2 * img[..., 0]) & (img[..., 1] > 0.01)
+    assert red_px.sum() > 5, red_px.sum()
+    assert green_px.sum() > 5, green_px.sum()
+
+
+def test_gltf_alpha_mode_parsed(tmp_path):
+    path = _quad_gltf(tmp_path)
+    j = json.loads(open(path).read())
+    j["materials"][0]["alphaMode"] = "MASK"
+    j["materials"][0]["alphaCutoff"] = 0.25
+    open(path, "w").write(json.dumps(j))
+    meshes, _, _, _ = load_gltf(path)
+    assert meshes[0].material.alpha_mode == "MASK"
+    assert meshes[0].material.alpha_cutoff == 0.25
