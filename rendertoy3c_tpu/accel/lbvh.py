@@ -290,6 +290,7 @@ def reorder_scene_by_bvh(scene, perm: np.ndarray):
         num_materials=scene.num_materials,
         all_diffuse=scene.all_diffuse,
         any_uv_transform=scene.any_uv_transform,
+        any_normal_map=scene.any_normal_map,
     )
 
 

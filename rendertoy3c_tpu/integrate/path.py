@@ -113,6 +113,32 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
         tu = xf[:, 0] * texcoord[:, 0] + xf[:, 1] * texcoord[:, 1] + xf[:, 4]
         tv = xf[:, 2] * texcoord[:, 0] + xf[:, 3] * texcoord[:, 1] + xf[:, 5]
         texcoord = jnp.stack([tu, tv], axis=-1)
+    if getattr(scene, "any_normal_map", False) and hit.inst is None:
+        # tangent-space normal mapping (the reference carries normal-map ids,
+        # src/material.h:36, but never applies them — done here): tangent
+        # from the uv parameterization, Gram-Schmidt against ng.
+        ntex = scene.materials.normal_tex[g.mat_id[prim]]
+        n_rgb = sample_texture_bilinear(
+            scene.atlas, ntex, texcoord[..., 0], texcoord[..., 1]
+        )
+        n_ts = n_rgb * 2.0 - 1.0
+        duv1 = g.uv1[prim] - g.uv0[prim]
+        duv2 = g.uv2[prim] - g.uv0[prim]
+        e1w = g.e1[0, prim]
+        e2w = g.e2[0, prim]
+        tang = e1w * duv2[:, 1:2] - e2w * duv1[:, 1:2]
+        tang = tang - ng * jnp.sum(tang * ng, axis=-1, keepdims=True)
+        tang = normalize(tang, eps=1e-12)
+        bitan = jnp.stack([
+            ng[:, 1] * tang[:, 2] - ng[:, 2] * tang[:, 1],
+            ng[:, 2] * tang[:, 0] - ng[:, 0] * tang[:, 2],
+            ng[:, 0] * tang[:, 1] - ng[:, 1] * tang[:, 0],
+        ], axis=-1)
+        ng_mapped = normalize(
+            n_ts[:, 0:1] * tang + n_ts[:, 1:2] * bitan + n_ts[:, 2:3] * ng,
+            eps=1e-12,
+        )
+        ng = jnp.where((ntex >= 0)[:, None], ng_mapped, ng)
     ns = faceforward(ng, -direction, ng)
     p = org + hit.t[:, None] * direction
 

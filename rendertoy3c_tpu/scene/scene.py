@@ -102,6 +102,8 @@ class Scene:
     all_diffuse: bool = field(metadata=dict(static=True), default=True)
     # True when any material carries a texture-coordinate transform
     any_uv_transform: bool = field(metadata=dict(static=True), default=False)
+    # True when any material carries a (tangent-space) normal map
+    any_normal_map: bool = field(metadata=dict(static=True), default=False)
 
 
 def _apply_affine(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
@@ -250,4 +252,5 @@ def build_scene(
             m.material_type == MaterialType.DIFFUSE for m in materials
         ),
         any_uv_transform=any(m.has_uv_transform() for m in materials),
+        any_normal_map=any(m.normal_texture_id >= 0 for m in materials),
     )

@@ -132,3 +132,55 @@ def test_uv_transform():
     assert blue_dom(base) > 10
     assert blue_dom(xf) == 0
     assert xf[..., 0].max() > 0.02  # red still present
+
+
+def test_normal_mapping():
+    """A tangent-space normal map perturbs shading on a flat floor (the
+    reference parses normal-map ids but never applies them)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+    from rendertoy3c_tpu.scene.builtin import quad
+    from rendertoy3c_tpu.scene.material import Material, MaterialType
+    from rendertoy3c_tpu.scene.mesh import Mesh
+    from rendertoy3c_tpu.scene.camera import Camera
+    from rendertoy3c_tpu.scene.scene import build_scene
+
+    # flat map (z=1) vs strongly tilted map
+    flat = np.zeros((4, 4, 4), np.uint8)
+    flat[..., 0] = 128
+    flat[..., 1] = 128
+    flat[..., 2] = 255
+    flat[..., 3] = 255
+    tilted = flat.copy()
+    tilted[..., 0] = 255  # lean the normal hard toward +tangent
+    tilted[..., 2] = 128
+
+    v, f = quad([-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1])
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    lv, lf = quad([-0.4, 2, -0.4], [-0.4, 2, 0.4], [0.4, 2, 0.4],
+                  [0.4, 2, -0.4])
+    lamp = Mesh(vertices=lv[None], indices=lf,
+                material=Material(emissive=(12, 12, 12)))
+    cam = Camera(eye=(0, 1.5, 2.0), lookat=(0, 0, 0), fov_y=45.0)
+    cfg = RenderConfig(width=12, height=12, samples_per_launch=8,
+                       max_depth=2, ray_block=256, seed=3)
+
+    def render(tex):
+        # PRINCIPLED floor so the dispatch (normal-mapped) path runs
+        mat = Material(material_type=MaterialType.PRINCIPLED,
+                       diffuse=(0.7, 0.7, 0.7), roughness=0.8,
+                       normal_texture_id=0)
+        floor = Mesh(vertices=v[None], indices=f, texcoords=uvs, material=mat)
+        scene = build_scene([floor, lamp], textures=[tex])
+        assert scene.any_normal_map
+        film, _ = render_frame(scene, cam.params(), cfg, subframes=2)
+        return np.asarray(film.accum)
+
+    img_flat = render(flat)
+    img_tilt = render(tilted)
+    assert np.isfinite(img_flat).all() and np.isfinite(img_tilt).all()
+    # tilting the normals away from the light darkens the floor
+    diff = np.abs(img_flat - img_tilt).mean()
+    assert diff > 0.01, diff
