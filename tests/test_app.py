@@ -94,3 +94,32 @@ def test_seed_decorrelates():
     a1 = np.asarray(f1.accum)
     assert not np.array_equal(a0, a1)
     assert abs(a0.mean() - a1.mean()) < 0.2  # same scene statistics
+
+
+def test_cli_obj_file_end_to_end(tmp_path):
+    """Render an actual .obj scene through the CLI (the reference app's
+    whole pipeline: loadOBJ -> build -> render -> save)."""
+    (tmp_path / "scene.obj").write_text(
+        "mtllib scene.mtl\n"
+        "v -2 0 -2\nv 2 0 -2\nv 2 0 2\nv -2 0 2\n"
+        "v -0.5 2.5 -0.5\nv -0.5 2.5 0.5\nv 0.5 2.5 0.5\nv 0.5 2.5 -0.5\n"
+        "usemtl white\nf 1 2 3\nf 1 3 4\n"
+        "usemtl lamp\nf 5 6 7\nf 5 7 8\n"
+    )
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl white\nKd 0.7 0.7 0.7\n"
+        "newmtl lamp\nKd 0 0 0\nKe 15 15 15\n"
+    )
+    out = str(tmp_path / "obj.png")
+    rc = main([
+        "--scene", str(tmp_path / "scene.obj"), "--size", "16x16",
+        "--spp", "1", "--subframes", "1", "--max-depth", "3",
+        "--tracer", "brute", "--ray-block", "256",
+        "--eye", "0,2,5", "--lookat", "0,0.5,0", "-o", out,
+    ])
+    assert rc == 0
+    import numpy as np
+    from rendertoy3c_tpu.film.image import read_png
+
+    img = read_png(out)
+    assert img[..., :3].max() > 0  # something rendered
