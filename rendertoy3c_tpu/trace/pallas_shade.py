@@ -23,8 +23,8 @@ else uses the general XLA shading path (integrate/path.py) — same results,
 more kernels.
 
 Table layouts (VMEM, lane-friendly):
-  attr   [F, 16] f32 : n0.xyz n1.xyz n2.xyz emission.xyz diffuse.xyz pad
-  lights [Lp, 16] f32: v0.xyz v1.xyz v2.xyz emission.xyz normal.xyz area
+  attr   [16, F] f32 : rows n0.xyz n1.xyz n2.xyz emission.xyz diffuse.xyz pad
+  lights [16, Lp] f32: rows v0.xyz v1.xyz v2.xyz emission.xyz normal.xyz area
   misc_in  [R, 8] f32: seed(bits) atten.xyz last_atten.xyz emit_gate
   rays_out [R, 8] f32: new org/dir + tmin/tmax for the next bounce
   misc_out [R, 16] f32: seed(bits) atten.xyz last_atten.xyz contrib.xyz
@@ -52,7 +52,8 @@ MAX_ONEHOT_FACES = 2048
 
 
 def build_shade_tables(scene):
-    """(attr [F,16], lights [Lp,16]) from a gated scene (see module doc)."""
+    """(attr_t [16,F], lights_t [16,Lp]) — transposed so the one-hot fetch
+    yields lanes-major rows (see module doc)."""
     g = scene.geom
     f = g.mat_id.shape[0]
     mat_id = np.asarray(g.mat_id)
@@ -75,7 +76,8 @@ def build_shade_tables(scene):
     lights[:n_l, 9:12] = np.asarray(lt.emission)[:n_l]
     lights[:n_l, 12:15] = np.asarray(lt.normal)[:n_l]
     lights[:n_l, 15] = np.asarray(lt.area)[:n_l]
-    return jnp.asarray(attr), jnp.asarray(lights)
+    return (jnp.asarray(np.ascontiguousarray(attr.T)),
+            jnp.asarray(np.ascontiguousarray(lights.T)))
 
 
 def _rnd(state_f):
@@ -94,14 +96,17 @@ def _rnd_masked(state_f, mask):
     return jnp.where(mask, new_f, state_f), u
 
 
-def _onehot_fetch(prim_col, table_ref, rt):
-    """[RT,1] float ids -> [RT, 16] rows via one-hot matmul on the MXU."""
-    f = table_ref.shape[0]
-    ids = jax.lax.broadcasted_iota(jnp.int32, (rt, f), 1).astype(jnp.float32)
-    onehot = (ids == prim_col).astype(jnp.float32)
+def _onehot_fetch_t(id_row, table_t_ref):
+    """[1, RT] float ids -> [16, RT] field rows via one-hot matmul on the
+    MXU against a TRANSPOSED table [16, N] — results land lanes-major so
+    all downstream shading math runs at full 128-lane width."""
+    n = table_t_ref.shape[1]
+    rt = id_row.shape[1]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, rt), 0).astype(jnp.float32)
+    onehot = (ids == id_row).astype(jnp.float32)  # [N, RT]
     # HIGHEST precision: the default MXU f32 path truncates the table
     # values toward bf16, which perturbs normals/albedo enough to bias RR
-    return jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32,
+    return jnp.dot(table_t_ref[:], onehot, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
 
@@ -119,26 +124,38 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         i = pl.program_id(0)
         rt = rays_ref.shape[0]
 
-        ox, oy, oz = (rays_ref[:, c:c + 1] for c in (0, 1, 2))
-        dx, dy, dz = (rays_ref[:, c:c + 1] for c in (3, 4, 5))
-        t_hit = hit_ref[:, 0:1]
-        prim_f = hit_ref[:, 1:2]
-        bu = hit_ref[:, 2:3]
-        bv = hit_ref[:, 3:4]
-        seed = misc_ref[:, 0:1]
-        atten = [misc_ref[:, c:c + 1] for c in (1, 2, 3)]
-        last_at = [misc_ref[:, c:c + 1] for c in (4, 5, 6)]
-        emit_gate = misc_ref[:, 7:8]  # 1.0 when emission may collect
+        # Lanes-major shading: transpose per-lane state to [C, RT] so every
+        # elementwise op runs on [1, RT] rows at full 128-lane width (the
+        # [RT, 1] column form wastes 127/128 lanes per op). The MT sweep
+        # keeps its rays-in-sublanes layout via one transpose at the
+        # boundary.
+        rays_t = jnp.transpose(rays_ref[:], (1, 0))   # [8, RT]
+        hit_t = jnp.transpose(hit_ref[:], (1, 0))     # [4, RT]
+        misc_t = jnp.transpose(misc_ref[:], (1, 0))   # [8, RT]
+
+        def row(m, c):
+            return m[c:c + 1, :]
+
+        ox, oy, oz = row(rays_t, 0), row(rays_t, 1), row(rays_t, 2)
+        dx, dy, dz = row(rays_t, 3), row(rays_t, 4), row(rays_t, 5)
+        t_hit = row(hit_t, 0)
+        prim_f = row(hit_t, 1)
+        bu = row(hit_t, 2)
+        bv = row(hit_t, 3)
+        seed = row(misc_t, 0)
+        atten = [row(misc_t, c) for c in (1, 2, 3)]
+        last_at = [row(misc_t, c) for c in (4, 5, 6)]
+        emit_gate = row(misc_t, 7)  # 1.0 when emission may collect
 
         is_hit = prim_f >= 0.0
         prim_c = jnp.maximum(prim_f, 0.0)
 
-        # --- attribute fetch (one-hot matmul) ---
-        a = _onehot_fetch(prim_c, attr_ref, rt)  # [RT, 16]
+        # --- attribute fetch (transposed one-hot matmul -> [16, RT]) ---
+        a = _onehot_fetch_t(prim_c, attr_ref)
         w0 = 1.0 - bu - bv
-        ngx = w0 * a[:, 0:1] + bu * a[:, 3:4] + bv * a[:, 6:7]
-        ngy = w0 * a[:, 1:2] + bu * a[:, 4:5] + bv * a[:, 7:8]
-        ngz = w0 * a[:, 2:3] + bu * a[:, 5:6] + bv * a[:, 8:9]
+        ngx = w0 * row(a, 0) + bu * row(a, 3) + bv * row(a, 6)
+        ngy = w0 * row(a, 1) + bu * row(a, 4) + bv * row(a, 7)
+        ngz = w0 * row(a, 2) + bu * row(a, 5) + bv * row(a, 8)
         ngx, ngy, ngz, _ = _normalize3(ngx, ngy, ngz)
         # faceforward onto the -d hemisphere
         side = jnp.where(-(dx * ngx + dy * ngy + dz * ngz) >= 0.0, 1.0, -1.0)
@@ -147,8 +164,8 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         py = oy + t_hit * dy
         pz = oz + t_hit * dz
         hit_f = is_hit.astype(jnp.float32)
-        emitted = [a[:, 9 + c:10 + c] * emit_gate * hit_f for c in range(3)]
-        albedo = [a[:, 12 + c:13 + c] for c in range(3)]
+        emitted = [row(a, 9 + c) * emit_gate * hit_f for c in range(3)]
+        albedo = [row(a, 12 + c) for c in range(3)]
 
         # --- BSDF sample (cosine hemisphere; reference draw order) ---
         adv = is_hit  # every lane in a live tile advances like the XLA path
@@ -184,14 +201,14 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         lidx = jnp.minimum(
             jnp.floor(u_pick * float(num_lights)), float(num_lights - 1)
         )
-        lrow = _onehot_fetch(lidx, lights_ref, rt)  # [RT, 16]
+        lrow = _onehot_fetch_t(lidx, lights_ref)  # [16, RT]
         su = jnp.sqrt(lu)
         b0 = 1.0 - su
         b1 = lv * su
         b2 = 1.0 - b0 - b1
-        lpx = b0 * lrow[:, 0:1] + b1 * lrow[:, 3:4] + b2 * lrow[:, 6:7]
-        lpy = b0 * lrow[:, 1:2] + b1 * lrow[:, 4:5] + b2 * lrow[:, 7:8]
-        lpz = b0 * lrow[:, 2:3] + b1 * lrow[:, 5:6] + b2 * lrow[:, 8:9]
+        lpx = b0 * row(lrow, 0) + b1 * row(lrow, 3) + b2 * row(lrow, 6)
+        lpy = b0 * row(lrow, 1) + b1 * row(lrow, 4) + b2 * row(lrow, 7)
+        lpz = b0 * row(lrow, 2) + b1 * row(lrow, 5) + b2 * row(lrow, 8)
         lvx, lvy, lvz = lpx - px, lpy - py, lpz - pz
         dist2 = lvx * lvx + lvy * lvy + lvz * lvz
         sdist2 = jnp.maximum(dist2, 1e-20)
@@ -199,11 +216,11 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         ldist = sdist2 * inv_d
         ldx, ldy, ldz = lvx * inv_d, lvy * inv_d, lvz * inv_d
         cos_l = jnp.abs(
-            ldx * lrow[:, 12:13] + ldy * lrow[:, 13:14] + ldz * lrow[:, 14:15]
+            ldx * row(lrow, 12) + ldy * row(lrow, 13) + ldz * row(lrow, 14)
         )
-        omega = cos_l * lrow[:, 15:16] / sdist2
+        omega = cos_l * row(lrow, 15) / sdist2
         degen = (dist2 < 1e-5) | (omega < 1e-5)
-        le = [jnp.where(degen, 0.0, lrow[:, 9 + c:10 + c] * omega)
+        le = [jnp.where(degen, 0.0, row(lrow, 9 + c) * omega)
               for c in range(3)]
         pdf_light = jnp.where(degen, 1.0, 1.0 / jnp.maximum(omega, 1e-20)) \
             * (1.0 / float(num_lights))
@@ -211,10 +228,19 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         want_shadow = adv & (n_dl > 0.0)
 
         # --- shadow sweep over the soup (traceOcclusion) ---
+        # boundary transpose: the MT sweep wants rays in sublanes
         tmax_s = jnp.where(want_shadow, ldist - shadow_eps, 0.0)
-        stmin = jnp.full((rt, 1), shadow_tmin, jnp.float32)
-        cols = (px, py, pz, ldx, ldy, ldz, stmin, tmax_s)
-        inv_sd = _inv_cols(ldx, ldy, ldz)
+        stmin = jnp.full((1, rt), shadow_tmin, jnp.float32)
+        sh_mat = jnp.concatenate(
+            [px, py, pz, ldx, ldy, ldz, stmin, tmax_s], axis=0
+        )  # [8, RT]
+        sh_cols = jnp.transpose(sh_mat, (1, 0))  # [RT, 8]
+
+        def col(c):
+            return sh_cols[:, c:c + 1]
+
+        cols = tuple(col(c) for c in range(8))
+        inv_sd = _inv_cols(cols[3], cols[4], cols[5])
 
         def mt_tile(k, occ):
             _, _, _, hit, _ = _mt_test_cols(
@@ -226,11 +252,12 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
 
         # compaction gating: tiles past the live count skip the sweep
         live = i * RAY_TILE < count_ref[0]
-        occ = _culled_sweep(
-            aabb_ref, super_ref, n_tiles_static, (px, py, pz), inv_sd,
-            stmin, lambda c: tmax_s, mt_tile,
+        occ_col = _culled_sweep(
+            aabb_ref, super_ref, n_tiles_static, cols[0:3], inv_sd,
+            cols[6], lambda c: cols[7], mt_tile,
             jnp.zeros((rt, 1), jnp.float32), live,
         )
+        occ = jnp.transpose(occ_col, (1, 0))  # [1, RT]
         lit = want_shadow & (occ < 0.5)
 
         # weight = albedo/pi * powerHeuristic(pdf_light, |n.l|/pi)
@@ -261,22 +288,29 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         new_at = [jnp.where(survive, new_at[c] * inv_p, new_at[c])
                   for c in range(3)]
 
-        rays_out[:, 0:1] = jnp.where(survive, px, ox)
-        rays_out[:, 1:2] = jnp.where(survive, py, oy)
-        rays_out[:, 2:3] = jnp.where(survive, pz, oz)
-        rays_out[:, 3:4] = jnp.where(survive, ndx, dx)
-        rays_out[:, 4:5] = jnp.where(survive, ndy, dy)
-        rays_out[:, 5:6] = jnp.where(survive, ndz, dz)
-        rays_out[:, 6:8] = rays_ref[:, 6:8]
+        rays_o = jnp.concatenate(
+            [
+                jnp.where(survive, px, ox),
+                jnp.where(survive, py, oy),
+                jnp.where(survive, pz, oz),
+                jnp.where(survive, ndx, dx),
+                jnp.where(survive, ndy, dy),
+                jnp.where(survive, ndz, dz),
+                rays_t[6:8, :],
+            ],
+            axis=0,
+        )  # [8, RT]
+        rays_out[:, :] = jnp.transpose(rays_o, (1, 0))
 
-        misc_out[:, 0:1] = seed
-        for c in range(3):
-            misc_out[:, 1 + c:2 + c] = new_at[c]
-            misc_out[:, 4 + c:5 + c] = new_last[c]
-            misc_out[:, 7 + c:8 + c] = contrib[c]
-        misc_out[:, 10:11] = survive.astype(jnp.float32)
-        misc_out[:, 11:12] = want_shadow.astype(jnp.float32)
-        misc_out[:, 12:16] = jnp.zeros((rt, 4), jnp.float32)
+        misc_o = jnp.concatenate(
+            [seed] + new_at + new_last + contrib + [
+                survive.astype(jnp.float32),
+                want_shadow.astype(jnp.float32),
+                jnp.zeros((4, rt), jnp.float32),
+            ],
+            axis=0,
+        )  # [16, RT]
+        misc_out[:, :] = jnp.transpose(misc_o, (1, 0))
 
     return kernel
 
@@ -342,9 +376,9 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
                     pl.BlockSpec((soup_super.shape[0], 8),
                                  lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((attr.shape[0], 16), lambda i, *_: (0, 0),
+                    pl.BlockSpec((16, attr.shape[1]), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((lights.shape[0], 16), lambda i, *_: (0, 0),
+                    pl.BlockSpec((16, lights.shape[1]), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=(
