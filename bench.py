@@ -231,11 +231,13 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         cfg = RenderConfig(width=768, height=768, samples_per_launch=8,
-                           max_depth=16, ray_block=8192, integrator="pool")
+                           max_depth=16, ray_block=32768, integrator="pool",
+                           pool_pixel_major=True, flush_every=8)
         warmup, timed = 1, 4
     else:  # CI smoke mode
         cfg = RenderConfig(width=96, height=96, samples_per_launch=1,
-                           max_depth=4, ray_block=4096, integrator="pool")
+                           max_depth=4, ray_block=4096, integrator="pool",
+                           pool_pixel_major=True, flush_every=8)
         warmup, timed = 1, 1
 
     meshes, camera = cornell_box()
@@ -264,7 +266,9 @@ def main():
             dict(width=cfg.width, height=cfg.height,
                  samples_per_launch=cfg.samples_per_launch,
                  max_depth=cfg.max_depth, ray_block=cfg.ray_block,
-                 integrator=cfg.integrator),
+                 integrator=cfg.integrator,
+                 pool_pixel_major=cfg.pool_pixel_major,
+                 flush_every=cfg.flush_every),
             warmup, timed,
         )
         details["headline_cornell_768_8spp"] = {

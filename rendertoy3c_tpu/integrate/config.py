@@ -41,6 +41,13 @@ class RenderConfig:
     # identical per-path arithmetic, sample sums in pool-flush order).
     integrator: str = "wave"
 
+    # Pool-only: pixel-major work order — a lane renders ALL its pixel's
+    # samples before flushing, cutting framebuffer scatter-adds by ~spp and
+    # letting them run every flush_every iterations (completed lanes wait at
+    # most flush_every-1 iterations to be recycled).
+    pool_pixel_major: bool = False
+    flush_every: int = 4
+
     # Pool-only: re-sort live lanes by direction-octant Morton keys each
     # iteration. Costs an argsort + state permutation; pays off for tracers
     # with coherence-dependent culling (the instanced TLAS kernel) — the TPU

@@ -497,13 +497,22 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
         depth=jnp.zeros((pool,), jnp.int32),
         prev_delta=jnp.zeros((pool,), bool),
         alive=jnp.zeros((pool,), bool),
+        samp=jnp.zeros((pool,), jnp.int32),  # next sample index (pixel-major)
         image=jnp.zeros((n_pix + 1, 3), jnp.float32),  # +1 = scatter sink
         next_work=jnp.zeros((), jnp.int32),
+        iter=jnp.zeros((), jnp.int32),
         n_rad=jnp.zeros((), jnp.int32),
         n_shad=jnp.zeros((), jnp.int32),
     )
-    def cond(s):
-        return (s["next_work"] < total_work) | jnp.any(s["alive"])
+
+    if cfg.pool_pixel_major:
+        def cond(s):
+            pending = (s["pixel"] >= 0) & (s["samp"] < spp)
+            return ((s["next_work"] < n_pix) | jnp.any(s["alive"])
+                    | jnp.any(pending))
+    else:
+        def cond(s):
+            return (s["next_work"] < total_work) | jnp.any(s["alive"])
 
     def body(s):
         # No compaction: lanes refill in place (rank via cumsum), so lane
@@ -511,21 +520,64 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
         dead = ~s["alive"]
         n_alive = pool - jnp.sum(dead.astype(jnp.int32))
 
-        # --- flush finished paths to the framebuffer ---
-        flush = dead & (s["pixel"] >= 0)
-        target = jnp.where(flush, s["pixel"], n_pix)  # idle -> sink row
-        image = s["image"].at[target].add(
-            jnp.where(flush[:, None], s["acc"], 0.0)
-        )
+        if cfg.pool_pixel_major:
+            # --- pixel-major schedule: a lane owns one pixel and renders all
+            # its samples back-to-back; the framebuffer scatter runs only
+            # every flush_every iterations over lanes whose pixel completed.
+            completed = dead & (s["pixel"] >= 0) & (s["samp"] >= spp)
+            do_flush = (s["iter"] % cfg.flush_every) == 0
 
-        # --- refill idle lanes with fresh (pixel, sample) work ---
-        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # per-dead-lane rank
-        w = s["next_work"] + rank
-        take = dead & (w < total_work)
-        w_c = jnp.clip(w, 0, total_work - 1)
-        p_slot = w_c % n_pix
-        samp = w_c // n_pix
-        new_pixel = pixel_base + p_slot
+            def flush_fn(img):
+                target = jnp.where(completed, s["pixel"], n_pix)
+                return img.at[target].add(
+                    jnp.where(completed[:, None], s["acc"], 0.0)
+                )
+
+            image = jax.lax.cond(do_flush, flush_fn, lambda im: im,
+                                 s["image"])
+            freed = completed & do_flush
+            pixel_cur = jnp.where(freed, -1, s["pixel"])
+            acc_cur = jnp.where(freed[:, None], 0.0, s["acc"])
+            samp_cur = jnp.where(freed, 0, s["samp"])
+
+            # assign fresh pixels to idle lanes
+            idle = dead & (pixel_cur < 0)
+            rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
+            wpix = s["next_work"] + rank
+            take_px = idle & (wpix < n_pix)
+            pixel_cur = jnp.where(
+                take_px, pixel_base + jnp.clip(wpix, 0, n_pix - 1), pixel_cur
+            )
+            samp_cur = jnp.where(take_px, 0, samp_cur)
+            next_work = s["next_work"] + jnp.sum(take_px.astype(jnp.int32))
+
+            # (re)start: any dead lane holding a pixel with samples left
+            take = dead & (pixel_cur >= 0) & (samp_cur < spp)
+            new_pixel = jnp.maximum(pixel_cur, 0)
+            samp = samp_cur
+            flush = freed  # downstream acc handling keys on freed lanes
+            s = dict(s, image=image, next_work=next_work,
+                     iter=s["iter"] + 1, pixel=pixel_cur,
+                     samp=jnp.where(take, samp_cur + 1, samp_cur),
+                     acc=acc_cur)
+        else:
+            # --- sample-major: flush every dying path, refill immediately ---
+            flush = dead & (s["pixel"] >= 0)
+            target = jnp.where(flush, s["pixel"], n_pix)  # idle -> sink row
+            image = s["image"].at[target].add(
+                jnp.where(flush[:, None], s["acc"], 0.0)
+            )
+
+            rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # per-dead rank
+            w = s["next_work"] + rank
+            take = dead & (w < total_work)
+            w_c = jnp.clip(w, 0, total_work - 1)
+            p_slot = w_c % n_pix
+            samp = w_c // n_pix
+            new_pixel = pixel_base + p_slot
+            s = dict(s, image=image, iter=s["iter"] + 1,
+                     next_work=s["next_work"]
+                     + jnp.sum(take.astype(jnp.int32)))
         st = rng.tea(new_pixel.astype(jnp.uint32), subframe_index)
         if cfg.seed:
             st = rng.rot_seed(st, jnp.uint32(cfg.seed))
@@ -548,6 +600,14 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             m = take if old.ndim == 1 else take[:, None]
             return jnp.where(m, new, old)
 
+        if cfg.pool_pixel_major:
+            # acc persists across a pixel's samples; pixel already updated
+            acc_new = s["acc"]
+            pixel_new = s["pixel"]
+        else:
+            acc_new = fill(jnp.zeros((pool, 3), jnp.float32),
+                           jnp.where(flush[:, None], 0.0, s["acc"]))
+            pixel_new = fill(new_pixel, jnp.where(flush, -1, s["pixel"]))
         s = dict(
             s,
             org=fill(new_org, s["org"]),
@@ -555,14 +615,11 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             seed=fill(st, s["seed"]),
             atten=fill(jnp.ones((pool, 3), jnp.float32), s["atten"]),
             last_atten=fill(jnp.ones((pool, 3), jnp.float32), s["last_atten"]),
-            acc=fill(jnp.zeros((pool, 3), jnp.float32),
-                     jnp.where(flush[:, None], 0.0, s["acc"])),
-            pixel=fill(new_pixel, jnp.where(flush, -1, s["pixel"])),
+            acc=acc_new,
+            pixel=pixel_new,
             depth=fill(jnp.zeros((pool,), jnp.int32), s["depth"]),
             prev_delta=s["prev_delta"] & ~take,
             alive=s["alive"] | take,
-            image=image,
-            next_work=s["next_work"] + jnp.sum(take.astype(jnp.int32)),
         )
 
         if cfg.sort_rays:
@@ -584,7 +641,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             key = jnp.where(s["alive"], key, jnp.uint32(0xFFFFFFFF))
             order = jnp.argsort(key)
             per_lane = ("org", "dir", "seed", "atten", "last_atten", "acc",
-                        "pixel", "depth", "prev_delta", "alive")
+                        "pixel", "depth", "prev_delta", "alive", "samp")
             s = {
                 k: (jnp.take(v, order, axis=0) if k in per_lane else v)
                 for k, v in s.items()

@@ -74,3 +74,23 @@ def test_pool_sorted_matches_unsorted(cornell):
     np.testing.assert_allclose(np.asarray(f1.accum), np.asarray(f0.accum),
                                rtol=2e-5, atol=2e-5)
     assert int(s1.radiance_rays) == int(s0.radiance_rays)
+
+
+def test_pool_pixel_major_matches_wave(cornell):
+    scene, camera = cornell
+    base = dict(width=20, height=20, samples_per_launch=3, max_depth=4,
+                ray_block=128, integrator="pool")
+    cam = camera.params()
+    from rendertoy3c_tpu.integrate.path import render_frame as rf
+
+    f_wave, s_wave = rf(scene, cam,
+                        RenderConfig(**{**base, "integrator": "wave"}),
+                        subframes=1)
+    f_px, s_px = rf(scene, cam,
+                    RenderConfig(pool_pixel_major=True, flush_every=3, **base),
+                    subframes=1)
+    np.testing.assert_allclose(np.asarray(f_px.accum),
+                               np.asarray(f_wave.accum),
+                               rtol=2e-5, atol=2e-5)
+    assert int(s_px.radiance_rays) == int(s_wave.radiance_rays)
+    assert int(s_px.shadow_rays) == int(s_wave.shadow_rays)
