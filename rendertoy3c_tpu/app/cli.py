@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--integrator", choices=["pool", "wave"], default="pool",
                    help="path-tracer schedule: persistent ray pool (fast) or "
                         "per-block waves (reference-ordered)")
+    p.add_argument("--flush-every", type=int, default=8,
+                   help="pool schedule: framebuffer flush cadence (pixel-"
+                        "major lanes render all their samples between "
+                        "flushes)")
     p.add_argument("--ambient", type=_vec3, default=(0.35, 0.35, 0.35),
                    help="ambient light for --renderer direct")
     p.add_argument("--light-sampler", choices=["uniform", "power"],
@@ -163,6 +167,8 @@ def main(argv=None) -> int:
         max_depth=args.max_depth, seed=args.seed,
         light_sampler=args.light_sampler, throughput_model=args.throughput,
         ray_block=args.ray_block, integrator=args.integrator,
+        pool_pixel_major=(args.integrator == "pool"),
+        flush_every=args.flush_every,
     )
 
     with timers.phase("load"):
