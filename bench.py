@@ -146,6 +146,23 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     scene = build_scene(meshes, instances=inst)
     record("motion_blur", scene, mt(scene))
 
+    # 1b. the BASELINE.md-specified shape: 1080p offline accumulation
+    import dataclasses as _dc1080
+
+    cfg_1080 = _dc1080.replace(cfg, width=1920, height=1080)
+    meshes, meshes_cam = cornell_box()
+    scene = build_scene(meshes)
+    step = make_render_fn(scene, cfg_1080, tracer=mt(scene, cfg_1080))
+    meshes_cam.aspect_ratio = cfg_1080.width / cfg_1080.height
+    mrays, dt = _bench_step(
+        step, meshes_cam.params(),
+        lambda: film_create(cfg_1080.height, cfg_1080.width), warmup, timed,
+    )
+    results["static_1080p"] = {
+        "mrays_per_sec": round(mrays, 3),
+        "spp_per_sec": round(timed * spp_per_frame / dt, 3),
+    }
+
     # 5b. large scene: 49k-triangle box field (tile-cull scaling story)
     rng = np.random.default_rng(0)
     v_all, f_all = [], []
