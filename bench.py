@@ -190,8 +190,15 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     meshes_cam = _Camera(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0)
     import dataclasses as _dcl
 
-    cfg_big = _dcl.replace(cfg, sort_rays=True)  # coherent tiles feed the cull
-    tracer_big = mt(big_scene, cfg_big)
+    cfg_big = _dcl.replace(cfg, sort_rays=True)
+    if on_tpu:
+        # incoherent bounce wavefronts defeat tile-granular culling at this
+        # scene size; the per-ray ordered leaf walk scales (trace/leafwalk.py)
+        from rendertoy3c_tpu.trace.leafwalk import make_leafwalk_tracer
+
+        tracer_big = make_leafwalk_tracer(big_scene)
+    else:
+        tracer_big = mt(big_scene, cfg_big)
     step = make_render_fn(big_scene, cfg_big, tracer=tracer_big)
     meshes_cam.aspect_ratio = cfg.width / cfg.height
     mrays, dt = _bench_step(

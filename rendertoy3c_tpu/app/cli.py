@@ -38,10 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="progressive launches to accumulate")
     p.add_argument("--max-depth", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--tracer", choices=["auto", "pallas", "bvh", "brute"],
+    p.add_argument("--tracer",
+                   choices=["auto", "pallas", "leafwalk", "bvh", "brute"],
                    default="auto",
-                   help="auto = fused pallas kernels for static scenes on "
-                        "TPU, brute-force otherwise")
+                   help="auto = per-ray leaf walk for large static scenes "
+                        "on TPU, fused pallas tile-cull kernels for the "
+                        "rest, brute-force off-TPU")
     p.add_argument("--renderer", choices=["path", "direct"], default="path",
                    help="path = progressive path tracer (primary stack); "
                         "direct = GGX direct lighting with point+ambient "
@@ -197,8 +199,21 @@ def main(argv=None) -> int:
             import jax as _jax
 
             on_tpu = _jax.devices()[0].platform == "tpu"
-            tracer_kind = "pallas" if (on_tpu and scene.num_keys <= 2) else "brute"
-        if tracer_kind == "pallas":
+            if on_tpu and scene.num_keys == 1 and scene.num_faces > 16384:
+                # large static scenes: incoherent bounce wavefronts defeat
+                # the tile-granular cull; the per-ray walk scales better
+                tracer_kind = "leafwalk"
+            elif on_tpu and scene.num_keys <= 2:
+                tracer_kind = "pallas"
+            else:
+                tracer_kind = "brute"
+        if tracer_kind == "leafwalk":
+            from ..accel.lbvh import morton_order_scene
+            from ..trace.leafwalk import make_leafwalk_tracer
+
+            scene = morton_order_scene(scene)
+            tracer = make_leafwalk_tracer(scene)
+        elif tracer_kind == "pallas":
             from ..trace.pallas_mt import make_pallas_mt_tracer
             from ..trace.pallas_shade import (
                 fused_shade_eligible,
