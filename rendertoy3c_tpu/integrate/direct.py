@@ -12,6 +12,13 @@ static loop over the (few) point lights, each with one batched shadow trace.
 
 Anti-aliasing: the same per-pixel tea/LCG jitter stream as the path tracer,
 accumulated progressively through the Film.
+
+Alpha modes (cuda/MaterialData.h, whitted.cu anyhit programs): MASK cuts out
+texels below the cutoff via a transparent-hit continuation loop
+(trace_closest_alpha); BLEND composites `alpha * shaded + (1-alpha) *
+continuation` layers front to back (render_direct_pixels) and both modes
+attenuate shadow rays by the product of (1 - alpha) over non-opaque hits
+(trace_shadow_transmission).
 """
 from __future__ import annotations
 
@@ -36,9 +43,15 @@ _INV_PI = 1.0 / math.pi
 
 
 def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
-                 direction, point_lights, ambient, count=None):
+                 direction, point_lights, ambient, count=None,
+                 shadow_transmission=None):
     """Vectorized whitted closest-hit (whitted.cu:149-289). Returns
-    (rgb [R,3], shadow_ray_count)."""
+    (rgb [R,3], shadow_ray_count).
+
+    shadow_transmission (optional): fn(p, ldir, tmin, tmax) -> [R] f32
+    fractional shadow visibility for scenes with MASK/BLEND materials
+    (the reference's occlusion-anyhit attenuation, whitted.cu:113-137);
+    when None, occlusion is the binary trace_any probe."""
     prim = jnp.maximum(hit.prim, 0)
     u, v = hit.u, hit.v
     w0 = (1.0 - u - v)[:, None]
@@ -97,11 +110,17 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
         ldir = lvec / jnp.maximum(ldist, 1e-20)[:, None]
         n_dl = dot(ns, ldir)
         want = hit.mask & (n_dl > 0.0)
-        occluded = trace_any(
-            p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps,
-            jnp.zeros_like(ldist), count=count,
-        )
-        lit = want & ~occluded
+        if shadow_transmission is not None:
+            trans = shadow_transmission(
+                p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps
+            )
+            vis = jnp.where(want, trans, 0.0)
+        else:
+            occluded = trace_any(
+                p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps,
+                jnp.zeros_like(ldist), count=count,
+            )
+            vis = (want & ~occluded).astype(jnp.float32)
 
         h = normalize(wo + ldir, eps=1e-20)
         cos_h = dot(ns, h)
@@ -113,16 +132,15 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
         )[:, None]
         brdf = diff_color * _INV_PI + spec
         contrib = lcol[None, :] * brdf * n_dl[:, None]
-        result = result + jnp.where(lit[:, None], contrib, 0.0)
+        result = result + contrib * vis[:, None]
         shadow_count = shadow_count + jnp.sum(want.astype(jnp.int32))
 
     return jnp.where(hit.mask[:, None], result, 0.0), shadow_count
 
 
-def _hit_alpha(scene, hit, direction):
-    """Cutout alpha at a hit: base-color-texture A (nearest) x alpha factor
-    for MASK materials, 1 otherwise (whitted anyhit alpha semantics,
-    cuda/whitted.cu:100-137)."""
+def _sampled_alpha(scene, hit):
+    """Base-color-texture A (nearest) x alpha factor at a hit, plus the
+    hit material's mode columns. Returns (a, mask_lane, blend_lane, cutoff)."""
     g = scene.geom
     prim = jnp.maximum(hit.prim, 0)
     mid = g.mat_id[prim]
@@ -133,8 +151,17 @@ def _hit_alpha(scene, hit, direction):
     a = sample_texture_alpha(
         scene.atlas, mat.diffuse_tex[mid], texcoord[..., 0], texcoord[..., 1]
     ) * mat.alpha[mid]
-    opaque_lane = ~mat.alpha_mask[mid]
-    return jnp.where(opaque_lane, 1.0, a), mat.alpha_cutoff[mid]
+    return a, mat.alpha_mask[mid], mat.alpha_blend[mid], mat.alpha_cutoff[mid]
+
+
+def _hit_alpha(scene, hit, direction):
+    """Cutout alpha at a hit: base-color-texture A (nearest) x alpha factor
+    for MASK materials, 1 otherwise (whitted radiance-anyhit semantics,
+    cuda/whitted.cu:100-111 — BLEND is forced to mask mode with cutoff 0,
+    i.e. never cut out)."""
+    del direction
+    a, mask_lane, _, cutoff = _sampled_alpha(scene, hit)
+    return jnp.where(mask_lane, a, 1.0), cutoff
 
 
 def trace_closest_alpha(scene, trace_closest, o, d, tmin, tmax, time,
@@ -162,8 +189,38 @@ def trace_closest_alpha(scene, trace_closest, o, d, tmin, tmax, time,
     return hit
 
 
+def trace_shadow_transmission(scene, trace_closest, o, d, tmin, tmax, time,
+                              max_layers: int = 8):
+    """Fractional shadow visibility through MASK/BLEND surfaces.
+
+    The reference's occlusion anyhit (whitted.cu:113-137): an OPAQUE hit
+    blocks outright; a MASK hit below its cutoff is ignored; any other
+    non-opaque hit multiplies the carried attenuation by (1 - alpha) and
+    continues while the product stays positive. Expressed here as wavefront
+    re-trace iterations walking hits front to back (up to max_layers; deeper
+    stacks keep the partial product, an invisible bias for real scenes)."""
+    r = o.shape[0]
+    trans = jnp.ones((r,), jnp.float32)
+    walking = jnp.ones((r,), bool)
+    tmin_cur = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    for _ in range(max_layers):
+        hit = trace_closest(o, d, tmin_cur, tmax, time)
+        live = walking & hit.mask
+        a, mask_lane, blend_lane, cutoff = _sampled_alpha(scene, hit)
+        opaque_lane = ~(mask_lane | blend_lane)
+        mask_pass = mask_lane & (a < cutoff)  # cutout texel: no attenuation
+        # opaque hit: fully blocked, stop walking this lane
+        trans = jnp.where(live & opaque_lane, 0.0, trans)
+        attenuate = live & ~opaque_lane & ~mask_pass
+        trans = jnp.where(attenuate, trans * (1.0 - a), trans)
+        walking = live & ~opaque_lane & (trans > 0.0)
+        tmin_cur = jnp.where(walking, hit.t, tmin_cur)
+    return trans
+
+
 def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
-                         point_lights, ambient, bg, alpha_masked=False):
+                         point_lights, ambient, bg, alpha_masked=False,
+                         alpha_blended=False, blend_layers: int = 3):
     trace_closest, trace_any = tracer
     n = pixel_idx.shape[0]
     width = jnp.float32(cfg.width)
@@ -174,26 +231,55 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
     if cfg.seed:
         seed = rng.rot_seed(seed, jnp.uint32(cfg.seed))
 
+    shadow_transmission = None
+    if alpha_masked or alpha_blended:
+        time0_s = jnp.zeros((n,), jnp.float32)
+        shadow_transmission = lambda p, ldir, tn, tx: trace_shadow_transmission(  # noqa: E731
+            scene, trace_closest, p, ldir, tn, tx, time0_s
+        )
+
     def sample_body(carry, _):
         seed, acc, n_rad, n_shad = carry
         seed, jx = rng.rnd(seed)
         seed, jy = rng.rnd(seed)
         org, direction = _camera_ray(cam, px, py, jx, jy, width, height)
         time0 = jnp.zeros((n,), jnp.float32)
-        if alpha_masked:
-            hit = trace_closest_alpha(
-                scene, trace_closest, org, direction,
-                cfg.primary_tmin, cfg.primary_tmax, time0,
+
+        # BLEND compositing (whitted.cu:266-287): result = alpha * shaded +
+        # (1 - alpha) * continuation from the hit distance onward, recursive
+        # up to MAX_TRACE_DEPTH — expressed as a static front-to-back layer
+        # loop carrying the (1 - alpha) product. Opaque scenes compile a
+        # single layer.
+        rgb = jnp.zeros((n, 3), jnp.float32)
+        weight = jnp.ones((n,), jnp.float32)
+        tmin_cur = jnp.full((n,), cfg.primary_tmin, jnp.float32)
+        n_sh_total = jnp.zeros((), jnp.int32)
+        for _layer in range(blend_layers if alpha_blended else 1):
+            if alpha_masked:
+                hit = trace_closest_alpha(
+                    scene, trace_closest, org, direction,
+                    tmin_cur, cfg.primary_tmax, time0,
+                )
+            else:
+                hit = trace_closest(
+                    org, direction, tmin_cur, cfg.primary_tmax, time0
+                )
+            shaded, n_sh = shade_direct(
+                scene, cfg, trace_any, hit, org, direction, point_lights,
+                ambient, shadow_transmission=shadow_transmission,
             )
-        else:
-            hit = trace_closest(
-                org, direction, cfg.primary_tmin, cfg.primary_tmax, time0
-            )
-        rgb, n_sh = shade_direct(
-            scene, cfg, trace_any, hit, org, direction, point_lights, ambient
-        )
-        rgb = jnp.where(hit.mask[:, None], rgb, bg[None, :])
-        return (seed, acc + rgb, n_rad + n, n_shad + n_sh), None
+            n_sh_total = n_sh_total + n_sh
+            if alpha_blended:
+                a, _, blend_lane, _ = _sampled_alpha(scene, hit)
+                a = jnp.where(blend_lane, a, 1.0)
+            else:
+                a = jnp.ones((n,), jnp.float32)
+            layer_rgb = jnp.where(hit.mask[:, None], a[:, None] * shaded,
+                                  bg[None, :])
+            rgb = rgb + weight[:, None] * layer_rgb
+            weight = weight * jnp.where(hit.mask, 1.0 - a, 0.0)
+            tmin_cur = jnp.where(hit.mask, hit.t, tmin_cur)
+        return (seed, acc + rgb, n_rad + n, n_shad + n_sh_total), None
 
     init = (seed, jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32))
@@ -221,16 +307,18 @@ def make_direct_render_fn(
     ambient_v = jnp.asarray(ambient, jnp.float32)
     n_pixels = cfg.width * cfg.height
     pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
-    # static gate: the transparent-continuation loop only compiles in when
-    # some material is alpha-masked
+    # static gates: the transparent-continuation / blend-compositing loops
+    # only compile in when some material needs them
     import numpy as _np
 
     alpha_masked = bool(_np.asarray(scene.materials.alpha_mask).any())
+    alpha_blended = bool(_np.asarray(scene.materials.alpha_blend).any())
 
     def step(cam: CameraParams, film: Film):
         rgb, n_rad, n_shad = render_direct_pixels(
             scene, cfg, cam, tracer, pixel_idx, film.subframe_index,
             point_lights, ambient_v, bg, alpha_masked=alpha_masked,
+            alpha_blended=alpha_blended,
         )
         film = film_accumulate(
             film, rgb.reshape(cfg.height, cfg.width, 3)

@@ -209,8 +209,12 @@ def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
         tex_offset=tuple(xform.get("offset", [0.0, 0.0])),
         tex_rotation=float(xform.get("rotation", 0.0)),
         tex_scale=tuple(xform.get("scale", [1.0, 1.0])),
-        alpha_mode="MASK" if m.get("alphaMode") == "MASK" else "OPAQUE",
-        alpha_cutoff=float(m.get("alphaCutoff", 0.5)),
+        alpha_mode=(m.get("alphaMode", "OPAQUE")
+                    if m.get("alphaMode") in ("MASK", "BLEND") else "OPAQUE"),
+        # cutoff is only meaningful in MASK mode (sutil/Scene.cpp:357-366
+        # leaves it 0 otherwise, so BLEND never cuts out in radiance anyhit)
+        alpha_cutoff=(float(m.get("alphaCutoff", 0.5))
+                      if m.get("alphaMode") == "MASK" else 0.0),
         alpha=float(base[3]) if len(base) > 3 else 1.0,
     )
 

@@ -44,7 +44,9 @@ class Material:
     sheen: float = 0.0
     clearcoat: float = 0.0
     # alpha handling (cuda/MaterialData.h alpha modes / glTF alphaMode):
-    # 'OPAQUE' or 'MASK' (cutout by base-color-texture alpha * alpha factor)
+    # 'OPAQUE', 'MASK' (cutout by base-color-texture alpha * alpha factor)
+    # or 'BLEND' (alpha-composited continuation rays + fractional shadow
+    # attenuation, whitted.cu:266-287 / 121-133)
     alpha_mode: str = "OPAQUE"
     alpha_cutoff: float = 0.5
     alpha: float = 1.0
@@ -88,6 +90,7 @@ class MaterialTable(NamedTuple):
     normal_tex: jnp.ndarray  # [M] int32
     uv_xform: jnp.ndarray  # [M, 6] f32 (m00 m01 m10 m11 ox oy)
     alpha_mask: jnp.ndarray  # [M] bool (alpha_mode == MASK)
+    alpha_blend: jnp.ndarray  # [M] bool (alpha_mode == BLEND)
     alpha_cutoff: jnp.ndarray  # [M] f32
     alpha: jnp.ndarray  # [M] f32 alpha factor
 
@@ -115,6 +118,9 @@ def build_material_table(materials: Sequence[Material]) -> MaterialTable:
         uv_xform=f32([m.uv_transform_row() for m in materials]),
         alpha_mask=jnp.asarray(
             np.asarray([m.alpha_mode == "MASK" for m in materials], bool)
+        ),
+        alpha_blend=jnp.asarray(
+            np.asarray([m.alpha_mode == "BLEND" for m in materials], bool)
         ),
         alpha_cutoff=f32([m.alpha_cutoff for m in materials]),
         alpha=f32([m.alpha for m in materials]),
