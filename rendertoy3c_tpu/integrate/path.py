@@ -113,7 +113,7 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
         tu = xf[:, 0] * texcoord[:, 0] + xf[:, 1] * texcoord[:, 1] + xf[:, 4]
         tv = xf[:, 2] * texcoord[:, 0] + xf[:, 3] * texcoord[:, 1] + xf[:, 5]
         texcoord = jnp.stack([tu, tv], axis=-1)
-    if getattr(scene, "any_normal_map", False) and hit.inst is None:
+    if getattr(scene, "any_normal_map", False):
         # tangent-space normal mapping (the reference carries normal-map ids,
         # src/material.h:36, but never applies them — done here): tangent
         # from the uv parameterization, Gram-Schmidt against ng.
@@ -126,6 +126,13 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
         duv2 = g.uv2[prim] - g.uv0[prim]
         e1w = g.e1[0, prim]
         e2w = g.e2[0, prim]
+        if hit.inst is not None:
+            # two-level AS: uv-parameterization edges are object-space;
+            # tangents live in world space, so push them through the
+            # instance's linear part (key 0, like the normal above)
+            lin = scene.instances.m[jnp.maximum(hit.inst, 0), 0][:, :, :3]
+            e1w = jnp.einsum("rij,rj->ri", lin, e1w)
+            e2w = jnp.einsum("rij,rj->ri", lin, e2w)
         tang = e1w * duv2[:, 1:2] - e2w * duv1[:, 1:2]
         tang = tang - ng * jnp.sum(tang * ng, axis=-1, keepdims=True)
         tang = normalize(tang, eps=1e-12)

@@ -59,6 +59,8 @@ class InstancedScene:
     num_lights: int = field(metadata=dict(static=True), default=0)
     num_materials: int = field(metadata=dict(static=True), default=0)
     all_diffuse: bool = field(metadata=dict(static=True), default=True)
+    any_uv_transform: bool = field(metadata=dict(static=True), default=False)
+    any_normal_map: bool = field(metadata=dict(static=True), default=False)
     # instance mesh ids as a static tuple (kernel unrolls over instances)
     instance_mesh: tuple = field(metadata=dict(static=True), default=())
 
@@ -213,5 +215,7 @@ def build_instanced_scene(
         all_diffuse=all(
             m.material_type == MaterialType.DIFFUSE for m in materials
         ),
+        any_uv_transform=any(m.has_uv_transform() for m in materials),
+        any_normal_map=any(m.normal_texture_id >= 0 for m in materials),
         instance_mesh=tuple(int(x) for x in mids),
     )

@@ -128,3 +128,53 @@ def test_instance_matrix_motion_matches_baked():
     img_i, _ = _render(inst_scene, camera, tracer=tracer, samples_per_launch=4)
     img_b, _ = _render(baked, camera, samples_per_launch=4)
     np.testing.assert_allclose(img_i, img_b, rtol=2e-4, atol=2e-4)
+
+
+def test_instanced_normal_maps_match_baked():
+    """Normal-mapped shading under a rotated+scaled instance matches the
+    baked equivalent: tangents must ride the instance linear transform."""
+    from rendertoy3c_tpu.scene.camera import Camera
+
+    # bumpy normal map: smooth sinusoidal perturbation around +Z
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w] / 8.0 * np.pi
+    n = np.stack([0.45 * np.sin(xx), 0.45 * np.cos(yy),
+                  np.sqrt(1.0 - 0.45 ** 2) * np.ones_like(xx)], axis=-1)
+    ntex = np.concatenate(
+        [((n * 0.5 + 0.5) * 255).astype(np.uint8),
+         np.full((h, w, 1), 255, np.uint8)], axis=-1)
+
+    white = Material(diffuse=(0.7, 0.7, 0.7), normal_texture_id=0)
+    fv, ff = quad([-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1])
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    bumpy = Mesh(vertices=fv[None], indices=ff, texcoords=uvs,
+                 material=white)
+    lv, lf = quad([-0.5, 2.5, -0.5], [-0.5, 2.5, 0.5], [0.5, 2.5, 0.5],
+                  [0.5, 2.5, -0.5])
+    lamp = Mesh(vertices=lv[None], indices=lf,
+                material=Material(emissive=(15.0, 15.0, 15.0)))
+
+    # rotate the bumpy quad 40 degrees about Y and scale anisotropically
+    c, s = np.cos(0.7), np.sin(0.7)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t = np.zeros((3, 4), np.float32)
+    t[:, :3] = rot @ np.diag([1.3, 1.0, 0.8]).astype(np.float32)
+    instances = [Instance(mesh_index=0, transforms=t), Instance(mesh_index=1)]
+
+    inst_scene = build_instanced_scene([bumpy, lamp], instances,
+                                       textures=[ntex])
+    tracer = make_instanced_tracer(inst_scene)
+    baked = build_scene([bumpy, lamp], instances=instances, textures=[ntex])
+    assert inst_scene.any_normal_map and baked.any_normal_map
+
+    camera = Camera(eye=(0, 2.2, 3.2), lookat=(0, 0, 0), fov_y=45.0)
+    img_i, _ = _render(inst_scene, camera, tracer=tracer, max_depth=3)
+    img_b, _ = _render(baked, camera, max_depth=3)
+    np.testing.assert_allclose(img_i, img_b, rtol=2e-4, atol=2e-4)
+
+    # and the map visibly changes shading vs the unmapped scene
+    flat = Mesh(vertices=fv[None], indices=ff, texcoords=uvs,
+                material=Material(diffuse=(0.7, 0.7, 0.7)))
+    img_flat, _ = _render(
+        build_scene([flat, lamp], instances=instances), camera, max_depth=3)
+    assert np.abs(img_b - img_flat).max() > 0.01
