@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also checkpoint every N subframes")
     p.add_argument("--stats", action="store_true",
                    help="print per-phase timings and Mrays/s")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a device trace of one warmed render step "
+                        "and print the top-op cost table (trace kept under "
+                        "--profile-dir for TensorBoard/xprof)")
+    p.add_argument("--profile-dir", default="/tmp/rt3c_prof",
+                   help="where --profile writes the device trace")
     p.add_argument("--interactive", action="store_true",
                    help="open the GLFW viewer (falls back to a headless "
                         "turntable when no display exists)")
@@ -250,7 +256,7 @@ def main(argv=None) -> int:
             scene, cfg, point_lights=point_lights, ambient=args.ambient,
             tracer=tracer,
         )
-        film = film_create(cfg.height, cfg.width)
+        make_film = lambda: film_create(cfg.height, cfg.width)  # noqa: E731
     elif args.mesh_shape:
         n_tile, n_spp = (int(x) for x in args.mesh_shape.lower().split("x"))
         from ..parallel.dist import (
@@ -262,10 +268,11 @@ def main(argv=None) -> int:
         mesh = make_mesh(n_tile=n_tile, n_spp=n_spp)
         factory = (lambda s, aux, c: tracer) if tracer else None
         step, mesh = make_render_fn_dist(scene, cfg, mesh, tracer_factory=factory)
-        film = film_create_sharded(cfg, mesh)
+        make_film = lambda: film_create_sharded(cfg, mesh)  # noqa: E731
     else:
         step = make_render_fn(scene, cfg, tracer=tracer)
-        film = film_create(cfg.height, cfg.width)
+        make_film = lambda: film_create(cfg.height, cfg.width)  # noqa: E731
+    film = make_film()
 
     if args.resume:
         film = load_checkpoint(args.resume, cfg)
@@ -286,6 +293,21 @@ def main(argv=None) -> int:
               file=sys.stderr)
         viewer.run_turntable(n_frames=4)
         return 0
+
+    if args.profile:
+        from ..utils.profiling import profile_step
+
+        # throwaway films: the step donates its film input, so each profiled
+        # call gets a fresh one and the real accumulator is untouched
+        with timers.phase("profile"):
+            rows = profile_step(
+                step, log_dir=args.profile_dir,
+                rearm=lambda: (camera.params(), make_film()),
+            )
+        print(f"device profile (top ops, trace in {args.profile_dir}):",
+              file=sys.stderr)
+        for name, ms, n in rows:
+            print(f"  {ms:9.3f} ms  x{n:<5d} {name}", file=sys.stderr)
 
     total_rays = 0
     render_t0 = time.perf_counter()

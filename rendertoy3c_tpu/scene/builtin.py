@@ -86,6 +86,37 @@ def cornell_box(light_emission=(15.0, 15.0, 15.0), with_blocks: bool = True):
     return meshes, camera
 
 
+def instanced_cornell():
+    """Cornell shell + one block mesh placed three times via instance
+    transforms (the two-level AS demo: IAS over per-mesh GAS,
+    src/cuda/cuda_accel.h:15-120). Returns (meshes, instances, camera)."""
+    from .scene import Instance
+
+    meshes, camera = cornell_box(with_blocks=False)
+    block = box_mesh([-0.25, 0.0, -0.25], [0.25, 0.5, 0.25],
+                     Material(diffuse=(0.73, 0.73, 0.73)))
+    meshes.append(block)
+    block_id = len(meshes) - 1
+
+    def xform(tx, tz, angle_deg, scale=1.0):
+        a = np.deg2rad(angle_deg)
+        c, s = np.cos(a, dtype=np.float32), np.sin(a, dtype=np.float32)
+        m = np.zeros((3, 4), np.float32)
+        m[:, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]],
+                            np.float32) * scale
+        m[:, 3] = (tx, 0.0, tz)
+        return m
+
+    instances = [Instance(mesh_index=i) for i in range(block_id)]
+    instances += [
+        Instance(mesh_index=block_id, transforms=xform(-0.45, -0.3, 20.0)),
+        Instance(mesh_index=block_id, transforms=xform(0.4, 0.25, -15.0)),
+        Instance(mesh_index=block_id,
+                 transforms=xform(0.0, 0.55, 35.0, scale=0.6)),
+    ]
+    return meshes, instances, camera
+
+
 def textured_quad_scene(checker_size: int = 64):
     """A textured quad + area light, for texture-path tests/benches
     (BASELINE.md config 2)."""

@@ -49,11 +49,15 @@ def summarize_trace(log_dir: str, top: int = 25) -> List[Tuple[str, float, int]]
 
 
 def profile_step(step: Callable, *args, log_dir: str = "/tmp/rt3c_prof",
-                 top: int = 25):
-    """Run one warmed call under the profiler and return the op table."""
-    out = step(*args)
+                 top: int = 25, rearm: Callable | None = None):
+    """Run one warmed call under the profiler and return the op table.
+
+    `rearm` (optional): zero-arg factory returning fresh call args; required
+    when `step` donates an input buffer (e.g. the film accumulator), since
+    the warmup call consumes it."""
+    out = step(*(rearm() if rearm else args))
     jax.block_until_ready(out)
     with device_trace(log_dir):
-        out = step(*args)
+        out = step(*(rearm() if rearm else args))
         jax.block_until_ready(out)
     return summarize_trace(log_dir, top=top)

@@ -26,6 +26,19 @@ def test_cli_renders_png(tmp_path):
     assert len(data) > 100
 
 
+def test_cli_profile_prints_op_table(tmp_path, capsys):
+    out = str(tmp_path / "prof.png")
+    rc = main([
+        "--scene", "cornell-empty", "--size", "16x16", "--spp", "1",
+        "--subframes", "1", "--max-depth", "2", "--tracer", "brute",
+        "--ray-block", "256", "--profile",
+        "--profile-dir", str(tmp_path / "trace"), "-o", out,
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "device profile" in err
+
+
 def test_cli_bvh_and_exr(tmp_path):
     out = str(tmp_path / "out.exr")
     rc = main([

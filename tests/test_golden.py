@@ -38,3 +38,28 @@ def test_golden_cornell():
 def test_golden_textured():
     meshes, textures, cam = textured_quad_scene()
     _check("textured_24.npz", build_scene(meshes, textures=textures), cam)
+
+
+def test_golden_instanced():
+    from rendertoy3c_tpu.scene.builtin import instanced_cornell
+    from rendertoy3c_tpu.scene.instanced import build_instanced_scene
+    from rendertoy3c_tpu.trace.instanced import make_instanced_tracer
+
+    meshes, instances, cam = instanced_cornell()
+    scene = build_instanced_scene(meshes, instances)
+    golden = np.load(os.path.join(_GOLDEN_DIR, "instanced_24.npz"))["accum"]
+    film, _ = render_frame(scene, cam.params(), RenderConfig(**_CFG),
+                           subframes=2, tracer=make_instanced_tracer(scene))
+    np.testing.assert_allclose(np.asarray(film.accum), golden,
+                               rtol=5e-6, atol=5e-6)
+
+
+def test_golden_direct():
+    from rendertoy3c_tpu.integrate.direct import render_direct
+
+    meshes, cam = cornell_box()
+    golden = np.load(os.path.join(_GOLDEN_DIR, "direct_24.npz"))["accum"]
+    film, _ = render_direct(build_scene(meshes), cam.params(),
+                            RenderConfig(**_CFG), subframes=2)
+    np.testing.assert_allclose(np.asarray(film.accum), golden,
+                               rtol=5e-6, atol=5e-6)
