@@ -12,7 +12,10 @@ Supports .gltf (JSON + external/embedded buffers) and .glb containers:
     (baseColor factor+texture, metallic/roughness factors, emissive factor+
     texture, normal texture id carried);
   * textures decoded via PIL (PNG/JPEG) from files, embedded base64 URIs, or
-    GLB buffer views;
+    GLB buffer views; sampler wrapS/wrapT (REPEAT / CLAMP_TO_EDGE /
+    MIRRORED_REPEAT) carried per texture into the atlas;
+  * KHR_materials_emissive_strength / _ior / _transmission mapped onto the
+    principled/transmissive BSDF fields;
   * cameras (perspective) -> Camera;
   * KHR_lights_punctual point lights -> PointLight list (the reference's
     whitted pipeline consumes point+ambient lights, cuda/Light.h:31-71).
@@ -187,7 +190,16 @@ def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
             return -1
         tex = doc.j["textures"][tinfo["index"]]
         src = tex.get("source")
-        return texture_of_image(src) if src is not None else -1
+        if src is None:
+            return -1
+        from ..scene.texture import WRAP_REPEAT, wrap_from_gl
+
+        ws = wt = WRAP_REPEAT
+        if "sampler" in tex:
+            smp = doc.j.get("samplers", [])[tex["sampler"]]
+            ws = wrap_from_gl(smp.get("wrapS", 10497))
+            wt = wrap_from_gl(smp.get("wrapT", 10497))
+        return texture_of_image(src, ws, wt)
 
     # KHR_texture_transform on the base color texture -> material uv xform
     xform = (
@@ -196,14 +208,32 @@ def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
         .get("KHR_texture_transform", {})
     )
 
+    # KHR_materials_* extensions consumed by the principled/transmissive
+    # BSDFs (the reference's tinygltf loader parses these but its whitted
+    # shader ignores them — done+ here)
+    ext = m.get("extensions", {})
+    emissive_strength = float(
+        ext.get("KHR_materials_emissive_strength", {})
+        .get("emissiveStrength", 1.0)
+    )
+    ior = float(ext.get("KHR_materials_ior", {}).get("ior", 1.5))
+    transmission = float(
+        ext.get("KHR_materials_transmission", {}).get("transmissionFactor", 0.0)
+    )
+    mtype = (MaterialType.FRESNEL_TRANSMISSIVE if transmission > 0.0
+             else MaterialType.PRINCIPLED)
+
     return Material(
-        material_type=MaterialType.PRINCIPLED,
+        material_type=mtype,
         diffuse=tuple(base[:3]),
         diffuse_texture_id=tex_id(pbr.get("baseColorTexture")),
         roughness=float(pbr.get("roughnessFactor", 1.0)),
         metallic=float(pbr.get("metallicFactor", 1.0)),
         roughness_texture_id=tex_id(pbr.get("metallicRoughnessTexture")),
-        emissive=tuple(m.get("emissiveFactor", [0, 0, 0])),
+        ior=ior,
+        transmittance=transmission,
+        emissive=tuple(emissive_strength * c
+                       for c in m.get("emissiveFactor", [0, 0, 0])),
         emissive_texture_id=tex_id(m.get("emissiveTexture")),
         normal_texture_id=tex_id(m.get("normalTexture")),
         tex_offset=tuple(xform.get("offset", [0.0, 0.0])),
@@ -232,18 +262,27 @@ def load_gltf(path: str):
     doc = _GltfDoc(path)
     j = doc.j
 
-    textures: List[np.ndarray] = []
-    image_to_texture = {}
+    from ..scene.texture import WRAP_REPEAT, TextureImage
 
-    def texture_of_image(image_idx: int) -> int:
-        if image_idx in image_to_texture:
-            return image_to_texture[image_idx]
-        rgba = doc.image_rgba(image_idx)
+    textures: List[TextureImage] = []
+    image_to_texture = {}
+    image_cache = {}
+
+    def texture_of_image(image_idx: int, wrap_s: int = WRAP_REPEAT,
+                         wrap_t: int = WRAP_REPEAT) -> int:
+        # dedupe by (image, sampler wrap) — the same image under two
+        # samplers needs two atlas entries
+        key = (image_idx, wrap_s, wrap_t)
+        if key in image_to_texture:
+            return image_to_texture[key]
+        if image_idx not in image_cache:
+            image_cache[image_idx] = doc.image_rgba(image_idx)
+        rgba = image_cache[image_idx]
         tid = -1
         if rgba is not None:
             tid = len(textures)
-            textures.append(rgba)
-        image_to_texture[image_idx] = tid
+            textures.append(TextureImage(rgba, wrap_s, wrap_t))
+        image_to_texture[key] = tid
         return tid
 
     meshes: List[Mesh] = []

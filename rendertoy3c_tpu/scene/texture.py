@@ -15,9 +15,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Address modes (cudaTextureAddressMode, src/cuda/cuda_texture.h:63-64, and
+# glTF sampler wrapS/wrapT). The reference hardcodes Wrap for OBJ textures;
+# glTF samplers choose per texture.
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+WRAP_MIRROR = 2
+
+_GL_WRAP = {10497: WRAP_REPEAT, 33071: WRAP_CLAMP, 33648: WRAP_MIRROR,
+            # CLAMP_TO_BORDER/legacy CLAMP: closest supported behavior
+            33069: WRAP_CLAMP, 10496: WRAP_CLAMP}
+
+
+def wrap_from_gl(gl_enum: int) -> int:
+    """Map a GL/glTF sampler wrap enum to a WRAP_* mode (default REPEAT)."""
+    return _GL_WRAP.get(gl_enum, WRAP_REPEAT)
+
+
+class TextureImage(NamedTuple):
+    """An atlas input with sampler state (plain ndarrays mean REPEAT)."""
+
+    data: np.ndarray  # [h, w, 4] uint8
+    wrap_s: int = WRAP_REPEAT
+    wrap_t: int = WRAP_REPEAT
+
+
 class TextureAtlas(NamedTuple):
     data: jnp.ndarray  # [AH, AW, 4] uint8 (RGBA, rows already v-flipped at load)
-    meta: jnp.ndarray  # [T, 4] int32: (y0, x0, height, width) per texture
+    meta: jnp.ndarray  # [T, 6] int32: (y0, x0, height, width, wrap_s, wrap_t)
     # Optional single-gather bilinear table: for each atlas texel, the RGB of
     # its 2x2 wrap-mode footprint (c00 c01 c10 c11), f32/255. TPU gathers pay
     # per-row costs, so one [N,12] gather beats four [N,3] gathers ~4x.
@@ -27,7 +52,7 @@ class TextureAtlas(NamedTuple):
 def _empty_atlas() -> TextureAtlas:
     return TextureAtlas(
         data=jnp.zeros((1, 1, 4), jnp.uint8),
-        meta=jnp.zeros((1, 4), jnp.int32).at[0, 2:].set(1),
+        meta=jnp.zeros((1, 6), jnp.int32).at[0, 2:4].set(1),
     )
 
 
@@ -35,14 +60,18 @@ def _empty_atlas() -> TextureAtlas:
 _QUAD_TABLE_MAX_TEXELS = 1 << 20
 
 
-def build_texture_atlas(images: Sequence[np.ndarray]) -> TextureAtlas:
+def build_texture_atlas(images: Sequence) -> TextureAtlas:
     """Shelf-pack RGBA8 images into one atlas.
 
     images: list of [h, w, 4] uint8 arrays (already vertically flipped to
-    match the reference's stbi load convention, src/mesh.cpp:150-160).
+    match the reference's stbi load convention, src/mesh.cpp:150-160), or
+    TextureImage entries carrying per-texture wrap modes.
     """
     if not images:
         return _empty_atlas()
+    entries = [im if isinstance(im, TextureImage) else TextureImage(im)
+               for im in images]
+    images = [e.data for e in entries]
     for im in images:
         assert im.dtype == np.uint8 and im.ndim == 3 and im.shape[2] == 4
 
@@ -54,7 +83,7 @@ def build_texture_atlas(images: Sequence[np.ndarray]) -> TextureAtlas:
         atlas_w *= 2
 
     order = sorted(range(len(images)), key=lambda i: -images[i].shape[0])
-    meta = np.zeros((len(images), 4), np.int32)
+    meta = np.zeros((len(images), 6), np.int32)
     x = y = shelf_h = 0
     for idx in order:
         h, w = images[idx].shape[:2]
@@ -62,14 +91,14 @@ def build_texture_atlas(images: Sequence[np.ndarray]) -> TextureAtlas:
             y += shelf_h
             x = 0
             shelf_h = 0
-        meta[idx] = (y, x, h, w)
+        meta[idx] = (y, x, h, w, entries[idx].wrap_s, entries[idx].wrap_t)
         x += w
         shelf_h = max(shelf_h, h)
     atlas_h = y + shelf_h
 
     data = np.zeros((atlas_h, atlas_w, 4), np.uint8)
     for idx, im in enumerate(images):
-        y0, x0, h, w = meta[idx]
+        y0, x0, h, w = meta[idx, :4]
         data[y0 : y0 + h, x0 : x0 + w] = im
 
     quad = None
@@ -80,11 +109,17 @@ def build_texture_atlas(images: Sequence[np.ndarray]) -> TextureAtlas:
         c10 = rgbf.copy()
         c11 = rgbf.copy()
         for idx, im in enumerate(images):
-            y0, x0, h, w = meta[idx]
+            y0, x0, h, w, ws, wt = meta[idx]
             sub = rgbf[y0:y0 + h, x0:x0 + w]
-            right = np.roll(sub, -1, axis=1)
-            down = np.roll(sub, -1, axis=0)
-            diag = np.roll(right, -1, axis=0)
+            # +1 neighbor index per address mode; at the far edge both CLAMP
+            # and MIRROR resolve to the edge texel itself
+            nx = ((np.arange(w) + 1) % w if ws == WRAP_REPEAT
+                  else np.minimum(np.arange(w) + 1, w - 1))
+            ny = ((np.arange(h) + 1) % h if wt == WRAP_REPEAT
+                  else np.minimum(np.arange(h) + 1, h - 1))
+            right = sub[:, nx]
+            down = sub[ny, :]
+            diag = sub[ny][:, nx]
             c01[y0:y0 + h, x0:x0 + w] = right
             c10[y0:y0 + h, x0:x0 + w] = down
             c11[y0:y0 + h, x0:x0 + w] = diag
@@ -94,6 +129,36 @@ def build_texture_atlas(images: Sequence[np.ndarray]) -> TextureAtlas:
         data=jnp.asarray(data), meta=jnp.asarray(meta),
         quad=None if quad is None else jnp.asarray(quad),
     )
+
+
+def _wrap_footprint(c, size_i, mode):
+    """Bilinear footprint along one axis under a per-lane address mode.
+
+    c: normalized coordinate; size_i: int texture extent; mode: WRAP_* int.
+    Returns (i0, i1, frac) with texel centers at (i + 0.5) / size (the CUDA
+    normalized-coords convention, src/cuda/cuda_texture.h:62-74).
+    """
+    size_f = size_i.astype(jnp.float32)
+    # MIRRORED_REPEAT folds the coordinate into [0, 1] with period 2; its
+    # edge footprint then equals CLAMP's (the mirrored neighbor of an edge
+    # texel is itself).
+    cm = jnp.where(mode == WRAP_MIRROR,
+                   1.0 - jnp.abs(jnp.mod(c, 2.0) - 1.0), c)
+    repeat = mode == WRAP_REPEAT
+    cc = jnp.where(repeat, cm - jnp.floor(cm), cm)
+    sc = cc * size_f - 0.5
+    # CLAMP_TO_EDGE pins the texel-space coordinate to [0, N-1], so the
+    # footprint (and frac) degenerate smoothly onto the edge texel — this
+    # also keeps the single-gather quad table consistent (its +1 neighbors
+    # are baked in-range).
+    sc = jnp.where(repeat, sc, jnp.clip(sc, 0.0, size_f - 1.0))
+    i0f = jnp.floor(sc)
+    frac = sc - i0f
+    i0 = i0f.astype(jnp.int32)
+    i0w = jnp.where(repeat, jnp.mod(i0, size_i), i0)
+    i1w = jnp.where(repeat, jnp.mod(i0w + 1, size_i),
+                    jnp.minimum(i0 + 1, size_i - 1))
+    return i0w, i1w, frac
 
 
 def sample_texture_bilinear(
@@ -110,23 +175,13 @@ def sample_texture_bilinear(
     it. Four gathers feed one fused lerp across the whole batch.
     """
     tid = jnp.maximum(tex_id, 0)
-    m = atlas.meta[tid]  # [..., 4]
+    m = atlas.meta[tid]  # [..., 6]
     y0, x0 = m[..., 0], m[..., 1]
     th, tw = m[..., 2], m[..., 3]
+    ws, wt = m[..., 4], m[..., 5]
 
-    fh = th.astype(jnp.float32)
-    fw = tw.astype(jnp.float32)
-    # Wrap normalized coords to [0, 1), then shift by half a texel.
-    uu = (u - jnp.floor(u)) * fw - 0.5
-    vv = (v - jnp.floor(v)) * fh - 0.5
-    iu0 = jnp.floor(uu)
-    iv0 = jnp.floor(vv)
-    fu = uu - iu0
-    fv = vv - iv0
-    iu0 = jnp.mod(iu0.astype(jnp.int32), tw)
-    iv0 = jnp.mod(iv0.astype(jnp.int32), th)
-    iu1 = jnp.mod(iu0 + 1, tw)
-    iv1 = jnp.mod(iv0 + 1, th)
+    iu0, iu1, fu = _wrap_footprint(u, tw, ws)
+    iv0, iv1, fv = _wrap_footprint(v, th, wt)
 
     fu = fu[..., None]
     fv = fv[..., None]
@@ -160,6 +215,18 @@ def sample_texture_bilinear(
     return jnp.where((tex_id >= 0)[..., None], rgb, 0.0)
 
 
+def _wrap_nearest(c, size_i, mode):
+    """Nearest-sample texel index along one axis under an address mode."""
+    size_f = size_i.astype(jnp.float32)
+    cm = jnp.where(mode == WRAP_MIRROR,
+                   1.0 - jnp.abs(jnp.mod(c, 2.0) - 1.0), c)
+    repeat = mode == WRAP_REPEAT
+    cc = jnp.where(repeat, cm - jnp.floor(cm), cm)
+    i = jnp.floor(cc * size_f).astype(jnp.int32)
+    return jnp.where(repeat, jnp.mod(i, size_i),
+                     jnp.clip(i, 0, size_i - 1))
+
+
 def sample_texture_alpha(
     atlas: TextureAtlas, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
 ) -> jnp.ndarray:
@@ -171,9 +238,7 @@ def sample_texture_alpha(
     m = atlas.meta[tid]
     y0, x0 = m[..., 0], m[..., 1]
     th, tw = m[..., 2], m[..., 3]
-    uu = (u - jnp.floor(u)) * tw.astype(jnp.float32)
-    vv = (v - jnp.floor(v)) * th.astype(jnp.float32)
-    iu = jnp.mod(jnp.floor(uu).astype(jnp.int32), tw)
-    iv = jnp.mod(jnp.floor(vv).astype(jnp.int32), th)
+    iu = _wrap_nearest(u, tw, m[..., 4])
+    iv = _wrap_nearest(v, th, m[..., 5])
     a = atlas.data[y0 + iv, x0 + iu, 3].astype(jnp.float32) * (1.0 / 255.0)
     return jnp.where(tex_id >= 0, a, 1.0)

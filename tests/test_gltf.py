@@ -191,6 +191,74 @@ def test_alpha_mask_cutout():
     assert green_px.sum() > 5, green_px.sum()
 
 
+def _tiny_png_uri():
+    import io as _io
+
+    from PIL import Image
+
+    im = Image.fromarray(np.full((2, 2, 4), 200, np.uint8))
+    b = _io.BytesIO()
+    im.save(b, "PNG")
+    return "data:image/png;base64," + base64.b64encode(b.getvalue()).decode()
+
+
+def test_gltf_sampler_wrap_modes(tmp_path):
+    """Sampler wrapS/wrapT ride into the atlas per texture; the same image
+    under two samplers gets two atlas entries."""
+    from rendertoy3c_tpu.scene.texture import (
+        WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT, TextureImage,
+    )
+
+    path = _quad_gltf(tmp_path)
+    j = json.loads(open(path).read())
+    j["images"] = [{"uri": _tiny_png_uri()}]
+    j["samplers"] = [{"wrapS": 33071, "wrapT": 33648}, {}]
+    j["textures"] = [{"source": 0, "sampler": 0}, {"source": 0, "sampler": 1}]
+    j["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {"index": 0}
+    j["materials"][0]["emissiveTexture"] = {"index": 1}
+    open(path, "w").write(json.dumps(j))
+    meshes, textures, _, _ = load_gltf(path)
+    assert len(textures) == 2  # same image, two samplers
+    assert isinstance(textures[0], TextureImage)
+    assert textures[0].wrap_s == WRAP_CLAMP
+    assert textures[0].wrap_t == WRAP_MIRROR
+    assert textures[1].wrap_s == WRAP_REPEAT
+    m = meshes[0].material
+    assert m.diffuse_texture_id == 0
+    assert m.emissive_texture_id == 1
+    # the atlas builder accepts the sampler-tagged entries directly
+    scene = build_scene(meshes, textures=textures)
+    assert int(np.asarray(scene.atlas.meta)[0, 4]) == WRAP_CLAMP
+
+
+def test_gltf_khr_material_extensions(tmp_path):
+    path = _quad_gltf(tmp_path)
+    j = json.loads(open(path).read())
+    j["materials"][0]["emissiveFactor"] = [0.2, 0.1, 0.0]
+    j["materials"][0]["extensions"] = {
+        "KHR_materials_emissive_strength": {"emissiveStrength": 5.0},
+        "KHR_materials_ior": {"ior": 1.8},
+    }
+    j["materials"].append({
+        "pbrMetallicRoughness": {"baseColorFactor": [1, 1, 1, 1]},
+        "extensions": {
+            "KHR_materials_transmission": {"transmissionFactor": 0.9},
+        },
+    })
+    j["meshes"][0]["primitives"].append(
+        dict(j["meshes"][0]["primitives"][0], material=1)
+    )
+    open(path, "w").write(json.dumps(j))
+    meshes, _, _, _ = load_gltf(path)
+    m0 = meshes[0].material
+    np.testing.assert_allclose(m0.emissive, (1.0, 0.5, 0.0))
+    assert m0.ior == 1.8
+    assert m0.material_type == MaterialType.PRINCIPLED
+    m1 = meshes[1].material
+    assert m1.material_type == MaterialType.FRESNEL_TRANSMISSIVE
+    assert m1.transmittance == 0.9
+
+
 def test_gltf_alpha_mode_parsed(tmp_path):
     path = _quad_gltf(tmp_path)
     j = json.loads(open(path).read())

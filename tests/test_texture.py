@@ -21,12 +21,12 @@ def test_atlas_packing_disjoint():
     atlas = build_texture_atlas(images)
     meta = np.asarray(atlas.meta)
     cover = np.zeros(np.asarray(atlas.data).shape[:2], np.int32)
-    for y0, x0, h, w in meta:
+    for y0, x0, h, w, _ws, _wt in meta:
         cover[y0:y0 + h, x0:x0 + w] += 1
     assert cover.max() == 1  # no overlap
     # content preserved
     data = np.asarray(atlas.data)
-    for i, (y0, x0, h, w) in enumerate(meta):
+    for i, (y0, x0, h, w, _ws, _wt) in enumerate(meta):
         np.testing.assert_array_equal(data[y0:y0 + h, x0:x0 + w], images[i])
 
 
@@ -61,6 +61,57 @@ def test_wrap_mode():
                                            jnp.asarray([0.3, 1.3]),
                                            jnp.asarray([0.6, -0.4])))
     np.testing.assert_allclose(a[0], a[1], atol=1e-6)
+
+
+def test_clamp_to_edge_mode():
+    """CLAMP_TO_EDGE pins out-of-range coordinates to the edge texel."""
+    from rendertoy3c_tpu.scene.texture import WRAP_CLAMP, TextureImage
+
+    img = np.zeros((1, 4, 4), np.uint8)
+    img[0, 0] = (255, 0, 0, 255)
+    img[0, 3] = (0, 0, 255, 255)
+    atlas = build_texture_atlas([TextureImage(img, WRAP_CLAMP, WRAP_CLAMP)])
+    tid = jnp.asarray([0, 0, 0])
+    rgb = np.asarray(sample_texture_bilinear(
+        atlas, tid, jnp.asarray([-0.7, 1.8, 0.5 / 4]),
+        jnp.asarray([0.5, 0.5, 0.5])))
+    np.testing.assert_allclose(rgb[0], [1.0, 0.0, 0.0], atol=1e-6)  # left edge
+    np.testing.assert_allclose(rgb[1], [0.0, 0.0, 1.0], atol=1e-6)  # right edge
+    np.testing.assert_allclose(rgb[2], [1.0, 0.0, 0.0], atol=1e-6)  # texel 0
+
+
+def test_mirrored_repeat_mode():
+    """MIRRORED_REPEAT folds the coordinate with period 2."""
+    from rendertoy3c_tpu.scene.texture import WRAP_MIRROR, TextureImage
+
+    img = np.random.default_rng(2).integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    atlas = build_texture_atlas([TextureImage(img, WRAP_MIRROR, WRAP_MIRROR)])
+    tid = jnp.asarray([0, 0])
+    # u = 1.25 mirrors to 0.75; v = -0.3 mirrors to 0.3
+    a = np.asarray(sample_texture_bilinear(
+        atlas, tid, jnp.asarray([1.25, 0.75]), jnp.asarray([-0.3, 0.3])))
+    np.testing.assert_allclose(a[0], a[1], atol=1e-6)
+
+
+def test_wrap_modes_quad_table_matches_gather_path():
+    """The single-gather quad path and the 4-fetch fallback agree for every
+    address mode (including at the edges)."""
+    from rendertoy3c_tpu.scene.texture import (
+        WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT, TextureImage,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    for mode in (WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR):
+        atlas = build_texture_atlas([TextureImage(img, mode, mode)])
+        assert atlas.quad is not None
+        no_quad = atlas._replace(quad=None)
+        u = jnp.asarray(rng.uniform(-2, 3, 64).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-2, 3, 64).astype(np.float32))
+        tid = jnp.zeros(64, jnp.int32)
+        a = np.asarray(sample_texture_bilinear(atlas, tid, u, v))
+        b = np.asarray(sample_texture_bilinear(no_quad, tid, u, v))
+        np.testing.assert_allclose(a, b, atol=1e-5), mode
 
 
 def test_bilinear_interpolation():
