@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lat-long environment map (.exr/.png/.ppm) used by "
                         "the miss program instead of the constant ambient")
     p.add_argument("--env-scale", type=float, default=1.0)
+    p.add_argument("--anim-times", default=None, metavar="T0[,T1,...]",
+                   help="glTF animation timestamps (seconds); each becomes "
+                        "one motion keyframe (two = motion blur over the "
+                        "shutter interval)")
+    p.add_argument("--animation", type=int, default=0,
+                   help="glTF animation clip index for --anim-times")
     p.add_argument("-o", "--output", default="out.png",
                    help="output path; format by extension (.png/.ppm/.exr)")
     p.add_argument("--eye", type=_vec3, default=None)
@@ -125,7 +131,10 @@ def _load_scene(args):
     if len(names) == 1 and names[0].endswith((".gltf", ".glb")):
         from ..io.gltf import load_gltf
 
-        meshes, textures, cameras, lights = load_gltf(names[0])
+        times = (tuple(float(x) for x in args.anim_times.split(","))
+                 if args.anim_times else None)
+        meshes, textures, cameras, lights = load_gltf(
+            names[0], times=times, animation=args.animation)
         camera = cameras[0] if cameras else Camera(
             eye=(5.0, 5.0, 5.0), lookat=(0.0, 1.0, 0.0), fov_y=45.0
         )

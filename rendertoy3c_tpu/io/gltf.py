@@ -157,23 +157,156 @@ class _GltfDoc:
         return rgba[::-1].copy()
 
 
-def _node_matrix(node: dict) -> np.ndarray:
-    if "matrix" in node:
+def _quat_matrix(q) -> np.ndarray:
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def _node_matrix(node: dict, overrides: Optional[dict] = None) -> np.ndarray:
+    """Local transform; `overrides` replaces animated TRS properties."""
+    ov = overrides or {}
+    if "matrix" in node and not ov:
         return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
     m = np.eye(4, dtype=np.float32)
-    if "scale" in node:
-        m[:3, :3] *= np.asarray(node["scale"], np.float32)
-    if "rotation" in node:
-        x, y, z, w = node["rotation"]
-        r = np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
-            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
-            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
-        ], np.float32)
-        m[:3, :3] = r @ m[:3, :3]
-    if "translation" in node:
-        m[:3, 3] = node["translation"]
+    scale = ov.get("scale", node.get("scale"))
+    if scale is not None:
+        m[:3, :3] *= np.asarray(scale, np.float32)
+    rot = ov.get("rotation", node.get("rotation"))
+    if rot is not None:
+        m[:3, :3] = _quat_matrix(rot) @ m[:3, :3]
+    trans = ov.get("translation", node.get("translation"))
+    if trans is not None:
+        m[:3, 3] = trans
     return m
+
+
+# --- animation sampling (glTF 2.0 "animations"; the reference has no
+# animation support at all — its motion blur is N obj files. done+) ---
+
+
+def _slerp(q0: np.ndarray, q1: np.ndarray, f: float) -> np.ndarray:
+    d = float(np.dot(q0, q1))
+    if d < 0.0:  # shortest path
+        q1 = -q1
+        d = -d
+    if d > 0.9995:  # nearly parallel: nlerp
+        q = q0 + f * (q1 - q0)
+        return q / np.linalg.norm(q)
+    th = np.arccos(np.clip(d, -1.0, 1.0))
+    return (np.sin((1 - f) * th) * q0 + np.sin(f * th) * q1) / np.sin(th)
+
+
+def _sample_channel(times: np.ndarray, values: np.ndarray, interp: str,
+                    path: str, t: float):
+    """Evaluate one animation sampler at time t (clamped to the key range)."""
+    n = len(times)
+    if interp == "CUBICSPLINE":
+        values = values.reshape(n, 3, -1)  # (in-tangent, value, out-tangent)
+    if t <= times[0]:
+        v = values[0, 1] if interp == "CUBICSPLINE" else values[0]
+        return np.asarray(v, np.float32)
+    if t >= times[-1]:
+        v = values[-1, 1] if interp == "CUBICSPLINE" else values[-1]
+        return np.asarray(v, np.float32)
+    i1 = int(np.searchsorted(times, t, side="right"))
+    i0 = i1 - 1
+    dt = float(times[i1] - times[i0])
+    f = 0.0 if dt <= 0 else (t - float(times[i0])) / dt
+    if interp == "STEP":
+        return np.asarray(values[i0], np.float32)
+    if interp == "CUBICSPLINE":
+        p0, m0 = values[i0, 1], values[i0, 2] * dt
+        p1, m1 = values[i1, 1], values[i1, 0] * dt
+        f2, f3 = f * f, f * f * f
+        v = ((2 * f3 - 3 * f2 + 1) * p0 + (f3 - 2 * f2 + f) * m0
+             + (-2 * f3 + 3 * f2) * p1 + (f3 - f2) * m1)
+        if path == "rotation":
+            v = v / max(np.linalg.norm(v), 1e-20)
+        return np.asarray(v, np.float32)
+    # LINEAR
+    if path == "rotation":
+        return _slerp(np.asarray(values[i0], np.float64),
+                      np.asarray(values[i1], np.float64), f).astype(np.float32)
+    return np.asarray((1 - f) * values[i0] + f * values[i1], np.float32)
+
+
+def _animation_channels(doc: "_GltfDoc", animation: int) -> dict:
+    """node_idx -> {path: (times, values, interpolation)} for one clip."""
+    anims = doc.j.get("animations", [])
+    if not anims or animation >= len(anims):
+        return {}
+    out: dict = {}
+    clip = anims[animation]
+    samplers = clip.get("samplers", [])
+    for ch in clip.get("channels", []):
+        tgt = ch.get("target", {})
+        node = tgt.get("node")
+        path = tgt.get("path")
+        if node is None or path not in ("translation", "rotation", "scale"):
+            continue  # morph-target "weights" unsupported
+        smp = samplers[ch["sampler"]]
+        times = np.asarray(doc.accessor(smp["input"]), np.float32).reshape(-1)
+        values = np.asarray(doc.accessor(smp["output"]), np.float32)
+        out.setdefault(node, {})[path] = (
+            times, values, smp.get("interpolation", "LINEAR")
+        )
+    return out
+
+
+def _world_matrices(j: dict, roots, channels: dict,
+                    t: Optional[float]) -> dict:
+    """node_idx -> world 4x4 at animation time t (t=None: static TRS)."""
+    worlds: dict = {}
+
+    def rec(i, parent):
+        node = j["nodes"][i]
+        ov = None
+        if t is not None and i in channels:
+            ov = {path: _sample_channel(*spec, path, t)
+                  for path, spec in channels[i].items()}
+        world = parent @ _node_matrix(node, ov)
+        worlds[i] = world
+        for c in node.get("children", []):
+            rec(c, world)
+
+    identity = np.eye(4, dtype=np.float32)
+    for r in roots:
+        rec(r, identity)
+    return worlds
+
+
+def _skin_vertices(doc: "_GltfDoc", skin: dict, worlds: dict,
+                   joints_idx: np.ndarray, weights: np.ndarray,
+                   pos: np.ndarray, nrm: Optional[np.ndarray]):
+    """Linear-blend skinning: world pos (and normal) for one evaluation.
+
+    joint matrix J = worldJoint @ inverseBindMatrix (glTF skins; skinned
+    vertices ignore the mesh node's own transform per spec)."""
+    joints = skin["joints"]
+    if "inverseBindMatrices" in skin:
+        ibm = np.asarray(doc.accessor(skin["inverseBindMatrices"]),
+                         np.float32).reshape(-1, 4, 4).transpose(0, 2, 1)
+    else:
+        ibm = np.tile(np.eye(4, dtype=np.float32), (len(joints), 1, 1))
+    jm = np.stack([worlds[joints[k]] @ ibm[k] for k in range(len(joints))])
+
+    w = weights / np.maximum(weights.sum(axis=1, keepdims=True), 1e-20)
+    # per-vertex blended matrix [V, 4, 4]
+    blended = np.einsum("vc,vcij->vij", w, jm[joints_idx])
+    pos_w = np.einsum("vij,vj->vi", blended[:, :3, :3], pos) + blended[:, :3, 3]
+    nrm_w = None
+    if nrm is not None:
+        lin_it = np.linalg.inv(blended[:, :3, :3]).transpose(0, 2, 1)
+        nrm_w = np.einsum("vij,vj->vi", lin_it, nrm)
+        nrm_w /= np.maximum(np.linalg.norm(nrm_w, axis=-1, keepdims=True),
+                            1e-20)
+    return pos_w.astype(np.float32), (
+        None if nrm_w is None else nrm_w.astype(np.float32)
+    )
 
 
 def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
@@ -249,15 +382,23 @@ def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
     )
 
 
-def load_gltf(path: str):
+def load_gltf(path: str, times=None, animation: int = 0):
     """Load a .gltf/.glb file.
+
+    times: optional sequence of animation timestamps (seconds). Each becomes
+    one motion keyframe: node TRS channels of clip `animation` are sampled
+    and skins deformed at every time, so `times=(t, t + shutter)` yields the
+    2-key motion format the tracers consume (the reference's only motion
+    input is N obj files, src/mesh.cpp:39-55; glTF animation + skinning is
+    done+). times=None bakes the static pose.
 
     Returns (meshes, textures, cameras, point_lights):
       meshes: list[Mesh], one per primitive occurrence (node x primitive),
-              with node transforms baked to world space;
-      textures: list[np.ndarray] RGBA8, indexed by material texture ids;
-      cameras: list[Camera] (world-posed perspective cameras);
-      point_lights: list[PointLight] from KHR_lights_punctual.
+              with node transforms (and skinning) baked to world space;
+      textures: list[TextureImage] RGBA8 + sampler wrap, indexed by material
+              texture ids;
+      cameras: list[Camera] (world-posed perspective cameras, first key);
+      point_lights: list[PointLight] from KHR_lights_punctual (first key).
     """
     doc = _GltfDoc(path)
     j = doc.j
@@ -293,53 +434,99 @@ def load_gltf(path: str):
         j.get("extensions", {}).get("KHR_lights_punctual", {}).get("lights", [])
     )
 
-    def visit(node_idx: int, parent: np.ndarray):
+    scene_idx = j.get("scene", 0)
+    scenes = j.get("scenes", [{}])
+    roots = scenes[scene_idx].get("nodes", []) if scenes else []
+    if not roots:  # no scene graph: every non-child node is a root
+        all_children = {
+            c for n in j.get("nodes", []) for c in n.get("children", [])
+        }
+        roots = [i for i in range(len(j.get("nodes", [])))
+                 if i not in all_children]
+
+    channels = _animation_channels(doc, animation) if times is not None else {}
+    eval_times = list(times) if times is not None else [None]
+    # world matrices cover orphan subtrees too (skin joints may sit outside
+    # the rendered scene's roots)
+    all_children = {
+        c for n in j.get("nodes", []) for c in n.get("children", [])
+    }
+    mat_roots = list(dict.fromkeys(
+        roots + [i for i in range(len(j.get("nodes", [])))
+                 if i not in all_children and i not in roots]
+    ))
+    worlds_k = [_world_matrices(j, mat_roots, channels, t)
+                for t in eval_times]
+    worlds0 = worlds_k[0]
+
+    def bake_prim(node_idx: int, node: dict, prim: dict):
+        attrs = prim["attributes"]
+        pos = doc.accessor(attrs["POSITION"]).astype(np.float32)
+        nrm = (doc.accessor(attrs["NORMAL"]).astype(np.float32)
+               if "NORMAL" in attrs else None)
+        skin = (j["skins"][node["skin"]]
+                if "skin" in node and "JOINTS_0" in attrs
+                and "WEIGHTS_0" in attrs else None)
+        if skin is not None:
+            joints_idx = doc.accessor(attrs["JOINTS_0"]).astype(np.int32)
+            weights = doc.accessor(attrs["WEIGHTS_0"]).astype(np.float32)
+
+        pos_keys, nrm_keys = [], []
+        for worlds in worlds_k:
+            if skin is not None:
+                pk, nk = _skin_vertices(doc, skin, worlds, joints_idx,
+                                        weights, pos, nrm)
+            else:
+                world = worlds[node_idx]
+                pk = pos @ world[:3, :3].T + world[:3, 3]
+                nk = None
+                if nrm is not None:
+                    lin_it = np.linalg.inv(world[:3, :3]).T
+                    nk = nrm @ lin_it.T
+                    nk /= np.maximum(
+                        np.linalg.norm(nk, axis=-1, keepdims=True), 1e-20
+                    )
+            pos_keys.append(pk.astype(np.float32))
+            if nk is not None:
+                nrm_keys.append(nk.astype(np.float32))
+
+        uv = (
+            doc.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
+            if "TEXCOORD_0" in attrs else None
+        )
+        if uv is not None:
+            # glTF uv origin is top-left; flipped textures expect
+            # bottom-left (matches the OBJ/stbi convention)
+            uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)
+        if "indices" in prim:
+            idx = doc.accessor(prim["indices"]).reshape(-1)
+            idx = idx.astype(np.int32).reshape(-1, 3)
+        else:
+            idx = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
+        material = _material_from_gltf(
+            doc, prim.get("material"), texture_of_image
+        )
+        mesh = Mesh(
+            vertices=np.stack(pos_keys),
+            indices=idx,
+            normals=np.stack(nrm_keys) if nrm_keys else None,
+            texcoords=uv,
+            material=material,
+        )
+        if not nrm_keys:
+            mesh = mesh.with_computed_normals()
+        meshes.append(mesh)
+
+    def visit(node_idx: int):
         node = j["nodes"][node_idx]
-        world = parent @ _node_matrix(node)
+        world = worlds0[node_idx]
 
         if "mesh" in node:
             gmesh = j["meshes"][node["mesh"]]
             for prim in gmesh.get("primitives", []):
                 if prim.get("mode", 4) != 4:  # TRIANGLES only
                     continue
-                attrs = prim["attributes"]
-                pos = doc.accessor(attrs["POSITION"]).astype(np.float32)
-                pos_w = pos @ world[:3, :3].T + world[:3, 3]
-                nrm = None
-                if "NORMAL" in attrs:
-                    n = doc.accessor(attrs["NORMAL"]).astype(np.float32)
-                    lin_it = np.linalg.inv(world[:3, :3]).T
-                    nw = n @ lin_it.T
-                    nw /= np.maximum(
-                        np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20
-                    )
-                    nrm = nw.astype(np.float32)
-                uv = (
-                    doc.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
-                    if "TEXCOORD_0" in attrs else None
-                )
-                if uv is not None:
-                    # glTF uv origin is top-left; flipped textures expect
-                    # bottom-left (matches the OBJ/stbi convention)
-                    uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)
-                if "indices" in prim:
-                    idx = doc.accessor(prim["indices"]).reshape(-1)
-                    idx = idx.astype(np.int32).reshape(-1, 3)
-                else:
-                    idx = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
-                material = _material_from_gltf(
-                    doc, prim.get("material"), texture_of_image
-                )
-                mesh = Mesh(
-                    vertices=pos_w[None],
-                    indices=idx,
-                    normals=None if nrm is None else nrm[None],
-                    texcoords=uv,
-                    material=material,
-                )
-                if nrm is None:
-                    mesh = mesh.with_computed_normals()
-                meshes.append(mesh)
+                bake_prim(node_idx, node, prim)
 
         if "camera" in node:
             cam = j["cameras"][node["camera"]]
@@ -373,20 +560,9 @@ def load_gltf(path: str):
                 ))
 
         for child in node.get("children", []):
-            visit(child, world)
+            visit(child)
 
-    scene_idx = j.get("scene", 0)
-    scenes = j.get("scenes", [{}])
-    roots = scenes[scene_idx].get("nodes", []) if scenes else []
-    identity = np.eye(4, dtype=np.float32)
     for r in roots:
-        visit(r, identity)
-    if not roots:  # no scene graph: visit every non-child node as a root
-        all_children = {
-            c for n in j.get("nodes", []) for c in n.get("children", [])
-        }
-        for i in range(len(j.get("nodes", []))):
-            if i not in all_children:
-                visit(i, identity)
+        visit(r)
 
     return meshes, textures, cameras, point_lights

@@ -259,6 +259,174 @@ def test_gltf_khr_material_extensions(tmp_path):
     assert m1.transmittance == 0.9
 
 
+def _buffer_gltf(tmp_path, j, chunks):
+    """Assemble bufferViews/accessors-by-chunk and write a .gltf file.
+
+    chunks: list of np arrays; returns their bufferView indices in order."""
+    buf = b""
+    views = []
+    for arr in chunks:
+        views.append({"buffer": 0, "byteOffset": len(buf),
+                      "byteLength": arr.nbytes})
+        buf += arr.tobytes()
+    j["buffers"] = [{
+        "byteLength": len(buf),
+        "uri": ("data:application/octet-stream;base64,"
+                + base64.b64encode(buf).decode()),
+    }]
+    j["bufferViews"] = views
+    path = tmp_path / "anim.gltf"
+    path.write_text(json.dumps(j))
+    return str(path)
+
+
+def _skinned_gltf(tmp_path):
+    """A 2-triangle strip skinned to two joints; joint 2 is animated from
+    rest y=1 to y=2 over t in [0, 1]."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    joints = np.array([[0, 0, 0, 0], [0, 0, 0, 0],
+                       [1, 0, 0, 0], [1, 0, 0, 0]], np.uint16)
+    weights = np.array([[1, 0, 0, 0]] * 4, np.float32)
+    idx = np.array([0, 1, 2, 1, 3, 2], np.uint16)
+    # inverse bind: joint0 identity; joint1 rest world = translate(0,1,0)
+    ibm0 = np.eye(4, dtype=np.float32)
+    ibm1 = np.eye(4, dtype=np.float32)
+    ibm1[3, 1] = -1.0  # column-major storage: translation in the 4th column
+    ibms = np.stack([ibm0, ibm1]).astype(np.float32)
+    anim_t = np.array([0.0, 1.0], np.float32)
+    anim_v = np.array([[0, 1, 0], [0, 2, 0]], np.float32)
+
+    j = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0, "skin": 0},
+            {"children": [2]},                      # joint 0 (root)
+            {"translation": [0.0, 1.0, 0.0]},       # joint 1
+        ],
+        "skins": [{"joints": [1, 2], "inverseBindMatrices": 4}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "JOINTS_0": 1, "WEIGHTS_0": 2},
+            "indices": 3,
+        }]}],
+        "animations": [{
+            "samplers": [{"input": 5, "output": 6,
+                          "interpolation": "LINEAR"}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 2, "path": "translation"}}],
+        }],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 4,
+             "type": "VEC4"},
+            {"bufferView": 2, "componentType": 5126, "count": 4,
+             "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+            {"bufferView": 4, "componentType": 5126, "count": 2,
+             "type": "MAT4"},
+            {"bufferView": 5, "componentType": 5126, "count": 2,
+             "type": "SCALAR"},
+            {"bufferView": 6, "componentType": 5126, "count": 2,
+             "type": "VEC3"},
+        ],
+    }
+    return _buffer_gltf(tmp_path, j,
+                        [pos, joints, weights, idx, ibms, anim_t, anim_v])
+
+
+def test_gltf_skinning_rest_pose(tmp_path):
+    meshes, _, _, _ = load_gltf(_skinned_gltf(tmp_path))
+    assert len(meshes) == 1
+    # at rest, joint matrices are identity: vertices unchanged
+    np.testing.assert_allclose(
+        meshes[0].vertices[0],
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], atol=1e-6)
+
+
+def test_gltf_skinning_animated_two_keys(tmp_path):
+    meshes, _, _, _ = load_gltf(_skinned_gltf(tmp_path), times=(0.0, 1.0))
+    m = meshes[0]
+    assert m.num_keys == 2
+    np.testing.assert_allclose(
+        m.vertices[0],
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], atol=1e-6)
+    # at t=1 joint 1 moved up by 1: only the top vertices follow
+    np.testing.assert_allclose(
+        m.vertices[1],
+        [[0, 0, 0], [1, 0, 0], [0, 2, 0], [1, 2, 0]], atol=1e-6)
+
+
+def test_gltf_node_animation_interpolations(tmp_path):
+    """LINEAR samples halfway between keys; STEP holds; clamped outside."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    anim_t = np.array([0.0, 1.0], np.float32)
+    anim_v = np.array([[0, 0, 0], [4, 0, 0]], np.float32)
+    j = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1,
+        }]}],
+        "animations": [{
+            "samplers": [{"input": 2, "output": 3,
+                          "interpolation": "LINEAR"}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 0, "path": "translation"}}],
+        }],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": 2,
+             "type": "SCALAR"},
+            {"bufferView": 3, "componentType": 5126, "count": 2,
+             "type": "VEC3"},
+        ],
+    }
+    path = _buffer_gltf(tmp_path, j, [pos, idx, anim_t, anim_v])
+
+    meshes, _, _, _ = load_gltf(path, times=(0.5, 2.0))
+    np.testing.assert_allclose(meshes[0].vertices[0][0], [2, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(meshes[0].vertices[1][0], [4, 0, 0], atol=1e-6)
+
+    jj = json.loads(open(path).read())
+    jj["animations"][0]["samplers"][0]["interpolation"] = "STEP"
+    open(path, "w").write(json.dumps(jj))
+    meshes, _, _, _ = load_gltf(path, times=(0.5,))
+    np.testing.assert_allclose(meshes[0].vertices[0][0], [0, 0, 0], atol=1e-6)
+
+
+def test_gltf_animated_motion_blur_renders(tmp_path):
+    """2-key animated glTF feeds the motion-blur pipeline end to end."""
+    from rendertoy3c_tpu.integrate.path import render_frame
+
+    meshes, _, _, _ = load_gltf(_skinned_gltf(tmp_path), times=(0.0, 1.0))
+    lamp_v = np.array([[-1, 3, -1], [-1, 3, 1], [1, 3, 1], [1, 3, -1]],
+                      np.float32)
+    lamp_f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    from rendertoy3c_tpu.scene.material import Material
+    from rendertoy3c_tpu.scene.mesh import Mesh
+
+    lamp = Mesh(vertices=np.stack([lamp_v, lamp_v]), indices=lamp_f,
+                material=Material(emissive=(10, 10, 10)))
+    scene = build_scene(meshes + [lamp])
+    assert scene.num_keys == 2
+    cam = Camera(eye=(0.5, 1.0, 4.0), lookat=(0.5, 1.0, 0.0), fov_y=60.0)
+    cfg = RenderConfig(width=16, height=16, samples_per_launch=2,
+                       max_depth=2, ray_block=256)
+    film, _ = render_frame(scene, cam.params(), cfg, subframes=1)
+    img = np.asarray(film.accum)
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+
+
 def test_gltf_alpha_mode_parsed(tmp_path):
     path = _quad_gltf(tmp_path)
     j = json.loads(open(path).read())
