@@ -64,7 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tonemap", choices=["aces", "none"], default="none",
                    help="aces matches the reference's GL display shader")
     p.add_argument("--denoise", type=int, default=0, metavar="N",
-                   help="apply N a-trous denoiser iterations before saving")
+                   help="apply N a-trous denoiser iterations before saving "
+                        "(uses the AOV guide buffers when --aov is on)")
+    p.add_argument("--aov", action="store_true",
+                   help="also accumulate first-hit albedo/normal AOVs; "
+                        "written as <output>.albedo/.normal and used as "
+                        "denoiser guides")
     p.add_argument("--env", default=None, metavar="IMG",
                    help="lat-long environment map (.exr/.png/.ppm) used by "
                         "the miss program instead of the constant ambient")
@@ -178,6 +183,11 @@ def main(argv=None) -> int:
         print(f"bad --size {args.size!r}, expected WxH", file=sys.stderr)
         return 2
 
+    if args.aov and args.renderer == "direct":
+        print("--aov is a path-renderer feature; ignoring for --renderer "
+              "direct", file=sys.stderr)
+        args.aov = False
+
     timers = PhaseTimers()
     cfg = RenderConfig(
         width=w, height=h, samples_per_launch=args.spp,
@@ -185,7 +195,7 @@ def main(argv=None) -> int:
         light_sampler=args.light_sampler, throughput_model=args.throughput,
         ray_block=args.ray_block, integrator=args.integrator,
         pool_pixel_major=(args.integrator == "pool"),
-        flush_every=args.flush_every,
+        flush_every=args.flush_every, aov=args.aov,
     )
 
     with timers.phase("load"):
@@ -244,7 +254,7 @@ def main(argv=None) -> int:
                 scene = morton_order_scene(scene)
 
             if (args.renderer == "path" and cfg.integrator == "pool"
-                    and not args.mesh_shape
+                    and not args.mesh_shape and not cfg.aov
                     and fused_shade_eligible(scene, cfg)
                     and cfg.ray_block % 256 == 0):
                 tracer = make_fused_pipeline(scene, cfg)
@@ -280,7 +290,8 @@ def main(argv=None) -> int:
         make_film = lambda: film_create_sharded(cfg, mesh)  # noqa: E731
     else:
         step = make_render_fn(scene, cfg, tracer=tracer)
-        make_film = lambda: film_create(cfg.height, cfg.width)  # noqa: E731
+        make_film = lambda: film_create(cfg.height, cfg.width,  # noqa: E731
+                                        aov=cfg.aov)
     film = make_film()
 
     if args.resume:
@@ -341,11 +352,38 @@ def main(argv=None) -> int:
     with timers.phase("save"):
         accum_dev = film.accum
         if args.denoise:
+            import jax.numpy as jnp
+
             from ..film.denoise import atrous_denoise
 
-            accum_dev = atrous_denoise(accum_dev, iterations=args.denoise)
+            if cfg.aov:
+                # SVGF-style guided filter: albedo demodulation (texture
+                # detail rides the albedo, not the noisy irradiance) +
+                # normal-buffer edge stopping
+                alb = jnp.maximum(film.albedo, 1e-3)
+                accum_dev = atrous_denoise(
+                    accum_dev / alb, normal=film.normal,
+                    iterations=args.denoise,
+                ) * alb
+            else:
+                accum_dev = atrous_denoise(accum_dev, iterations=args.denoise)
         accum = np.asarray(accum_dev)[::-1]  # film row 0 is image bottom
         out = args.output
+
+        if cfg.aov:
+            stem, ext = _os.path.splitext(out)
+            for name, buf in (("albedo", film.albedo), ("normal", film.normal)):
+                img = np.asarray(buf)[::-1]
+                path = f"{stem}.{name}{ext or '.png'}"
+                if path.endswith(".exr"):
+                    write_exr(path, img.astype(np.float32))
+                else:
+                    if name == "normal":  # [-1,1] -> display range
+                        img = img * 0.5 + 0.5
+                    rgb8 = np.asarray(make_color(img, alpha=False))
+                    (write_ppm if path.endswith(".ppm") else write_png)(
+                        path, rgb8
+                    )
         if out.endswith(".exr"):
             write_exr(out, accum.astype(np.float32))
         else:

@@ -63,6 +63,11 @@ class RenderConfig:
     # stream exactly.
     seed: int = 0
 
+    # Collect first-hit AOV buffers (albedo + shading normal) alongside the
+    # beauty pass — the denoiser's SVGF-style guide inputs (the reference's
+    # realtime-denoiser roadmap item, README.md:20, needs the same buffers).
+    aov: bool = False
+
     # BSDF evaluation model:
     #   'reference' reproduces the shipped closest-hit exactly, including its
     #   missing-cosine throughput quirk (attenuation *= albedo * bsdf/pdf

@@ -277,13 +277,14 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
 
     shadow_count = jnp.sum(want_shadow.astype(jnp.int32))
     return (seed, emitted, radiance, new_org, new_dir, atten_factor,
-            shadow_count, is_delta)
+            shadow_count, is_delta, albedo, ns)
 
 
 def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
                  tracer, pixel_idx, subframe_index):
     """Full path-traced estimate for one block of pixels. Returns
-    (rgb [B,3], radiance_ray_count, shadow_ray_count)."""
+    (rgb [B,3], aov, radiance_ray_count, shadow_ray_count) where aov is
+    (albedo [B,3], normal [B,3]) when cfg.aov, else None."""
     trace_closest, trace_any = tracer
     bsize = pixel_idx.shape[0]
     width = jnp.float32(cfg.width)
@@ -299,7 +300,7 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
     bg = jnp.asarray(cfg.bg_radiance, jnp.float32)
 
     def sample_body(carry, _):
-        outer_seed, result, n_rad, n_shad = carry
+        outer_seed, result, aov_sum, n_rad, n_shad = carry
         outer_seed, jx = rng.rnd(outer_seed)
         outer_seed, jy = rng.rnd(outer_seed)
         org, direction = _camera_ray(cam, px, py, jx, jy, width, height)
@@ -318,6 +319,9 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
             n_rad=n_rad,
             n_shad=n_shad,
         )
+        if cfg.aov:
+            state["aov_alb"] = jnp.zeros((bsize, 3), jnp.float32)
+            state["aov_nrm"] = jnp.zeros((bsize, 3), jnp.float32)
         _SCALARS = ("depth", "n_rad", "n_shad")
 
         def cond(s):
@@ -346,11 +350,18 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
                 count=n_alive,
             )
             (seed, emitted, radiance, new_org, new_dir, atten_factor,
-             shadow_count, is_delta) = _shade_and_nee(
+             shadow_count, is_delta, sh_albedo, sh_normal) = _shade_and_nee(
                 scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive,
                 count=n_alive,
             )
             is_hit = hit.mask
+            aov_out = {}
+            if cfg.aov:
+                first = (alive & is_hit & (s["depth"] == 0))[:, None]
+                aov_out = dict(
+                    aov_alb=jnp.where(first, sh_albedo, s["aov_alb"]),
+                    aov_nrm=jnp.where(first, sh_normal, s["aov_nrm"]),
+                )
 
             # Miss program (miss.cu:22-35): env-map or constant callable
             radiance = jnp.where(
@@ -399,6 +410,7 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
                 depth=s["depth"] + 1,
                 n_rad=s["n_rad"] + n_alive,
                 n_shad=s["n_shad"] + shadow_count,
+                **aov_out,
             )
 
         state = jax.lax.while_loop(cond, body, state)
@@ -407,19 +419,32 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
         result = jnp.zeros_like(state["result"]).at[state["slot"]].set(
             state["result"]
         )
-        return (outer_seed, result, state["n_rad"], state["n_shad"]), None
+        if cfg.aov:
+            aov_sum = (
+                aov_sum[0].at[state["slot"]].add(state["aov_alb"]),
+                aov_sum[1].at[state["slot"]].add(state["aov_nrm"]),
+            )
+        return (outer_seed, result, aov_sum, state["n_rad"],
+                state["n_shad"]), None
 
+    aov_init = (
+        (jnp.zeros((bsize, 3), jnp.float32),
+         jnp.zeros((bsize, 3), jnp.float32)) if cfg.aov else ()
+    )
     init = (
         outer_seed0,
         jnp.zeros((bsize, 3), jnp.float32),
+        aov_init,
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
-    (outer_seed, result, n_rad, n_shad), _ = jax.lax.scan(
+    (outer_seed, result, aov_sum, n_rad, n_shad), _ = jax.lax.scan(
         sample_body, init, None, length=cfg.samples_per_launch
     )
-    rgb = result / jnp.float32(cfg.samples_per_launch)
-    return rgb, n_rad, n_shad
+    inv_spp = 1.0 / jnp.float32(cfg.samples_per_launch)
+    rgb = result * inv_spp
+    aov = (aov_sum[0] * inv_spp, aov_sum[1] * inv_spp) if cfg.aov else None
+    return rgb, aov, n_rad, n_shad
 
 
 def _lcg_advance_table(spp: int) -> jnp.ndarray:
@@ -511,6 +536,16 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
         n_rad=jnp.zeros((), jnp.int32),
         n_shad=jnp.zeros((), jnp.int32),
     )
+    if cfg.aov:
+        state.update(
+            acc_alb=jnp.zeros((pool, 3), jnp.float32),
+            acc_nrm=jnp.zeros((pool, 3), jnp.float32),
+            image_alb=jnp.zeros((n_pix + 1, 3), jnp.float32),
+            image_nrm=jnp.zeros((n_pix + 1, 3), jnp.float32),
+        )
+    _ACCS = ("acc", "acc_alb", "acc_nrm") if cfg.aov else ("acc",)
+    _IMGS = (("image", "acc"), ("image_alb", "acc_alb"),
+             ("image_nrm", "acc_nrm")) if cfg.aov else (("image", "acc"),)
 
     if cfg.pool_pixel_major:
         def cond(s):
@@ -534,14 +569,20 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             completed = dead & (s["pixel"] >= 0) & (s["samp"] >= spp)
             do_flush = (s["iter"] % cfg.flush_every) == 0
 
-            def flush_fn(img):
+            def flush_fn(imgs):
                 target = jnp.where(completed, s["pixel"], n_pix)
-                return img.at[target].add(
-                    jnp.where(completed[:, None], s["acc"], 0.0)
+                return tuple(
+                    img.at[target].add(
+                        jnp.where(completed[:, None], s[acc_k], 0.0)
+                    )
+                    for img, (_img_k, acc_k) in zip(imgs, _IMGS)
                 )
 
-            image = jax.lax.cond(do_flush, flush_fn, lambda im: im,
-                                 s["image"])
+            imgs = jax.lax.cond(
+                do_flush, flush_fn, lambda im: im,
+                tuple(s[img_k] for img_k, _ in _IMGS),
+            )
+            image = imgs[0]
             freed = completed & do_flush
             pixel_cur = jnp.where(freed, -1, s["pixel"])
             acc_cur = jnp.where(freed[:, None], 0.0, s["acc"])
@@ -567,13 +608,23 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                      iter=s["iter"] + 1, pixel=pixel_cur,
                      samp=jnp.where(take, samp_cur + 1, samp_cur),
                      acc=acc_cur)
+            if cfg.aov:
+                s.update(
+                    image_alb=imgs[1], image_nrm=imgs[2],
+                    acc_alb=jnp.where(freed[:, None], 0.0, s["acc_alb"]),
+                    acc_nrm=jnp.where(freed[:, None], 0.0, s["acc_nrm"]),
+                )
         else:
             # --- sample-major: flush every dying path, refill immediately ---
             flush = dead & (s["pixel"] >= 0)
             target = jnp.where(flush, s["pixel"], n_pix)  # idle -> sink row
-            image = s["image"].at[target].add(
-                jnp.where(flush[:, None], s["acc"], 0.0)
-            )
+            flushed = {
+                img_k: s[img_k].at[target].add(
+                    jnp.where(flush[:, None], s[acc_k], 0.0)
+                )
+                for img_k, acc_k in _IMGS
+            }
+            image = flushed["image"]
 
             rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # per-dead rank
             w = s["next_work"] + rank
@@ -582,7 +633,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             p_slot = w_c % n_pix
             samp = w_c // n_pix
             new_pixel = pixel_base + p_slot
-            s = dict(s, image=image, iter=s["iter"] + 1,
+            s = dict(s, **flushed, iter=s["iter"] + 1,
                      next_work=s["next_work"]
                      + jnp.sum(take.astype(jnp.int32)))
         st = rng.tea(new_pixel.astype(jnp.uint32), subframe_index)
@@ -609,11 +660,14 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
 
         if cfg.pool_pixel_major:
             # acc persists across a pixel's samples; pixel already updated
-            acc_new = s["acc"]
+            acc_new = {k: s[k] for k in _ACCS}
             pixel_new = s["pixel"]
         else:
-            acc_new = fill(jnp.zeros((pool, 3), jnp.float32),
-                           jnp.where(flush[:, None], 0.0, s["acc"]))
+            acc_new = {
+                k: fill(jnp.zeros((pool, 3), jnp.float32),
+                        jnp.where(flush[:, None], 0.0, s[k]))
+                for k in _ACCS
+            }
             pixel_new = fill(new_pixel, jnp.where(flush, -1, s["pixel"]))
         s = dict(
             s,
@@ -622,11 +676,11 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             seed=fill(st, s["seed"]),
             atten=fill(jnp.ones((pool, 3), jnp.float32), s["atten"]),
             last_atten=fill(jnp.ones((pool, 3), jnp.float32), s["last_atten"]),
-            acc=acc_new,
             pixel=pixel_new,
             depth=fill(jnp.zeros((pool,), jnp.int32), s["depth"]),
             prev_delta=s["prev_delta"] & ~take,
             alive=s["alive"] | take,
+            **acc_new,
         )
 
         if cfg.sort_rays:
@@ -648,7 +702,8 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             key = jnp.where(s["alive"], key, jnp.uint32(0xFFFFFFFF))
             order = jnp.argsort(key)
             per_lane = ("org", "dir", "seed", "atten", "last_atten", "acc",
-                        "pixel", "depth", "prev_delta", "alive", "samp")
+                        "pixel", "depth", "prev_delta", "alive", "samp",
+                        "acc_alb", "acc_nrm")
             s = {
                 k: (jnp.take(v, order, axis=0) if k in per_lane else v)
                 for k, v in s.items()
@@ -725,11 +780,18 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             count=count_hint,
         )
         (seed, emitted, radiance, new_org2, new_dir2, atten_factor,
-         shadow_count, is_delta) = _shade_and_nee(
+         shadow_count, is_delta, sh_albedo, sh_normal) = _shade_and_nee(
             scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive,
             count=count_hint,
         )
         is_hit = hit.mask
+        aov_out = {}
+        if cfg.aov:
+            first = (alive & is_hit & (s["depth"] == 0))[:, None]
+            aov_out = dict(
+                acc_alb=s["acc_alb"] + jnp.where(first, sh_albedo, 0.0),
+                acc_nrm=s["acc_nrm"] + jnp.where(first, sh_normal, 0.0),
+            )
         radiance = jnp.where(
             is_hit[:, None], radiance, _miss_radiance(scene, bg, s["dir"])
         )
@@ -769,15 +831,27 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             alive=new_alive,
             n_rad=s["n_rad"] + n_live,
             n_shad=s["n_shad"] + shadow_count,
+            **aov_out,
         )
 
     s = jax.lax.while_loop(cond, body, state)
     # final flush: the loop exits with all lanes dead but unflushed
     flush = s["pixel"] >= 0
     target = jnp.where(flush, s["pixel"], n_pix)
-    image = s["image"].at[target].add(jnp.where(flush[:, None], s["acc"], 0.0))
-    rgb = image[:n_pix] / jnp.float32(spp)
-    return rgb, s["n_rad"], s["n_shad"]
+    inv_spp = 1.0 / jnp.float32(spp)
+
+    def final_flush(img_k, acc_k):
+        img = s[img_k].at[target].add(
+            jnp.where(flush[:, None], s[acc_k], 0.0)
+        )
+        return img[:n_pix] * inv_spp
+
+    rgb = final_flush("image", "acc")
+    aov = (
+        (final_flush("image_alb", "acc_alb"),
+         final_flush("image_nrm", "acc_nrm")) if cfg.aov else None
+    )
+    return rgb, aov, s["n_rad"], s["n_shad"]
 
 
 def render_pixels(
@@ -804,6 +878,9 @@ def render_pixels(
     if isinstance(tracer, FusedPipeline):
         if cfg.integrator != "pool":
             raise ValueError("FusedPipeline requires cfg.integrator='pool'")
+        if cfg.aov:
+            raise ValueError("the fused pipeline does not produce AOVs; "
+                             "use the unfused tracers with cfg.aov")
         pool = min(cfg.ray_block,
                    _next_pow2(pixel_idx.shape[0] * cfg.samples_per_launch))
         if pool % 256:
@@ -824,9 +901,13 @@ def render_pixels(
     def per_block(idx):
         return _trace_block(scene, cfg, cam, tracer, idx, subframe_index)
 
-    rgb_blocks, n_rad, n_shad = jax.lax.map(per_block, idx_padded)
+    rgb_blocks, aov_blocks, n_rad, n_shad = jax.lax.map(per_block, idx_padded)
     rgb = rgb_blocks.reshape(-1, 3)[:n_pixels]
-    return rgb, jnp.sum(n_rad), jnp.sum(n_shad)
+    aov = (
+        tuple(a.reshape(-1, 3)[:n_pixels] for a in aov_blocks)
+        if cfg.aov else None
+    )
+    return rgb, aov, jnp.sum(n_rad), jnp.sum(n_shad)
 
 
 def render_subframe(
@@ -846,11 +927,11 @@ def render_subframe(
 
     n_pixels = cfg.width * cfg.height
     pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
-    rgb, n_rad, n_shad = render_pixels(
+    rgb, aov, n_rad, n_shad = render_pixels(
         scene, cfg, cam, tracer, pixel_idx, film.subframe_index
     )
     rgb = rgb.reshape(cfg.height, cfg.width, 3)
-    film = film_accumulate(film, rgb)
+    film = film_accumulate(film, rgb, aov=aov)
     stats = RenderStats(radiance_rays=n_rad, shadow_rays=n_shad)
     return film, stats
 
@@ -887,7 +968,7 @@ def render_frame(
 
     step = make_render_fn(scene, cfg, tracer=tracer)
     if film is None:
-        film = film_create(cfg.height, cfg.width)
+        film = film_create(cfg.height, cfg.width, aov=cfg.aov)
     total_rad = 0
     total_shad = 0
     for _ in range(subframes):

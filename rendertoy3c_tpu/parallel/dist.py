@@ -103,11 +103,15 @@ def make_render_fn_dist(
     rows = cfg.height // n_tile
     shard_pixels = rows * cfg.width
 
+    img_spec = P("tile", None, None)
+
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P("tile", None, None), P(), P()),
+        out_specs=(img_spec,
+                   (img_spec, img_spec) if cfg.aov else P(),
+                   P(), P()),
         # The integrator's scan/while carries mix replicated inits with
         # axis_index-derived varying state; skip the VMA type check rather
         # than pvary-annotating every carry leaf.
@@ -120,17 +124,24 @@ def make_render_fn_dist(
         base = tile_r * shard_pixels
         pix = base + jnp.arange(shard_pixels, dtype=jnp.int32)
         sub_eff = subframe_index * n_spp + spp_r
-        rgb, n_rad, n_shad = render_pixels(
+        rgb, aov, n_rad, n_shad = render_pixels(
             scene_rep, cfg_local, cam, tracer, pix, sub_eff
         )
         rgb = jax.lax.pmean(rgb.reshape(rows, cfg.width, 3), "spp")
+        if aov is not None:
+            aov = tuple(
+                jax.lax.pmean(a.reshape(rows, cfg.width, 3), "spp")
+                for a in aov
+            )
         n_rad = jax.lax.psum(n_rad, ("tile", "spp"))
         n_shad = jax.lax.psum(n_shad, ("tile", "spp"))
-        return rgb, n_rad, n_shad
+        return rgb, aov, n_rad, n_shad
 
     def step(cam: CameraParams, film: Film):
-        rgb, n_rad, n_shad = subframe_shard(scene, cam, film.subframe_index)
-        film = film_accumulate(film, rgb)
+        rgb, aov, n_rad, n_shad = subframe_shard(
+            scene, cam, film.subframe_index
+        )
+        film = film_accumulate(film, rgb, aov=aov)
         return film, RenderStats(radiance_rays=n_rad, shadow_rays=n_shad)
 
     return jax.jit(step, donate_argnames=("film",)), mesh
@@ -139,13 +150,18 @@ def make_render_fn_dist(
 def film_create_sharded(cfg: RenderConfig, mesh: Mesh) -> Film:
     """Film whose accumulator rows live sharded across the tile axis."""
     sharding = NamedSharding(mesh, P("tile", None, None))
-    accum = jax.device_put(
-        jnp.zeros((cfg.height, cfg.width, 3), jnp.float32), sharding
-    )
+
+    def img():
+        return jax.device_put(
+            jnp.zeros((cfg.height, cfg.width, 3), jnp.float32), sharding
+        )
+
     subframe = jax.device_put(
         jnp.zeros((), jnp.int32), NamedSharding(mesh, P())
     )
-    return Film(accum=accum, subframe_index=subframe)
+    return Film(accum=img(), subframe_index=subframe,
+                albedo=img() if cfg.aov else None,
+                normal=img() if cfg.aov else None)
 
 
 def render_distributed(

@@ -27,11 +27,16 @@ def save_checkpoint(path: str, film: Film, cfg=None) -> None:
     if cfg is not None:
         meta.update(width=cfg.width, height=cfg.height, seed=cfg.seed,
                     samples_per_launch=cfg.samples_per_launch)
+    extra = {}
+    if film.albedo is not None:
+        extra["albedo"] = np.asarray(film.albedo)
+        extra["normal"] = np.asarray(film.normal)
     np.savez(
         path,
         accum=np.asarray(film.accum),
         subframe_index=np.asarray(film.subframe_index),
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **extra,
     )
 
 
@@ -42,6 +47,8 @@ def load_checkpoint(path: str, cfg=None) -> Film:
             raise ValueError(f"unsupported checkpoint version {meta.get('version')}")
         accum = z["accum"]
         subframe = z["subframe_index"]
+        albedo = z["albedo"] if "albedo" in z else None
+        normal = z["normal"] if "normal" in z else None
     if cfg is not None:
         if accum.shape[:2] != (cfg.height, cfg.width):
             raise ValueError(
@@ -54,5 +61,7 @@ def load_checkpoint(path: str, cfg=None) -> Film:
                 "resuming would decorrelate the sample streams"
             )
     return Film(
-        accum=jnp.asarray(accum), subframe_index=jnp.asarray(subframe)
+        accum=jnp.asarray(accum), subframe_index=jnp.asarray(subframe),
+        albedo=None if albedo is None else jnp.asarray(albedo),
+        normal=None if normal is None else jnp.asarray(normal),
     )
