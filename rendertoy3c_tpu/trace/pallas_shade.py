@@ -17,10 +17,12 @@ TPU-native tricks:
   * the shadow probe sweeps the same VMEM-resident triangle soup as the
     closest kernel (any-hit with per-lane light distance as tmax).
 
-Gated fast path: DIFFUSE-only scenes, no textures, static geometry, uniform
-light sampler, reference throughput model, constant background. Everything
-else uses the general XLA shading path (integrate/path.py) — same results,
-more kernels.
+Gated fast path: DIFFUSE-only scenes, static geometry, uniform light
+sampler, reference throughput model, constant background. Diffuse textures
+are fused in-kernel for atlases within MAX_ATLAS_TEXELS (the bilinear fetch
+is a two-stage one-hot gather on the MXU, see _tex_fetch); roughness/
+emissive/normal maps and uv transforms fall back. Everything else uses the
+general XLA shading path (integrate/path.py) — same results, more kernels.
 
 Table layouts (VMEM, lane-friendly):
   attr   [16, F] f32 : rows n0.xyz n1.xyz n2.xyz emission.xyz diffuse.xyz pad
@@ -51,20 +53,28 @@ _INV_2_24 = 1.0 / float(1 << 24)
 MAX_ONEHOT_FACES = 2048
 
 
-def build_shade_tables(scene):
-    """(attr_t [16,F], lights_t [16,Lp]) — transposed so the one-hot fetch
-    yields lanes-major rows (see module doc)."""
+def build_shade_tables(scene, textured: bool = False):
+    """(attr_t [16|24,F], lights_t [16,Lp]) — transposed so the one-hot
+    fetch yields lanes-major rows (see module doc).
+
+    Textured scenes use the 24-row attr layout, appending rows 16-21 =
+    uv0.xy uv1.xy uv2.xy, row 22 = diffuse texture id."""
     g = scene.geom
     f = g.mat_id.shape[0]
     mat_id = np.asarray(g.mat_id)
     emission = np.asarray(scene.materials.emission)[mat_id]
     diffuse = np.asarray(scene.materials.diffuse)[mat_id]
-    attr = np.zeros((f, 16), np.float32)
+    attr = np.zeros((f, 24 if textured else 16), np.float32)
     attr[:, 0:3] = np.asarray(g.n0[0])
     attr[:, 3:6] = np.asarray(g.n1[0])
     attr[:, 6:9] = np.asarray(g.n2[0])
     attr[:, 9:12] = emission
     attr[:, 12:15] = diffuse
+    if textured:
+        attr[:, 16:18] = np.asarray(g.uv0)
+        attr[:, 18:20] = np.asarray(g.uv1)
+        attr[:, 20:22] = np.asarray(g.uv2)
+        attr[:, 22] = np.asarray(scene.materials.diffuse_tex)[mat_id]
 
     lt = scene.lights
     n_l = max(scene.num_lights, 1)
@@ -78,6 +88,27 @@ def build_shade_tables(scene):
     lights[:n_l, 15] = np.asarray(lt.area)[:n_l]
     return (jnp.asarray(np.ascontiguousarray(attr.T)),
             jnp.asarray(np.ascontiguousarray(lights.T)))
+
+
+MAX_ATLAS_TEXELS = 1 << 15  # quad_t VMEM budget (~1.5 MB at 32k texels)
+
+
+def build_texture_tables(atlas):
+    """(quad_t [12*AW, AH], meta_t [8, T]) for the in-kernel bilinear fetch.
+
+    quad_t row layout: sublane = c * AW + x for component c of the 2x2
+    footprint (rgb00 rgb01 rgb10 rgb11), so one onehot-row matmul + a
+    lane-modulus column select implements the gather (see _tex_fetch)."""
+    quad = np.asarray(atlas.quad, np.float32)  # [AH*AW, 12]
+    ah, aw = atlas.data.shape[:2]
+    quad_t = (quad.reshape(ah, aw, 12).transpose(2, 1, 0)
+              .reshape(12 * aw, ah))
+    meta = np.asarray(atlas.meta, np.float32)  # [T, 6]
+    t = meta.shape[0]
+    meta_t = np.zeros((8, t), np.float32)
+    meta_t[:6] = meta.T
+    return (jnp.asarray(np.ascontiguousarray(quad_t)),
+            jnp.asarray(meta_t))
 
 
 def _rnd(state_f):
@@ -115,12 +146,76 @@ def _normalize3(x, y, z, eps=1e-20):
     return x * inv, y * inv, z * inv, inv
 
 
+def _wrap_axis(c, size, mode):
+    """Base texel index + frac along one axis (scene/texture.py
+    _wrap_footprint semantics) on [1, RT] f32 rows; mode 0/1/2 as float."""
+    cm = jnp.where(mode == 2.0, 1.0 - jnp.abs(jnp.mod(c, 2.0) - 1.0), c)
+    repeat = mode == 0.0
+    cc = jnp.where(repeat, cm - jnp.floor(cm), cm)
+    sc = cc * size - 0.5
+    sc = jnp.where(repeat, sc, jnp.clip(sc, 0.0, size - 1.0))
+    i0 = jnp.floor(sc)
+    frac = sc - i0
+    i0 = jnp.where(repeat, jnp.mod(i0, size), i0)
+    return i0, frac
+
+
+def _tex_fetch(u, v, tid, meta_ref, quad_ref, ah, aw):
+    """Per-lane wrap-mode bilinear fetch from the single-gather quad table.
+
+    The TPU "texture unit": a [12*AW, AH] table row-gathered by one-hot
+    matmul on the MXU (y select), then a lane-modulus mask + block-sum
+    matmul (x select). Cost 2*RT*AH*12*AW flops at MXU rate per fetch —
+    ~1-3 us/tile for atlases within MAX_ATLAS_TEXELS.
+
+    u, v, tid: [1, RT] f32 rows. Returns rgb as three [1, RT] rows (black
+    where tid < 0, matching sample_texture_bilinear).
+    """
+    rt = u.shape[1]
+    m = _onehot_fetch_t(jnp.maximum(tid, 0.0), meta_ref)  # [8, RT]
+    y0, x0 = m[0:1], m[1:2]
+    th, tw = m[2:3], m[3:4]
+    wt_m, ws_m = m[5:6], m[4:5]
+    iu0, fu = _wrap_axis(u, tw, ws_m)
+    iv0, fv = _wrap_axis(v, th, wt_m)
+    yy = y0 + iv0  # exact small ints in f32
+    xx = x0 + iu0
+
+    y_iota = jax.lax.broadcasted_iota(jnp.int32, (ah, rt), 0)
+    onehot_y = (y_iota.astype(jnp.float32) == yy).astype(jnp.float32)
+    # y-select: [12*AW, AH] @ [AH, RT]. HIGHEST keeps the f32 texel values
+    # exact (one-hot weights are exact in every bf16 pass).
+    mid = jnp.dot(quad_ref[:], onehot_y,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # [12*AW, RT]
+    lane12 = jax.lax.broadcasted_iota(jnp.int32, (12 * aw, rt), 0)
+    x_mask = ((lane12 % aw).astype(jnp.float32) == xx).astype(jnp.float32)
+    q = jnp.sum((mid * x_mask).reshape(12, aw, rt), axis=1)  # [12, RT]
+
+    inv_fu = 1.0 - fu
+    inv_fv = 1.0 - fv
+    rgb = []
+    for c in range(3):
+        rgb.append(
+            q[c:c + 1] * inv_fu * inv_fv
+            + q[3 + c:4 + c] * fu * inv_fv
+            + q[6 + c:7 + c] * inv_fu * fv
+            + q[9 + c:10 + c] * fu * fv
+        )
+    present = tid >= 0.0
+    return [jnp.where(present, ch, 0.0) for ch in rgb]
+
+
 def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
-                       shadow_eps):
+                       shadow_eps, textured=False, ah=0, aw=0):
     bgx, bgy, bgz = (float(b) for b in bg)
 
     def kernel(count_ref, rays_ref, hit_ref, misc_ref, tris_ref, aabb_ref,
-               super_ref, attr_ref, lights_ref, rays_out, misc_out):
+               super_ref, attr_ref, lights_ref, *rest):
+        if textured:
+            quad_ref, meta_ref, rays_out, misc_out = rest
+        else:
+            rays_out, misc_out = rest
         i = pl.program_id(0)
         rt = rays_ref.shape[0]
 
@@ -166,6 +261,14 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         hit_f = is_hit.astype(jnp.float32)
         emitted = [row(a, 9 + c) * emit_gate * hit_f for c in range(3)]
         albedo = [row(a, 12 + c) for c in range(3)]
+        if textured:
+            tu = w0 * row(a, 16) + bu * row(a, 18) + bv * row(a, 20)
+            tv = w0 * row(a, 17) + bu * row(a, 19) + bv * row(a, 21)
+            tid = row(a, 22)
+            tex_rgb = _tex_fetch(tu, tv, tid, meta_ref, quad_ref, ah, aw)
+            present = tid >= 0.0
+            albedo = [jnp.where(present, tex_rgb[c], albedo[c])
+                      for c in range(3)]
 
         # --- BSDF sample (cosine hemisphere; reference draw order) ---
         adv = is_hit  # every lane in a live tile advances like the XLA path
@@ -315,12 +418,29 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
     return kernel
 
 
+def _fused_texture_state(scene) -> str:
+    """'none' (untextured), 'diffuse' (fused-supported), 'unsupported'."""
+    atlas = scene.atlas
+    if atlas.data.shape[:2] == (1, 1):
+        return "none"
+    mats = scene.materials
+    ok = (
+        atlas.quad is not None
+        and atlas.data.shape[0] * atlas.data.shape[1] <= MAX_ATLAS_TEXELS
+        and not getattr(scene, "any_uv_transform", False)
+        and not getattr(scene, "any_normal_map", False)
+        and not np.asarray(mats.roughness_tex >= 0).any()
+        and not np.asarray(mats.emissive_tex >= 0).any()
+    )
+    return "diffuse" if ok else "unsupported"
+
+
 def fused_shade_eligible(scene, cfg) -> bool:
     return (
         getattr(scene, "all_diffuse", False)
         and scene.num_keys == 1
         and scene.num_lights >= 1
-        and scene.atlas.data.shape[:2] == (1, 1)
+        and _fused_texture_state(scene) != "unsupported"
         and getattr(scene, "env", None) is None
         and cfg.light_sampler == "uniform"
         and cfg.throughput_model == "reference"
@@ -335,7 +455,14 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
     soup: the closest kernel's TriSoup (tiles + cull AABBs, shared)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    attr, lights = build_shade_tables(scene)
+    textured = _fused_texture_state(scene) == "diffuse"
+    attr, lights = build_shade_tables(scene, textured=textured)
+    tex_tables = ()
+    ah = aw = 0
+    if textured:
+        quad_t, meta_t = build_texture_tables(scene.atlas)
+        tex_tables = (quad_t, meta_t)
+        ah, aw = scene.atlas.data.shape[:2]
     soup_tris = soup.tris
     soup_aabb = soup.aabb
     soup_super = soup.super_aabb
@@ -349,6 +476,7 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
     kernel = _make_shade_kernel(
         n_tiles, scene.num_lights, cfg.bg_radiance,
         cfg.shadow_tmin, cfg.shadow_tmax_eps,
+        textured=textured, ah=ah, aw=aw,
     )
 
     @functools.partial(jax.jit, static_argnames=())
@@ -376,10 +504,14 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
                     pl.BlockSpec((soup_super.shape[0], 8),
                                  lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((16, attr.shape[1]), lambda i, *_: (0, 0),
+                    pl.BlockSpec(attr.shape, lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((16, lights.shape[1]), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
+                ] + [
+                    pl.BlockSpec(t.shape, lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for t in tex_tables
                 ],
                 out_specs=(
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
@@ -394,7 +526,7 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
             ),
             interpret=interpret,
         )(count, rays, hit4, misc8, soup_tris, soup_aabb, soup_super,
-          attr, lights)
+          attr, lights, *tex_tables)
 
     return shade
 
@@ -411,8 +543,9 @@ class FusedPipeline:
         if not fused_shade_eligible(scene, cfg):
             raise ValueError(
                 "scene/cfg outside the fused fast path (needs all-diffuse, "
-                "untextured, static, uniform sampler, reference throughput, "
-                f"<= {MAX_ONEHOT_FACES} faces)"
+                "static, uniform sampler, reference throughput, "
+                f"<= {MAX_ONEHOT_FACES} faces; textures only as diffuse "
+                f"maps over atlases <= {MAX_ATLAS_TEXELS} texels)"
             )
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"

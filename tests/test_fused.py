@@ -58,6 +58,49 @@ def test_fused_matches_pool(cornell):
     assert int(s_fused.shadow_rays) == int(s_ref.shadow_rays)
 
 
+def test_fused_textured_matches_pool():
+    """Diffuse-textured scenes ride the fused path (in-kernel bilinear)."""
+    from rendertoy3c_tpu.scene.builtin import textured_quad_scene
+
+    meshes, textures, camera = textured_quad_scene()
+    scene = build_scene(meshes, textures=textures)
+    cfg = _cfg(samples_per_launch=4)
+    assert fused_shade_eligible(scene, cfg)
+    cam = camera.params()
+    f_ref, s_ref = render_frame(scene, cam, cfg, subframes=1)
+    pipe = make_fused_pipeline(scene, cfg, interpret=True)
+    f_fused, s_fused = render_frame(scene, cam, cfg, subframes=1, tracer=pipe)
+    np.testing.assert_allclose(
+        np.asarray(f_fused.accum), np.asarray(f_ref.accum),
+        rtol=3e-5, atol=3e-5,
+    )
+    assert int(s_fused.radiance_rays) == int(s_ref.radiance_rays)
+    assert int(s_fused.shadow_rays) == int(s_ref.shadow_rays)
+
+
+def test_fused_textured_wrap_modes():
+    """CLAMP/MIRROR samplers shade identically in fused and XLA paths."""
+    from rendertoy3c_tpu.scene.builtin import textured_quad_scene
+    from rendertoy3c_tpu.scene.texture import (
+        WRAP_CLAMP, WRAP_MIRROR, TextureImage,
+    )
+
+    meshes, textures, camera = textured_quad_scene()
+    # stretch uvs outside [0,1] so address modes matter
+    meshes[0].texcoords = meshes[0].texcoords * 2.5 - 0.75
+    textures = [TextureImage(textures[0], WRAP_CLAMP, WRAP_MIRROR)]
+    scene = build_scene(meshes, textures=textures)
+    cfg = _cfg(samples_per_launch=2)
+    cam = camera.params()
+    f_ref, _ = render_frame(scene, cam, cfg, subframes=1)
+    pipe = make_fused_pipeline(scene, cfg, interpret=True)
+    f_fused, _ = render_frame(scene, cam, cfg, subframes=1, tracer=pipe)
+    np.testing.assert_allclose(
+        np.asarray(f_fused.accum), np.asarray(f_ref.accum),
+        rtol=3e-5, atol=3e-5,
+    )
+
+
 def test_fused_matches_wave_multi_subframe(cornell):
     scene, camera = cornell
     cfg = _cfg(samples_per_launch=1, max_depth=3)
