@@ -27,7 +27,9 @@ import numpy as np
 from .light import build_light_table
 from .material import Material, build_material_table
 from .mesh import Mesh
-from .scene import FACE_ALIGN, GeometrySoA, Instance, _apply_affine
+from .scene import GeometrySoA, Instance, _apply_affine
+
+INST_FACE_ALIGN = 128  # per-mesh face padding on the instanced path
 from .texture import build_texture_atlas, _empty_atlas
 
 
@@ -93,7 +95,9 @@ def build_instanced_scene(
                 "meshes with build_scene"
             )
 
-    # concatenate object-space geometry, each mesh padded to FACE_ALIGN
+    # concatenate object-space geometry, each mesh padded to
+    # INST_FACE_ALIGN (128 = one vector width: small instanced meshes
+    # would waste ~4x their sweep cost at the baked path's 512 alignment)
     slabs = {k: [] for k in ("v0", "e1", "e2", "n0", "n1", "n2")}
     uv0s, uv1s, uv2s, mat_ids = [], [], [], []
     materials: list[Material] = []
@@ -106,7 +110,7 @@ def build_instanced_scene(
         v = mesh.vertices[0]
         n = mesh.normals[0]
         nf = mesh.num_faces
-        padded = -(-max(nf, 1) // FACE_ALIGN) * FACE_ALIGN
+        padded = -(-max(nf, 1) // INST_FACE_ALIGN) * INST_FACE_ALIGN
 
         def padf(a):
             return np.pad(

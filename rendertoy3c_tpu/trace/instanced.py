@@ -50,6 +50,12 @@ def _transform_rays(lin, trans, o, d):
 
 def _trace_range(geom, start, count, o, d, tmin, tmax, chunk=512):
     """Closest hit over faces [start, start+count) (static range)."""
+    if count % chunk:
+        # mesh ranges are INST_FACE_ALIGN-padded; shrink the slice so it
+        # never spills into the next mesh's faces
+        import math as _m
+
+        chunk = _m.gcd(count, chunk)
     r = o.shape[0]
     best = (
         tmax,

@@ -32,24 +32,29 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.instanced import InstancedScene
+from ..scene.instanced import INST_FACE_ALIGN, InstancedScene
 from .intersect import Hit
-from .pallas_mt import RAY_TILE, TRI_TILE, _BIG, _mt_test_cols, _pack_rays
+from .pallas_mt import RAY_TILE, _BIG, _mt_test_cols, _pack_rays
+
+# Instanced tri-tile width = one vector register width = the instanced
+# face alignment: small meshes (walls, props) sweep zero padding beyond
+# their own 128-pad, where the baked path's 512-wide tiles would waste 4x.
+ITILE = INST_FACE_ALIGN
 
 
 def build_instanced_soup(scene: InstancedScene):
-    """Object-space tri soup [F/CT, 9, CT] + per-mesh tile ranges +
+    """Object-space tri soup [F/IT, 9, IT] + per-mesh tile ranges +
     instance table [I, 20]."""
     v0 = np.asarray(scene.geom.v0[0])
     e1 = np.asarray(scene.geom.e1[0])
     e2 = np.asarray(scene.geom.e2[0])
     f = v0.shape[0]
-    assert f % TRI_TILE == 0, "mesh ranges are FACE_ALIGN-padded"
+    assert f % ITILE == 0, "mesh ranges are INST_FACE_ALIGN-padded"
     soup = np.zeros((9, f), np.float32)
     soup[0:3] = v0.T
     soup[3:6] = e1.T
     soup[6:9] = e2.T
-    tiled = soup.reshape(9, f // TRI_TILE, TRI_TILE).transpose(1, 0, 2)
+    tiled = soup.reshape(9, f // ITILE, ITILE).transpose(1, 0, 2)
 
     inst = scene.instances
     n_inst = scene.num_instances
@@ -59,7 +64,7 @@ def build_instanced_soup(scene: InstancedScene):
     table[:, 15:18] = np.asarray(inst.aabb_hi)
 
     tile_ranges = tuple(
-        (start // TRI_TILE, cnt // TRI_TILE) for start, cnt in scene.mesh_ranges
+        (start // ITILE, cnt // ITILE) for start, cnt in scene.mesh_ranges
     )
     return (
         jnp.asarray(np.ascontiguousarray(tiled)),
@@ -72,61 +77,85 @@ def _instance_sweep(kern_update, tcur_fn, rays_ref, tris_ref, inst_ref,
                     instance_mesh, tile_ranges, state):
     """Shared instance loop: state is updated per surviving triangle tile.
 
+    The per-instance cull + object-space transform run LANES-MAJOR on
+    [1, RT] rows (a [RT, 1] column wastes 127/128 lanes per op — at ~30 ops
+    x I instances that dominated the kernel); one [8, RT] -> [RT, 8]
+    transpose per surviving instance feeds the rays-in-sublanes MT sweep.
+
     tcur_fn(state) -> [RT,1] current upper t bound (best-so-far for closest,
     the ray tmax for occlusion)."""
-    ox, oy, oz = (rays_ref[:, c:c + 1] for c in (0, 1, 2))
-    dx, dy, dz = (rays_ref[:, c:c + 1] for c in (3, 4, 5))
-    tmin = rays_ref[:, 6:7]
+    rays_t = jnp.transpose(rays_ref[:], (1, 0))  # [8, RT]
+
+    def row(c):
+        return rays_t[c:c + 1, :]
+
+    ox, oy, oz = row(0), row(1), row(2)
+    dx, dy, dz = row(3), row(4), row(5)
+    tmin_r = row(6)
+    tmin_c = rays_ref[:, 6:7]
 
     big = jnp.float32(_BIG)
     inv_dx = jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, big)
     inv_dy = jnp.where(jnp.abs(dy) > 1e-20, 1.0 / dy, big)
     inv_dz = jnp.where(jnp.abs(dz) > 1e-20, 1.0 / dz, big)
 
-    for i, mesh_i in enumerate(instance_mesh):
-        def e(c, _i=i):
-            return inst_ref[_i, c]
+    # --- batched slab test + object-space transform for ALL instances at
+    # once on [I, RT] (inst columns [I,1] broadcast against ray rows
+    # [1,RT]); the per-instance loop then only compares against the
+    # current-best t and slices its rows out ---
+    def icol(c):
+        return inst_ref[:, c:c + 1]  # [I, 1]
 
-        # --- tile-level instance AABB cull (world space) ---
-        t0x = (e(12) - ox) * inv_dx
-        t1x = (e(15) - ox) * inv_dx
-        t0y = (e(13) - oy) * inv_dy
-        t1y = (e(16) - oy) * inv_dy
-        t0z = (e(14) - oz) * inv_dz
-        t1z = (e(17) - oz) * inv_dz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+    t0x = (icol(12) - ox) * inv_dx
+    t1x = (icol(15) - ox) * inv_dx
+    t0y = (icol(13) - oy) * inv_dy
+    t1y = (icol(16) - oy) * inv_dy
+    t0z = (icol(14) - oz) * inv_dz
+    t1z = (icol(17) - oz) * inv_dz
+    tn_all = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+    tf_all = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        tcur = tcur_fn(state)  # [RT,1] current best t (or tmax)
-        hit_box = (tn <= tf) & (tf >= tmin) & (tn <= tcur)
+    ok_static = (tn_all <= tf_all) & (tf_all >= tmin_r)  # [I, RT]
+
+    o2x_a = icol(0) * ox + icol(1) * oy + icol(2) * oz + icol(3)
+    o2y_a = icol(4) * ox + icol(5) * oy + icol(6) * oz + icol(7)
+    o2z_a = icol(8) * ox + icol(9) * oy + icol(10) * oz + icol(11)
+    d2x_a = icol(0) * dx + icol(1) * dy + icol(2) * dz
+    d2y_a = icol(4) * dx + icol(5) * dy + icol(6) * dz
+    d2z_a = icol(8) * dx + icol(9) * dy + icol(10) * dz
+
+    for i, mesh_i in enumerate(instance_mesh):
+        tcur_r = jnp.transpose(tcur_fn(state), (1, 0))  # [1, RT]
+        hit_box = ok_static[i:i + 1] & (tn_all[i:i + 1] <= tcur_r)
         any_box = jnp.max(hit_box.astype(jnp.float32))
 
         start_tile, n_tiles = tile_ranges[mesh_i]
 
-        # object-space ray columns via scalar matrix reads
-        o2x = e(0) * ox + e(1) * oy + e(2) * oz + e(3)
-        o2y = e(4) * ox + e(5) * oy + e(6) * oz + e(7)
-        o2z = e(8) * ox + e(9) * oy + e(10) * oz + e(11)
-        d2x = e(0) * dx + e(1) * dy + e(2) * dz
-        d2y = e(4) * dx + e(5) * dy + e(6) * dz
-        d2z = e(8) * dx + e(9) * dy + e(10) * dz
+        def do_instance(st, _i=i, _start=start_tile, _n=n_tiles):
+            obj_cols = jnp.transpose(
+                jnp.concatenate(
+                    [o2x_a[_i:_i + 1], o2y_a[_i:_i + 1], o2z_a[_i:_i + 1],
+                     d2x_a[_i:_i + 1], d2y_a[_i:_i + 1], d2z_a[_i:_i + 1]],
+                    axis=0,
+                ), (1, 0)
+            )  # [RT, 6]
 
-        def tile_body(k, st):
-            cols = (o2x, o2y, o2z, d2x, d2y, d2z, tmin, tcur_fn(st))
-            tri_tile = tris_ref[start_tile + k]
-            prim_base = (start_tile + k) * TRI_TILE
-            return kern_update(st, cols, tri_tile,
-                               jnp.int32(prim_base), i)
+            def tile_body(k, s2):
+                cols = tuple(obj_cols[:, c:c + 1] for c in range(6)) + (
+                    tmin_c, tcur_fn(s2),
+                )
+                tri_tile = tris_ref[_start + k]
+                prim_base = (_start + k) * ITILE
+                return kern_update(s2, cols, tri_tile,
+                                   jnp.int32(prim_base), _i)
 
-        state = jax.lax.fori_loop(
-            0,
-            jnp.where(any_box > 0.0, n_tiles, 0),
-            tile_body,
-            state,
-        )
+            return jax.lax.fori_loop(0, _n, tile_body, st)
+
+        state = jax.lax.cond(any_box > 0.0, do_instance, lambda st: st,
+                             state)
     return state
 
 
@@ -220,7 +249,7 @@ def _trace_instanced(tris, inst_table, o, d, tmin, tmax, *, instance_mesh,
             in_specs=[
                 pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
+                pl.BlockSpec((f_tiles, 9, ITILE), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((inst_table.shape[0], 20), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
