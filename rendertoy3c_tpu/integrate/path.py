@@ -740,7 +740,9 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                 [
                     jax.lax.bitcast_convert_type(seed, jnp.float32)[:, None],
                     s["atten"], s["last_atten"],
-                    (s["depth"] == 0).astype(jnp.float32)[:, None],
+                    # emission collects at depth 0 and after delta chains
+                    ((s["depth"] == 0) | s["prev_delta"])
+                    .astype(jnp.float32)[:, None],
                 ],
                 axis=1,
             )
@@ -771,6 +773,8 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                 acc=acc,
                 depth=depth,
                 alive=new_alive,
+                prev_delta=jnp.where(alive, misc16[:, 12] > 0.5,
+                                     s["prev_delta"]),
                 n_rad=s["n_rad"] + n_live,
                 n_shad=s["n_shad"] + jnp.sum(want_shadow.astype(jnp.int32)),
             )

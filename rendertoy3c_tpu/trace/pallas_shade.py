@@ -53,18 +53,26 @@ _INV_2_24 = 1.0 / float(1 << 24)
 MAX_ONEHOT_FACES = 2048
 
 
-def build_shade_tables(scene, textured: bool = False):
-    """(attr_t [16|24,F], lights_t [16,Lp]) — transposed so the one-hot
-    fetch yields lanes-major rows (see module doc).
+def build_shade_tables(scene, textured: bool = False,
+                       dispatch: bool = False):
+    """(attr_t [H,F], lights_t [24,Lp]) — transposed so the one-hot fetch
+    yields lanes-major rows (see module doc).
 
-    Textured scenes use the 24-row attr layout, appending rows 16-21 =
-    uv0.xy uv1.xy uv2.xy, row 22 = diffuse texture id."""
+    Attr rows 0-15: n0 n1 n2 emission diffuse pad. Textured scenes append
+    rows 16-21 = uv0.xy uv1.xy uv2.xy, 22 = diffuse texture id. Dispatch
+    (non-all-diffuse) scenes append 6 material-parameter rows at
+    `params_base` = 23 (textured) or 16: mtype roughness metallic ior
+    transmittance sheen. Lights row 16 = per-light power-pick probability
+    (the CDF difference consumed by the power sampler)."""
     g = scene.geom
     f = g.mat_id.shape[0]
     mat_id = np.asarray(g.mat_id)
     emission = np.asarray(scene.materials.emission)[mat_id]
     diffuse = np.asarray(scene.materials.diffuse)[mat_id]
-    attr = np.zeros((f, 24 if textured else 16), np.float32)
+    params_base = 23 if textured else 16
+    height = params_base + 6 if dispatch else (24 if textured else 16)
+    height = -(-height // 8) * 8
+    attr = np.zeros((f, height), np.float32)
     attr[:, 0:3] = np.asarray(g.n0[0])
     attr[:, 3:6] = np.asarray(g.n1[0])
     attr[:, 6:9] = np.asarray(g.n2[0])
@@ -75,17 +83,30 @@ def build_shade_tables(scene, textured: bool = False):
         attr[:, 18:20] = np.asarray(g.uv1)
         attr[:, 20:22] = np.asarray(g.uv2)
         attr[:, 22] = np.asarray(scene.materials.diffuse_tex)[mat_id]
+    if dispatch:
+        m = scene.materials
+        attr[:, params_base + 0] = np.asarray(m.mtype)[mat_id]
+        attr[:, params_base + 1] = np.asarray(m.roughness)[mat_id]
+        attr[:, params_base + 2] = np.asarray(m.metallic)[mat_id]
+        attr[:, params_base + 3] = np.asarray(m.ior)[mat_id]
+        attr[:, params_base + 4] = np.asarray(m.transmittance)[mat_id]
+        attr[:, params_base + 5] = np.asarray(m.sheen)[mat_id]
 
     lt = scene.lights
     n_l = max(scene.num_lights, 1)
     lp = -(-n_l // 8) * 8
-    lights = np.zeros((lp, 16), np.float32)
+    lights = np.zeros((lp, 24), np.float32)
     lights[:n_l, 0:3] = np.asarray(lt.v0)[:n_l]
     lights[:n_l, 3:6] = np.asarray(lt.v1)[:n_l]
     lights[:n_l, 6:9] = np.asarray(lt.v2)[:n_l]
     lights[:n_l, 9:12] = np.asarray(lt.emission)[:n_l]
     lights[:n_l, 12:15] = np.asarray(lt.normal)[:n_l]
     lights[:n_l, 15] = np.asarray(lt.area)[:n_l]
+    # f32 arithmetic end-to-end: pick_light_power subtracts f32 CDF values,
+    # so the baked per-light pick probability must round identically
+    cdf = np.asarray(lt.power_cdf, np.float32)[:n_l]
+    prev = np.concatenate([np.zeros(1, np.float32), cdf[:-1]])
+    lights[:n_l, 16] = cdf - prev
     return (jnp.asarray(np.ascontiguousarray(attr.T)),
             jnp.asarray(np.ascontiguousarray(lights.T)))
 
@@ -207,8 +228,14 @@ def _tex_fetch(u, v, tid, meta_ref, quad_ref, ah, aw):
 
 
 def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
-                       shadow_eps, textured=False, ah=0, aw=0):
+                       shadow_eps, textured=False, ah=0, aw=0,
+                       dispatch=False, params_base=16, power_cdf=None):
+    """power_cdf: static tuple of per-light CDF values enables the power
+    light sampler (in-kernel searchsorted as an unrolled compare-sum);
+    None = uniform pick. dispatch: full 4-type material dispatch
+    (integrate/bsdf.py semantics) instead of the reference Lambertian."""
     bgx, bgy, bgz = (float(b) for b in bg)
+    _E7 = 1e-7
 
     def kernel(count_ref, rays_ref, hit_ref, misc_ref, tris_ref, aabb_ref,
                super_ref, attr_ref, lights_ref, *rest):
@@ -290,21 +317,171 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         txx = by0 * nsz - bz0 * nsy
         txy = bz0 * nsx - bx0 * nsz
         txz = bx0 * nsy - by0 * nsx
-        ndx = wx * txx + wy * bx0 + wz * nsx
-        ndy = wx * txy + wy * by0 + wz * nsy
-        ndz = wx * txz + wy * bz0 + wz * nsz
-        # attenuation factor: albedo * (1/pi) / (cos/pi) = albedo / cos
-        inv_cos = 1.0 / jnp.maximum(wz * _INV_PI, 1e-12) * _INV_PI
-        at_fac = [albedo[c] * inv_cos for c in range(3)]
+        if not dispatch:
+            # reference Lambertian: attenuation = albedo*(1/pi)/(cos/pi)
+            wix, wiy, wiz = wx, wy, wz
+            inv_cos = 1.0 / jnp.maximum(wz * _INV_PI, 1e-12) * _INV_PI
+            at_fac = [albedo[c] * inv_cos for c in range(3)]
+            is_delta = jnp.zeros_like(wz) > 1.0  # all false
+        else:
+            # --- full material dispatch (integrate/bsdf.py, lanes-major) ---
+            pb = params_base
+            mt_r = row(a, pb + 0)
+            rough = row(a, pb + 1)
+            metal = row(a, pb + 2)
+            ior = row(a, pb + 3)
+            transm = row(a, pb + 4)
+            sheen_r = row(a, pb + 5)
+            is_spec = mt_r == 1.0   # MaterialType.SPECULAR
+            is_glass = mt_r == 2.0  # FRESNEL_TRANSMISSIVE
+            is_prin = mt_r == 3.0   # PRINCIPLED
+            is_diff = ~(is_spec | is_glass | is_prin)
+            is_delta = is_spec | is_glass
+
+            # wo = -d in the (t, b, n) local frame
+            wox = -(dx * txx + dy * txy + dz * txz)
+            woy = -(dx * bx0 + dy * by0 + dz * bz0)
+            woz = -(dx * nsx + dy * nsy + dz * nsz)
+            cos_o = jnp.maximum(woz, _E7)
+
+            alpha = jnp.maximum(rough * rough, 1e-4)
+            a2 = alpha * alpha
+            r0 = (ior - 1.0) / (ior + 1.0)
+            f0d = r0 * r0
+            f0 = [f0d * (1.0 - metal) + albedo[c] * metal for c in range(3)]
+            spec_w = 0.30 * f0[0] + 0.59 * f0[1] + 0.11 * f0[2]
+            diff_w = (0.30 * albedo[0] + 0.59 * albedo[1]
+                      + 0.11 * albedo[2]) * (1.0 - metal)
+            p_spec = jnp.clip(
+                spec_w / jnp.maximum(spec_w + diff_w, 1e-9), 0.05, 0.98
+            )
+
+            def smith_g1(cos_v):
+                c2 = jnp.clip(cos_v * cos_v, 1e-12, 1.0)
+                return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * (1.0 - c2) / c2))
+
+            def prin_eval(wix_l, wiy_l, wiz_l):
+                """(f rgb rows, pdf row) — _principled_eval_local."""
+                cos_i = wiz_l
+                valid = (cos_i > _E7) & (woz > _E7)
+                hx, hy, hz, _ = _normalize3(wox + wix_l, woy + wiy_l,
+                                            woz + wiz_l, eps=1e-20)
+                cos_h = hz
+                cos_oh = wox * hx + woy * hy + woz * hz
+                denom = cos_h * cos_h * (a2 - 1.0) + 1.0
+                d_g = a2 / jnp.maximum(math.pi * denom * denom, 1e-12)
+                g_sm = smith_g1(cos_i) * smith_g1(woz)
+                spec_s = d_g * g_sm / jnp.maximum(4.0 * cos_i * woz, 1e-9)
+                swc = jnp.clip(1.0 - jnp.clip(cos_oh, 0.0, 1.0), 0.0, 1.0)
+                sw = (swc * swc) * (swc * swc) * swc
+                sw_oh_c = jnp.clip(1.0 - cos_oh, 0.0, 1.0)
+                sw_oh = (sw_oh_c * sw_oh_c) * (sw_oh_c * sw_oh_c) * sw_oh_c
+                f_sheen = sheen_r * sw_oh
+                f = [
+                    jnp.where(
+                        valid,
+                        albedo[c] * ((1.0 - metal) * _INV_PI)
+                        + (f0[c] + (1.0 - f0[c]) * sw) * spec_s
+                        + f_sheen,
+                        0.0,
+                    )
+                    for c in range(3)
+                ]
+                pdf_spec = (d_g * jnp.maximum(cos_h, 0.0)
+                            / jnp.maximum(4.0 * jnp.abs(cos_oh), 1e-12))
+                pdf = jnp.where(
+                    valid,
+                    p_spec * pdf_spec
+                    + (1.0 - p_spec) * jnp.maximum(cos_i, 0.0) * _INV_PI,
+                    0.0,
+                )
+                return f, pdf
+
+            # SPECULAR mirror (local)
+            mir_x, mir_y, mir_z = -wox, -woy, woz
+            # FRESNEL_TRANSMISSIVE (exact dielectric fresnel at cos_o)
+            cos_ci = jnp.clip(cos_o, 0.0, 1.0)
+            sin2_t = (1.0 - cos_ci * cos_ci) / jnp.maximum(ior * ior, 1e-12)
+            tir = sin2_t >= 1.0
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+            r_par = (ior * cos_ci - cos_t) / jnp.maximum(
+                ior * cos_ci + cos_t, 1e-12)
+            r_perp = (cos_ci - ior * cos_t) / jnp.maximum(
+                cos_ci + ior * cos_t, 1e-12)
+            f_diel = jnp.where(tir, 1.0,
+                               0.5 * (r_par * r_par + r_perp * r_perp))
+            eta = 1.0 / ior
+            sin2_r = eta * eta * jnp.maximum(1.0 - cos_o * cos_o, 0.0)
+            cos_rt = jnp.sqrt(jnp.maximum(1.0 - sin2_r, 0.0))
+            choose_refl = _z1 < f_diel
+            gl_x = jnp.where(choose_refl, mir_x, -eta * wox)
+            gl_y = jnp.where(choose_refl, mir_y, -eta * woy)
+            gl_z = jnp.where(choose_refl, mir_z, -cos_rt)
+            w_glass = [
+                jnp.where(choose_refl, 1.0,
+                          albedo[c] * transm + (1.0 - transm))
+                for c in range(3)
+            ]
+            # PRINCIPLED one-sample mix (sample_ggx_half(u1, u2, alpha))
+            phi_g = (2.0 * math.pi) * u1
+            den_g = 1.0 + (a2 - 1.0) * u2
+            cos_hg = jnp.sqrt(jnp.clip(
+                (1.0 - u2) / jnp.maximum(den_g, 1e-12), 0.0, 1.0))
+            sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
+            hgx = sin_hg * jnp.cos(phi_g)
+            hgy = sin_hg * jnp.sin(phi_g)
+            hgz = cos_hg
+            cos_ohg = wox * hgx + woy * hgy + woz * hgz
+            sp_x = 2.0 * cos_ohg * hgx - wox
+            sp_y = 2.0 * cos_ohg * hgy - woy
+            sp_z = 2.0 * cos_ohg * hgz - woz
+            take_spec = _z1 < p_spec
+            pr_x = jnp.where(take_spec, sp_x, wx)
+            pr_y = jnp.where(take_spec, sp_y, wy)
+            pr_z = jnp.where(take_spec, sp_z, wz)
+            f_pr, pdf_pr = prin_eval(pr_x, pr_y, pr_z)
+            w_scale = (jnp.maximum(pr_z, 0.0)
+                       / jnp.maximum(pdf_pr, _E7))  # cos/pdf first (XLA order)
+            w_prin = [
+                jnp.where(pdf_pr > _E7, f_pr[c] * w_scale, 0.0)
+                for c in range(3)
+            ]
+
+            def pick4(spec_v, glass_v, prin_v, diff_v):
+                return jnp.where(
+                    is_spec, spec_v,
+                    jnp.where(is_glass, glass_v,
+                              jnp.where(is_prin, prin_v, diff_v)),
+                )
+
+            wix = pick4(mir_x, gl_x, pr_x, wx)
+            wiy = pick4(mir_y, gl_y, pr_y, wy)
+            wiz = pick4(mir_z, gl_z, pr_z, wz)
+            at_fac = [
+                pick4(albedo[c], w_glass[c], w_prin[c], albedo[c])
+                for c in range(3)
+            ]
+
+        ndx = wix * txx + wiy * bx0 + wiz * nsx
+        ndy = wix * txy + wiy * by0 + wiz * nsy
+        ndz = wix * txz + wiy * bz0 + wiz * nsz
 
         # --- NEE (uniform light pick; closehit_radiance.cu:117-156) ---
         seed, u_pick = _rnd_masked(seed, adv)
         seed, lu = _rnd_masked(seed, adv)
         seed, lv = _rnd_masked(seed, adv)
-        lidx = jnp.minimum(
-            jnp.floor(u_pick * float(num_lights)), float(num_lights - 1)
-        )
-        lrow = _onehot_fetch_t(lidx, lights_ref)  # [16, RT]
+        if power_cdf is None:
+            lidx = jnp.minimum(
+                jnp.floor(u_pick * float(num_lights)), float(num_lights - 1)
+            )
+        else:
+            # power pick: searchsorted(cdf, u, 'right') as an unrolled
+            # compare-sum over the STATIC per-scene CDF values
+            lidx = jnp.zeros_like(u_pick)
+            for c in power_cdf:
+                lidx = lidx + (u_pick >= float(c)).astype(jnp.float32)
+            lidx = jnp.minimum(lidx, float(num_lights - 1))
+        lrow = _onehot_fetch_t(lidx, lights_ref)  # [24, RT]
         su = jnp.sqrt(lu)
         b0 = 1.0 - su
         b1 = lv * su
@@ -325,10 +502,14 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         degen = (dist2 < 1e-5) | (omega < 1e-5)
         le = [jnp.where(degen, 0.0, row(lrow, 9 + c) * omega)
               for c in range(3)]
+        pick_pdf = (row(lrow, 16) if power_cdf is not None
+                    else 1.0 / float(num_lights))
         pdf_light = jnp.where(degen, 1.0, 1.0 / jnp.maximum(omega, 1e-20)) \
-            * (1.0 / float(num_lights))
+            * pick_pdf
         n_dl = nsx * ldx + nsy * ldy + nsz * ldz
         want_shadow = adv & (n_dl > 0.0)
+        if dispatch:
+            want_shadow = want_shadow & ~is_delta
 
         # --- shadow sweep over the soup (traceOcclusion) ---
         # boundary transpose: the MT sweep wants rays in sublanes
@@ -363,15 +544,34 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         occ = jnp.transpose(occ_col, (1, 0))  # [1, RT]
         lit = want_shadow & (occ < 0.5)
 
-        # weight = albedo/pi * powerHeuristic(pdf_light, |n.l|/pi)
-        pdf_sc = jnp.abs(n_dl) * _INV_PI
-        ph = (pdf_light * pdf_light) / jnp.maximum(
-            pdf_light * pdf_light + pdf_sc * pdf_sc, 1e-20
-        )
-        radiance = [
-            jnp.where(lit, le[c] * albedo[c] * (ph * _INV_PI), 0.0)
-            for c in range(3)
-        ]
+        if not dispatch:
+            # weight = albedo/pi * powerHeuristic(pdf_light, |n.l|/pi)
+            pdf_sc = jnp.abs(n_dl) * _INV_PI
+            ph = (pdf_light * pdf_light) / jnp.maximum(
+                pdf_light * pdf_light + pdf_sc * pdf_sc, 1e-20
+            )
+            radiance = [
+                jnp.where(lit, le[c] * albedo[c] * (ph * _INV_PI), 0.0)
+                for c in range(3)
+            ]
+        else:
+            # general NEE: Le*omega * f(wo, wl) * n.l / pick_pdf
+            # (no MIS — NEE is the only direct-light sampler on non-delta
+            # lobes, integrate/path.py:_shade_and_nee general branch)
+            wlx = ldx * txx + ldy * txy + ldz * txz
+            wly = ldx * bx0 + ldy * by0 + ldz * bz0
+            wlz = ldx * nsx + ldy * nsy + ldz * nsz
+            f_pr_l, _ = prin_eval(wlx, wly, wlz)
+            f_ev = [
+                jnp.where(is_prin, f_pr_l[c],
+                          jnp.where(is_diff, albedo[c] * _INV_PI, 0.0))
+                for c in range(3)
+            ]
+            scale = n_dl / jnp.maximum(pick_pdf, 1e-12)
+            radiance = [
+                jnp.where(lit, le[c] * f_ev[c] * scale, 0.0)
+                for c in range(3)
+            ]
         # miss lanes collect the constant background callable
         radiance = [
             jnp.where(is_hit, radiance[c], b)
@@ -409,7 +609,8 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
             [seed] + new_at + new_last + contrib + [
                 survive.astype(jnp.float32),
                 want_shadow.astype(jnp.float32),
-                jnp.zeros((4, rt), jnp.float32),
+                is_delta.astype(jnp.float32),  # slot 12: prev_delta feed
+                jnp.zeros((3, rt), jnp.float32),
             ],
             axis=0,
         )  # [16, RT]
@@ -437,12 +638,12 @@ def _fused_texture_state(scene) -> str:
 
 def fused_shade_eligible(scene, cfg) -> bool:
     return (
-        getattr(scene, "all_diffuse", False)
-        and scene.num_keys == 1
+        scene.num_keys == 1
         and scene.num_lights >= 1
         and _fused_texture_state(scene) != "unsupported"
+        and not getattr(scene, "any_normal_map", False)
         and getattr(scene, "env", None) is None
-        and cfg.light_sampler == "uniform"
+        and cfg.light_sampler in ("uniform", "power")
         and cfg.throughput_model == "reference"
         and scene.geom.mat_id.shape[0] <= MAX_ONEHOT_FACES
         and getattr(scene, "instances", None) is None
@@ -456,7 +657,15 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     textured = _fused_texture_state(scene) == "diffuse"
-    attr, lights = build_shade_tables(scene, textured=textured)
+    dispatch = not getattr(scene, "all_diffuse", False)
+    attr, lights = build_shade_tables(scene, textured=textured,
+                                      dispatch=dispatch)
+    power_cdf = None
+    if cfg.light_sampler == "power":
+        power_cdf = tuple(
+            float(c)
+            for c in np.asarray(scene.lights.power_cdf)[: scene.num_lights]
+        )
     tex_tables = ()
     ah = aw = 0
     if textured:
@@ -477,6 +686,8 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
         n_tiles, scene.num_lights, cfg.bg_radiance,
         cfg.shadow_tmin, cfg.shadow_tmax_eps,
         textured=textured, ah=ah, aw=aw,
+        dispatch=dispatch, params_base=23 if textured else 16,
+        power_cdf=power_cdf,
     )
 
     @functools.partial(jax.jit, static_argnames=())
@@ -506,7 +717,7 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(attr.shape, lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((16, lights.shape[1]), lambda i, *_: (0, 0),
+                    pl.BlockSpec(lights.shape, lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
                 ] + [
                     pl.BlockSpec(t.shape, lambda i, *_: (0, 0),

@@ -31,15 +31,64 @@ def test_eligibility_gates(cornell):
     scene, _ = cornell
     cfg = _cfg()
     assert fused_shade_eligible(scene, cfg)
-    assert not fused_shade_eligible(
-        scene, _cfg(light_sampler="power")
-    )
+    # dispatch + power sampler are fused-supported now
+    assert fused_shade_eligible(scene, _cfg(light_sampler="power"))
     meshes, _ = cornell_box()
     meshes[0].material = Material(material_type=MaterialType.SPECULAR)
-    assert not fused_shade_eligible(build_scene(meshes), cfg)
+    assert fused_shade_eligible(build_scene(meshes), cfg)
     with pytest.raises(ValueError):
         make_fused_pipeline(scene, _cfg(throughput_model="physical"),
                             interpret=True)
+
+
+def _match(scene, camera, cfg, **render_kw):
+    """XLA vs fused-kernel comparison robust to MC path divergence.
+
+    XLA contracts a*b+c chains into FMAs that the interpret-mode kernel
+    evaluates as discrete rounded ops, so per-lane float streams differ by
+    ~1 ulp; paths whose RNG/lobe branch predicates sit exactly on such a
+    boundary diverge entirely. Nearly all pixels must still match tightly,
+    and the image statistics must agree."""
+    cam = camera.params()
+    f_ref, s_ref = render_frame(scene, cam, cfg, subframes=1, **render_kw)
+    pipe = make_fused_pipeline(scene, cfg, interpret=True)
+    f_fused, s_fused = render_frame(scene, cam, cfg, subframes=1,
+                                    tracer=pipe, **render_kw)
+    a = np.asarray(f_fused.accum)
+    b = np.asarray(f_ref.accum)
+    close = np.isclose(a, b, rtol=3e-5, atol=3e-5)
+    assert close.mean() > 0.98, f"only {close.mean():.4f} matched"
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
+    # diverged paths may add/drop a few segments
+    assert abs(int(s_fused.radiance_rays) - int(s_ref.radiance_rays)) \
+        <= 0.01 * int(s_ref.radiance_rays) + 8
+    assert abs(int(s_fused.shadow_rays) - int(s_ref.shadow_rays)) \
+        <= 0.01 * int(s_ref.shadow_rays) + 8
+
+
+def test_fused_dispatch_principled_power_matches_pool():
+    """The principled+power bench workload rides the fused kernel."""
+    meshes, camera = cornell_box()
+    meshes[0].material = Material(
+        material_type=MaterialType.PRINCIPLED, diffuse=(0.7, 0.6, 0.5),
+        roughness=0.35, metallic=0.6,
+    )
+    scene = build_scene(meshes)
+    assert not scene.all_diffuse
+    _match(scene, camera, _cfg(light_sampler="power", samples_per_launch=4))
+
+
+def test_fused_dispatch_delta_lobes_match_pool():
+    """Mirror + glass (delta lobes: NEE skip, emission after delta chains)."""
+    meshes, camera = cornell_box()
+    meshes[3].material = Material(material_type=MaterialType.SPECULAR,
+                                  diffuse=(0.9, 0.9, 0.9))
+    meshes[6].material = Material(
+        material_type=MaterialType.FRESNEL_TRANSMISSIVE, ior=1.5,
+        transmittance=0.8, diffuse=(1.0, 1.0, 1.0),
+    )
+    scene = build_scene(meshes)
+    _match(scene, camera, _cfg(samples_per_launch=4, max_depth=6))
 
 
 def test_fused_matches_pool(cornell):
