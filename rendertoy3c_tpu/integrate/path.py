@@ -735,7 +735,8 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                 ],
                 axis=1,
             )
-            hit4 = fused.closest_raw(rays, count_hint)
+            hit4 = fused.closest_raw(rays, count_hint,
+                                     time_col=_time[:, None])
             misc8 = jnp.concatenate(
                 [
                     jax.lax.bitcast_convert_type(seed, jnp.float32)[:, None],

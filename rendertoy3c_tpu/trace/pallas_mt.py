@@ -470,8 +470,25 @@ def make_pallas_mt_tracer(scene, interpret: bool | None = None):
 # kernel — v0/e1/e2 are linear in the keyed vertices so the lerp is exact
 # (shader_common.h:64 per-ray rayTime). Scenes with >2 keys use the jnp
 # brute-force tracer, whose piecewise-key selection is data-dependent.
+# Tile culling uses the UNION of both keys' tile AABBs (a triangle lerped to
+# any time in [0,1] stays inside the union of its endpoint boxes, since the
+# lerp is per-vertex linear), so the 2-level culled sweep carries over.
 
 MOTION_RAY_TILE = 128  # lerped [RT, CT] tri components raise VMEM pressure
+
+
+def motion_union_aabbs(soup0: TriSoup, soup1: TriSoup):
+    """(aabb, super_aabb) covering both motion keys, for conservative
+    time-independent tile culling."""
+    if soup0.aabb is None or soup1.aabb is None:
+        return None, None
+    lo = jnp.minimum(soup0.aabb[:, 0:3], soup1.aabb[:, 0:3])
+    hi = jnp.maximum(soup0.aabb[:, 3:6], soup1.aabb[:, 3:6])
+    aabb = jnp.concatenate([lo, hi, soup0.aabb[:, 6:8]], axis=1)
+    slo = jnp.minimum(soup0.super_aabb[:, 0:3], soup1.super_aabb[:, 0:3])
+    shi = jnp.maximum(soup0.super_aabb[:, 3:6], soup1.super_aabb[:, 3:6])
+    super_aabb = jnp.concatenate([slo, shi, soup0.super_aabb[:, 6:8]], axis=1)
+    return aabb, super_aabb
 
 
 def _mt_test_motion(cols, tcol, tile0, tile1, prim_base):
@@ -518,11 +535,12 @@ def _mt_test_motion(cols, tcol, tile0, tile1, prim_base):
 
 
 def _closest_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref,
-                           tris1_ref, out_ref):
+                           tris1_ref, aabb_ref, super_ref, out_ref):
     i = pl.program_id(0)
     rt = rays_ref.shape[0]
     tcol = time_ref[:, 0:1]
     cols = _ray_cols(rays_ref)
+    inv_d = _inv_cols(cols[3], cols[4], cols[5])
     init = (
         rays_ref[:, 7:8],
         jnp.full((rt, 1), -1.0, jnp.float32),
@@ -530,7 +548,7 @@ def _closest_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref,
         jnp.zeros((rt, 1), jnp.float32),
     )
 
-    def sweep(k, carry):
+    def mt_tile(k, carry):
         best_t, best_prim, best_u, best_v = carry
         c = cols[:7] + (best_t,)
         t, u, v, hit, prim_f = _mt_test_motion(
@@ -553,8 +571,9 @@ def _closest_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref,
 
     live = i * MOTION_RAY_TILE < count_ref[0]
     n_tiles = tris0_ref.shape[0]
-    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-        0, jnp.where(live, n_tiles, 0), sweep, init
+    best_t, best_prim, best_u, best_v = _culled_sweep(
+        aabb_ref, super_ref, n_tiles, cols[0:3], inv_d, cols[6],
+        lambda c: c[0], mt_tile, init, live,
     )
     out_ref[:, 0:1] = best_t
     out_ref[:, 1:2] = best_prim
@@ -563,13 +582,15 @@ def _closest_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref,
 
 
 def _any_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref, tris1_ref,
-                       out_ref):
+                       aabb_ref, super_ref, out_ref):
     i = pl.program_id(0)
     rt = rays_ref.shape[0]
     tcol = time_ref[:, 0:1]
     cols = _ray_cols(rays_ref)
+    inv_d = _inv_cols(cols[3], cols[4], cols[5])
+    tmax = cols[7]
 
-    def sweep(k, occ):
+    def mt_tile(k, occ):
         _, _, _, hit, _ = _mt_test_motion(
             cols, tcol, tris0_ref[k], tris1_ref[k], k * TRI_TILE
         )
@@ -578,17 +599,32 @@ def _any_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref, tris1_ref,
 
     live = i * MOTION_RAY_TILE < count_ref[0]
     n_tiles = tris0_ref.shape[0]
-    occ = jax.lax.fori_loop(
-        0, jnp.where(live, n_tiles, 0), sweep,
-        jnp.zeros((rt, 1), jnp.float32),
+    occ = _culled_sweep(
+        aabb_ref, super_ref, n_tiles, cols[0:3], inv_d, cols[6],
+        lambda c: tmax, mt_tile, jnp.zeros((rt, 1), jnp.float32), live,
     )
     out_ref[:, 0:1] = occ
     out_ref[:, 1:4] = jnp.zeros((rt, 3), jnp.float32)
 
 
-def _mt_motion_call(kernel, count, rays, time_col, tris0, tris1, r_pad,
+def _motion_cull_tables(soup0: TriSoup, soup1: TriSoup):
+    aabb, super_aabb = motion_union_aabbs(soup0, soup1)
+    if aabb is None:  # cull disabled: everything-boxes pass every test
+        f_tiles = soup0.tris.shape[0]
+        n_pad = -(-f_tiles // SUPER_TILE) * SUPER_TILE
+        aabb = (jnp.zeros((n_pad, 8), jnp.float32)
+                .at[:, 0:3].set(-1e30).at[:, 3:6].set(1e30))
+        super_aabb = (jnp.zeros((n_pad // SUPER_TILE, 8), jnp.float32)
+                      .at[:, 0:3].set(-1e30).at[:, 3:6].set(1e30))
+    return aabb, super_aabb
+
+
+def _mt_motion_call(kernel, count, rays, time_col, soup0, soup1, r_pad,
                     interpret):
+    tris0 = soup0.tris
+    tris1 = soup1.tris
     f_tiles = tris0.shape[0]
+    aabb, super_aabb = _motion_cull_tables(soup0, soup1)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -603,13 +639,17 @@ def _mt_motion_call(kernel, count, rays, time_col, tris0, tris1, r_pad,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((aabb.shape[0], 8), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((super_aabb.shape[0], 8), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((MOTION_RAY_TILE, 4), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
         interpret=interpret,
-    )(count, rays, time_col, tris0, tris1)
+    )(count, rays, time_col, tris0, tris1, aabb, super_aabb)
 
 
 def _pack_rays_motion(o, d, tmin, tmax, time):
@@ -640,7 +680,7 @@ def trace_closest_mt_motion(soup0: TriSoup, soup1: TriSoup, o, d, tmin, tmax,
         count = r
     count = jnp.asarray(count, jnp.int32).reshape(1)
     out = _mt_motion_call(_closest_kernel_motion, count, rays, tcol,
-                          soup0.tris, soup1.tris, r_pad, interpret)
+                          soup0, soup1, r_pad, interpret)
     out = out[:r]
     t = out[:, 0]
     prim_f = out[:, 1]
@@ -662,8 +702,20 @@ def trace_any_mt_motion(soup0: TriSoup, soup1: TriSoup, o, d, tmin, tmax,
         count = r
     count = jnp.asarray(count, jnp.int32).reshape(1)
     out = _mt_motion_call(_any_kernel_motion, count, rays, tcol,
-                          soup0.tris, soup1.tris, r_pad, interpret)
+                          soup0, soup1, r_pad, interpret)
     return out[:r, 0] > 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def trace_closest_mt_motion_raw(soup0: TriSoup, soup1: TriSoup, rays_padded,
+                                time_col, count, *, interpret=False):
+    """Raw motion closest-hit over pre-packed [R_pad, 8] rays + [R_pad, 1]
+    times -> [R_pad, 4] (t, prim_f, u, v). The fused motion pipeline
+    consumes this directly."""
+    count = jnp.asarray(count, jnp.int32).reshape(1)
+    return _mt_motion_call(_closest_kernel_motion, count, rays_padded,
+                           time_col, soup0, soup1, rays_padded.shape[0],
+                           interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -43,8 +43,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mt import (RAY_TILE, SUPER_TILE, TRI_TILE,
-                        _culled_sweep, _inv_cols, _mt_test_cols)
+from .pallas_mt import (RAY_TILE, SUPER_TILE, TRI_TILE, _culled_sweep,
+                        _inv_cols, _mt_test_cols, _mt_test_motion,
+                        motion_union_aabbs)
 
 _INV_PI = 1.0 / math.pi
 _LCG_A = 1664525
@@ -229,20 +230,30 @@ def _tex_fetch(u, v, tid, meta_ref, quad_ref, ah, aw):
 
 def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        shadow_eps, textured=False, ah=0, aw=0,
-                       dispatch=False, params_base=16, power_cdf=None):
+                       dispatch=False, params_base=16, power_cdf=None,
+                       motion=False):
     """power_cdf: static tuple of per-light CDF values enables the power
     light sampler (in-kernel searchsorted as an unrolled compare-sum);
     None = uniform pick. dispatch: full 4-type material dispatch
-    (integrate/bsdf.py semantics) instead of the reference Lambertian."""
+    (integrate/bsdf.py semantics) instead of the reference Lambertian.
+    motion: 2-key scenes — the shadow sweep lerps triangles to the
+    per-ray occlusion time (the seed-fork peek, closehit_radiance.cu:123);
+    shading attributes stay key 0 like the SBT pointers."""
     bgx, bgy, bgz = (float(b) for b in bg)
     _E7 = 1e-7
 
-    def kernel(count_ref, rays_ref, hit_ref, misc_ref, tris_ref, aabb_ref,
-               super_ref, attr_ref, lights_ref, *rest):
+    def kernel(count_ref, rays_ref, hit_ref, misc_ref, *rest):
+        rest = list(rest)
+        tris_ref = rest.pop(0)
+        tris1_ref = rest.pop(0) if motion else None
+        aabb_ref = rest.pop(0)
+        super_ref = rest.pop(0)
+        attr_ref = rest.pop(0)
+        lights_ref = rest.pop(0)
         if textured:
-            quad_ref, meta_ref, rays_out, misc_out = rest
-        else:
-            rays_out, misc_out = rest
+            quad_ref = rest.pop(0)
+            meta_ref = rest.pop(0)
+        rays_out, misc_out = rest
         i = pl.program_id(0)
         rt = rays_ref.shape[0]
 
@@ -515,10 +526,14 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         # boundary transpose: the MT sweep wants rays in sublanes
         tmax_s = jnp.where(want_shadow, ldist - shadow_eps, 0.0)
         stmin = jnp.full((1, rt), shadow_tmin, jnp.float32)
-        sh_mat = jnp.concatenate(
-            [px, py, pz, ldx, ldy, ldz, stmin, tmax_s], axis=0
-        )  # [8, RT]
-        sh_cols = jnp.transpose(sh_mat, (1, 0))  # [RT, 8]
+        sh_rows = [px, py, pz, ldx, ldy, ldz, stmin, tmax_s]
+        if motion:
+            # shadow-ray time: peek of the post-NEE stream (the seed fork
+            # that never rejoins, closehit_radiance.cu:123-138)
+            _, occl_time = _rnd(seed)
+            sh_rows.append(occl_time)
+        sh_mat = jnp.concatenate(sh_rows, axis=0)  # [8|9, RT]
+        sh_cols = jnp.transpose(sh_mat, (1, 0))  # [RT, 8|9]
 
         def col(c):
             return sh_cols[:, c:c + 1]
@@ -526,13 +541,27 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         cols = tuple(col(c) for c in range(8))
         inv_sd = _inv_cols(cols[3], cols[4], cols[5])
 
-        def mt_tile(k, occ):
-            _, _, _, hit, _ = _mt_test_cols(
-                cols, tris_ref[k], jnp.int32(k * TRI_TILE)
-            )
-            return jnp.maximum(
-                occ, jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
-            )
+        if motion:
+            tcol_sh = sh_cols[:, 8:9]
+
+            def mt_tile(k, occ):
+                _, _, _, hit, _ = _mt_test_motion(
+                    cols, tcol_sh, tris_ref[k], tris1_ref[k],
+                    jnp.int32(k * TRI_TILE)
+                )
+                return jnp.maximum(
+                    occ,
+                    jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True),
+                )
+        else:
+            def mt_tile(k, occ):
+                _, _, _, hit, _ = _mt_test_cols(
+                    cols, tris_ref[k], jnp.int32(k * TRI_TILE)
+                )
+                return jnp.maximum(
+                    occ,
+                    jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True),
+                )
 
         # compaction gating: tiles past the live count skip the sweep
         live = i * RAY_TILE < count_ref[0]
@@ -638,7 +667,7 @@ def _fused_texture_state(scene) -> str:
 
 def fused_shade_eligible(scene, cfg) -> bool:
     return (
-        scene.num_keys == 1
+        scene.num_keys in (1, 2)
         and scene.num_lights >= 1
         and _fused_texture_state(scene) != "unsupported"
         and not getattr(scene, "any_normal_map", False)
@@ -650,12 +679,15 @@ def fused_shade_eligible(scene, cfg) -> bool:
     )
 
 
-def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
+def make_fused_shader(scene, cfg, soup, soup1=None,
+                      interpret: bool | None = None):
     """Returns shade(rays, hit4, misc8, count) -> (rays_out, misc_out16).
 
-    soup: the closest kernel's TriSoup (tiles + cull AABBs, shared)."""
+    soup: the closest kernel's TriSoup (tiles + cull AABBs, shared).
+    soup1: key-1 soup for 2-key motion scenes (shadow rays lerp)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    motion = soup1 is not None
     textured = _fused_texture_state(scene) == "diffuse"
     dispatch = not getattr(scene, "all_diffuse", False)
     attr, lights = build_shade_tables(scene, textured=textured,
@@ -673,8 +705,11 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
         tex_tables = (quad_t, meta_t)
         ah, aw = scene.atlas.data.shape[:2]
     soup_tris = soup.tris
-    soup_aabb = soup.aabb
-    soup_super = soup.super_aabb
+    if motion:
+        soup_aabb, soup_super = motion_union_aabbs(soup, soup1)
+    else:
+        soup_aabb = soup.aabb
+        soup_super = soup.super_aabb
     n_tiles = soup_tris.shape[0]
     if soup_aabb is None:  # cull disabled: everything-boxes pass every test
         n_pad = -(-n_tiles // SUPER_TILE) * SUPER_TILE
@@ -682,12 +717,13 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
                      .at[:, 0:3].set(-1e30).at[:, 3:6].set(1e30))
         soup_super = (jnp.zeros((n_pad // SUPER_TILE, 8), jnp.float32)
                       .at[:, 0:3].set(-1e30).at[:, 3:6].set(1e30))
+    tris_tables = (soup_tris, soup1.tris) if motion else (soup_tris,)
     kernel = _make_shade_kernel(
         n_tiles, scene.num_lights, cfg.bg_radiance,
         cfg.shadow_tmin, cfg.shadow_tmax_eps,
         textured=textured, ah=ah, aw=aw,
         dispatch=dispatch, params_base=23 if textured else 16,
-        power_cdf=power_cdf,
+        power_cdf=power_cdf, motion=motion,
     )
 
     @functools.partial(jax.jit, static_argnames=())
@@ -706,9 +742,12 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
+                ] + [
                     pl.BlockSpec((n_tiles, 9, TRI_TILE),
                                  lambda i, *_: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
+                                 memory_space=pltpu.VMEM)
+                    for _t in tris_tables
+                ] + [
                     pl.BlockSpec((soup_aabb.shape[0], 8),
                                  lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
@@ -736,7 +775,7 @@ def make_fused_shader(scene, cfg, soup, interpret: bool | None = None):
                 jax.ShapeDtypeStruct((r_pad, 16), jnp.float32),
             ),
             interpret=interpret,
-        )(count, rays, hit4, misc8, soup_tris, soup_aabb, soup_super,
+        )(count, rays, hit4, misc8, *tris_tables, soup_aabb, soup_super,
           attr, lights, *tex_tables)
 
     return shade
@@ -749,12 +788,13 @@ class FusedPipeline:
     for the (trace, shade, shadow) stage stack."""
 
     def __init__(self, scene, cfg, interpret: bool | None = None):
-        from .pallas_mt import TriSoup, build_tri_soup, trace_closest_mt_raw
+        from .pallas_mt import (build_tri_soup, trace_closest_mt_motion_raw,
+                                trace_closest_mt_raw)
 
         if not fused_shade_eligible(scene, cfg):
             raise ValueError(
-                "scene/cfg outside the fused fast path (needs all-diffuse, "
-                "static, uniform sampler, reference throughput, "
+                "scene/cfg outside the fused fast path (needs <= 2 motion "
+                "keys, uniform/power sampler, reference throughput, "
                 f"<= {MAX_ONEHOT_FACES} faces; textures only as diffuse "
                 f"maps over atlases <= {MAX_ATLAS_TEXELS} texels)"
             )
@@ -763,13 +803,26 @@ class FusedPipeline:
         soup = build_tri_soup(scene.geom)
         self.soup = soup._replace(num_faces=scene.num_faces)
         self.num_faces = scene.num_faces
-        self.shade = make_fused_shader(scene, cfg, self.soup,
-                                       interpret=interpret)
-        self._closest_raw = functools.partial(
-            trace_closest_mt_raw, interpret=interpret
-        )
+        self.motion = scene.num_keys == 2
+        if self.motion:
+            soup1 = build_tri_soup(scene.geom, key=1)
+            self.soup1 = soup1._replace(num_faces=scene.num_faces)
+            self.shade = make_fused_shader(scene, cfg, self.soup, self.soup1,
+                                           interpret=interpret)
+            self._closest_motion_raw = functools.partial(
+                trace_closest_mt_motion_raw, interpret=interpret
+            )
+        else:
+            self.shade = make_fused_shader(scene, cfg, self.soup,
+                                           interpret=interpret)
+            self._closest_raw = functools.partial(
+                trace_closest_mt_raw, interpret=interpret
+            )
 
-    def closest_raw(self, rays_padded, count):
+    def closest_raw(self, rays_padded, count, time_col=None):
+        if self.motion:
+            return self._closest_motion_raw(self.soup, self.soup1,
+                                            rays_padded, time_col, count)
         return self._closest_raw(self.soup, rays_padded, count)
 
 

@@ -150,6 +150,22 @@ def test_fused_textured_wrap_modes():
     )
 
 
+def test_fused_motion_matches_pool():
+    """2-key motion scenes ride the fused pipeline (lerped closest +
+    lerped shadow sweep at the per-ray occlusion time)."""
+    from rendertoy3c_tpu.scene.scene import Instance
+
+    meshes, camera = cornell_box()
+    two_key = np.zeros((2, 3, 4), np.float32)
+    two_key[:, :, :3] = np.eye(3)
+    two_key[1, 0, 3] = 0.25
+    inst = [Instance(mesh_index=i) for i in range(len(meshes) - 1)]
+    inst.append(Instance(mesh_index=len(meshes) - 1, transforms=two_key))
+    scene = build_scene(meshes, instances=inst)
+    assert scene.num_keys == 2
+    _match(scene, camera, _cfg(samples_per_launch=4))
+
+
 def test_fused_matches_wave_multi_subframe(cornell):
     scene, camera = cornell
     cfg = _cfg(samples_per_launch=1, max_depth=3)
