@@ -44,14 +44,20 @@ _INV_PI = 1.0 / math.pi
 
 def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
                  direction, point_lights, ambient, count=None,
-                 shadow_transmission=None):
+                 shadow_transmission=None, checker=False):
     """Vectorized whitted closest-hit (whitted.cu:149-289). Returns
     (rgb [R,3], shadow_ray_count).
 
     shadow_transmission (optional): fn(p, ldir, tmin, tmax) -> [R] f32
     fractional shadow visibility for scenes with MASK/BLEND materials
     (the reference's occlusion-anyhit attenuation, whitted.cu:113-137);
-    when None, occlusion is the binary trace_any probe."""
+    when None, occlusion is the binary trace_any probe.
+
+    checker (static gate): compile in the procedural checker
+    (cuda/shading.cu:169-205): the parity of floor(uv * inv_checker_size)
+    picks between the material's (diffuse, roughness) and its
+    (checker_color2, checker_rough2) pair — check 1 takes set 1, check 0
+    set 2, matching which_check at shading.cu:184-199."""
     prim = jnp.maximum(hit.prim, 0)
     u, v = hit.u, hit.v
     w0 = (1.0 - u - v)[:, None]
@@ -75,6 +81,13 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
                      mat.diffuse[mid])
     metallic = mat.metallic[mid]
     rough = mat.roughness[mid]
+    if checker:
+        ct = texcoord * mat.checker_inv[mid]
+        which = (jnp.floor(ct[..., 0]).astype(jnp.int32)
+                 + jnp.floor(ct[..., 1]).astype(jnp.int32)) & 1
+        use2 = mat.checker[mid] & (which == 0)
+        base = jnp.where(use2[:, None], mat.checker_color2[mid], base)
+        rough = jnp.where(use2, mat.checker_rough2[mid], rough)
     rtex = mat.roughness_tex[mid]
     # glTF metallicRoughness texture: G = roughness, B = metallic
     mr_rgb = sample_texture_bilinear(
@@ -220,7 +233,8 @@ def trace_shadow_transmission(scene, trace_closest, o, d, tmin, tmax, time,
 
 def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                          point_lights, ambient, bg, alpha_masked=False,
-                         alpha_blended=False, blend_layers: int = 3):
+                         alpha_blended=False, blend_layers: int = 3,
+                         checker=False):
     trace_closest, trace_any = tracer
     n = pixel_idx.shape[0]
     width = jnp.float32(cfg.width)
@@ -267,6 +281,7 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
             shaded, n_sh = shade_direct(
                 scene, cfg, trace_any, hit, org, direction, point_lights,
                 ambient, shadow_transmission=shadow_transmission,
+                checker=checker,
             )
             n_sh_total = n_sh_total + n_sh
             if alpha_blended:
@@ -313,12 +328,13 @@ def make_direct_render_fn(
 
     alpha_masked = bool(_np.asarray(scene.materials.alpha_mask).any())
     alpha_blended = bool(_np.asarray(scene.materials.alpha_blend).any())
+    any_checker = bool(_np.asarray(scene.materials.checker).any())
 
     def step(cam: CameraParams, film: Film):
         rgb, n_rad, n_shad = render_direct_pixels(
             scene, cfg, cam, tracer, pixel_idx, film.subframe_index,
             point_lights, ambient_v, bg, alpha_masked=alpha_masked,
-            alpha_blended=alpha_blended,
+            alpha_blended=alpha_blended, checker=any_checker,
         )
         film = film_accumulate(
             film, rgb.reshape(cfg.height, cfg.width, 3)

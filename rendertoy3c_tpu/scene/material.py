@@ -56,6 +56,15 @@ class Material:
     tex_offset: tuple = (0.0, 0.0)
     tex_rotation: float = 0.0
     tex_scale: tuple = (1.0, 1.0)
+    # procedural checker (cuda/MaterialData.h:86-94 CheckerPhong /
+    # cuda/shading.cu:169-205 __closesthit__checker_radiance): setting
+    # checker_color2 enables the pattern — the shaded base color flips
+    # between `diffuse` (check 1) and `checker_color2` (check 0) by the
+    # parity of floor(uv * checker_inv_size); checker_roughness2, when set,
+    # flips roughness too (the Ks/phong_exp pair's role under GGX).
+    checker_color2: tuple | None = None
+    checker_roughness2: float | None = None
+    checker_inv_size: tuple = (1.0, 1.0)
 
     def uv_transform_row(self):
         """Packed (m00, m01, m10, m11, ox, oy) row for the device table."""
@@ -93,6 +102,10 @@ class MaterialTable(NamedTuple):
     alpha_blend: jnp.ndarray  # [M] bool (alpha_mode == BLEND)
     alpha_cutoff: jnp.ndarray  # [M] f32
     alpha: jnp.ndarray  # [M] f32 alpha factor
+    checker: jnp.ndarray  # [M] bool (procedural checker enabled)
+    checker_color2: jnp.ndarray  # [M, 3] f32 (check-0 diffuse)
+    checker_rough2: jnp.ndarray  # [M] f32 (check-0 roughness)
+    checker_inv: jnp.ndarray  # [M, 2] f32 inv_checker_size
 
 
 def build_material_table(materials: Sequence[Material]) -> MaterialTable:
@@ -124,6 +137,19 @@ def build_material_table(materials: Sequence[Material]) -> MaterialTable:
         ),
         alpha_cutoff=f32([m.alpha_cutoff for m in materials]),
         alpha=f32([m.alpha for m in materials]),
+        checker=jnp.asarray(
+            np.asarray([m.checker_color2 is not None for m in materials],
+                       bool)
+        ),
+        checker_color2=f32([
+            m.checker_color2 if m.checker_color2 is not None else m.diffuse
+            for m in materials
+        ]),
+        checker_rough2=f32([
+            m.checker_roughness2 if m.checker_roughness2 is not None
+            else m.roughness for m in materials
+        ]),
+        checker_inv=f32([m.checker_inv_size for m in materials]),
     )
 
 
