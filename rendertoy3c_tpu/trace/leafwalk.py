@@ -16,10 +16,9 @@ likes:
      distances — brute force over leaf boxes is ~25 flops/pair, cheap enough
      to replace interior-node traversal outright;
   3. order each ray's overlapped leaves nearest-first with lax.top_k;
-  4. walk: per round, each ray fetches its next leaf row with a one-hot
-     matmul (the MXU as a gather engine — see _fetch_rows; beats the XLA
-     row gather ~3-6x on v5e at LEAF >= 128) and runs a fused [S, LEAF]
-     Moller-Trumbore block;
+  4. walk: per round, each ray fetches its next leaf row (a plain row
+     gather — see _fetch_rows for the measured strategy comparison) and
+     runs a fused [S, LEAF] Moller-Trumbore block;
   5. closest-hit pruning: a leaf whose entry distance exceeds the ray's
      current best hit is dead — rays in closed scenes touch 2-5 leaves.
 
@@ -156,17 +155,13 @@ def _col(x, j):
 
 
 def _fetch_rows(rows, lj):
-    """Per-ray leaf-row fetch: one-hot matmul on the MXU.
+    """Per-ray leaf-row fetch ([S] ids -> [S, 9*LEAF] rows).
 
-    The MXU-as-gather trick: fetch cost is 2*S*L*(9*LEAF) flops — invariant
-    in leaf size (it always scans the whole table) but at matmul rate, which
-    on v5e beats the XLA row gather for LEAF >= ~128 (measured 6x at
-    LEAF=256 for 32k rays). Precision HIGHEST keeps the selected row exact:
-    one-hot weights are exact in every bf16 pass, so the multi-pass f32
-    emulation reconstructs the table values bit-exactly."""
-    lanes = jax.lax.iota(jnp.int32, rows.shape[0])
-    onehot = (lj[:, None] == lanes[None, :]).astype(jnp.float32)
-    return jnp.dot(onehot, rows, precision=jax.lax.Precision.HIGHEST)
+    A plain row gather: measured on v5e it matches the one-hot-matmul
+    MXU-gather trick to within noise (both are bound on the [S, 9*LEAF]
+    f32 output traffic, ~40us at S=2048/LEAF=256) and the 3-pass bf16
+    split variant is strictly worse (three HBM-materialized partials)."""
+    return jnp.take(rows, lj, axis=0)
 
 
 def _processed_mask(idxs, n_leaves):

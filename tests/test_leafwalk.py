@@ -212,3 +212,31 @@ def test_pool_render_with_leafwalk(box_field):
                              tracer=tracer)
     # pool and wave share per-path arithmetic; means agree statistically
     assert abs(np.asarray(film_w.accum).mean() - img.mean()) < 0.05
+
+
+def test_split_order_scene_matches_bruteforce(box_field):
+    """Median-split face order is a permutation: leafwalk hits map back to
+    the same geometry as brute force on the reordered scene."""
+    from rendertoy3c_tpu.accel.lbvh import split_order_scene
+    from rendertoy3c_tpu.scene.builtin import box_mesh as _bm
+
+    scene = split_order_scene(box_field, leaf=64)
+    assert scene.num_faces == box_field.num_faces
+    o, d = _random_rays(400, [-1, 0.1, -1], [9, 2.5, 9], seed=13)
+    time = jnp.zeros((400,))
+    ref = trace_closest_bruteforce(
+        scene.geom, o, d, 0.01, 1e16, time,
+        num_keys=1, num_faces=scene.num_faces, chunk=512,
+    )
+    tab = build_leaf_table(scene.geom, leaf=64)
+    tab = tab._replace(num_faces=scene.num_faces)
+    got = trace_closest_leafwalk(tab, o, d, 0.01, 1e16)
+    _assert_hits_match(got, ref)
+    # and the hit DISTANCES equal the original-order scene's (geometry is
+    # the same set of triangles)
+    ref0 = trace_closest_bruteforce(
+        box_field.geom, o, d, 0.01, 1e16, time,
+        num_keys=1, num_faces=box_field.num_faces, chunk=512,
+    )
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref0.t),
+                               rtol=1e-5, atol=1e-5)
