@@ -67,26 +67,32 @@ class TriSoup(NamedTuple):
     super_aabb: jnp.ndarray = None  # [n_super, 8] f32
 
 
-def build_tri_soup(geom, key: int = 0) -> TriSoup:
+def build_tri_soup(geom, key: int = 0, num_faces: int | None = None) -> TriSoup:
     """Transpose+tile a GeometrySoA motion key into the kernel layout.
 
-    Host-side (numpy) — runs once at scene build.
+    Host-side (numpy) — runs once at scene build. num_faces (the REAL face
+    count, before the scene's FACE_ALIGN padding) picks the tile width:
+    scenes that fit one tile get the smallest 128-lane multiple that covers
+    them — a 36-face Cornell sweeps [RT, 128] instead of [RT, 512], 4x
+    fewer pair lanes per MT step on the pair-rate-bound small-scene path.
     """
     v0 = np.asarray(geom.v0[key])
     e1 = np.asarray(geom.e1[key])
     e2 = np.asarray(geom.e2[key])
-    f = v0.shape[0]
-    f_pad = -(-f // TRI_TILE) * TRI_TILE
+    f = v0.shape[0] if num_faces is None else num_faces
+    ct = TRI_TILE if f > TRI_TILE else max(128, -(-f // 128) * 128)
+    f_pad = -(-f // ct) * ct
+    n_copy = min(f_pad, v0.shape[0])
     soup = np.zeros((9, f_pad), np.float32)
-    soup[0:3, :f] = v0.T
-    soup[3:6, :f] = e1.T
-    soup[6:9, :f] = e2.T
-    tiled = soup.reshape(9, f_pad // TRI_TILE, TRI_TILE).transpose(1, 0, 2)
+    soup[0:3, :n_copy] = v0[:n_copy].T
+    soup[3:6, :n_copy] = e1[:n_copy].T
+    soup[6:9, :n_copy] = e2[:n_copy].T
+    tiled = soup.reshape(9, f_pad // ct, ct).transpose(1, 0, 2)
 
     # per-tile AABBs over real faces (empty tiles get an inverted box),
     # padded to a SUPER_TILE multiple so the 2-level sweep needs no edge
     # handling
-    n_tiles = f_pad // TRI_TILE
+    n_tiles = f_pad // ct
     n_tiles_pad = -(-n_tiles // SUPER_TILE) * SUPER_TILE
     aabb = np.zeros((n_tiles_pad, 8), np.float32)
     aabb[:, 0:3] = 1e30
@@ -95,7 +101,7 @@ def build_tri_soup(geom, key: int = 0) -> TriSoup:
     p1 = v0 + e1
     p2 = v0 + e2
     for k in range(n_tiles):
-        s0, s1 = k * TRI_TILE, min((k + 1) * TRI_TILE, f)
+        s0, s1 = k * ct, min((k + 1) * ct, f)
         if s0 >= f:
             break
         pts = np.concatenate([p0[s0:s1], p1[s0:s1], p2[s0:s1]])
@@ -163,7 +169,7 @@ def _ray_cols(rays_ref):
 
 def _mt_test(rays_ref, tile, k):
     """Back-compat wrapper: [RT,8] ray block vs tri tile k."""
-    return _mt_test_cols(_ray_cols(rays_ref), tile, k * TRI_TILE)
+    return _mt_test_cols(_ray_cols(rays_ref), tile, k * tile.shape[1])
 
 
 def _tile_box_hits(aabb_ref, k, cols_o, cols_inv, tmin, tcur):
@@ -334,7 +340,8 @@ def _pack_rays(o, d, tmin, tmax):
 def _mt_pallas_call(kernel, count, rays, soup: TriSoup, r_pad, interpret):
     tris = soup.tris
     f_tiles = tris.shape[0]
-    pairs = r_pad * f_tiles * TRI_TILE
+    ct = tris.shape[2]
+    pairs = r_pad * f_tiles * ct
     aabb = soup.aabb
     super_aabb = soup.super_aabb
     if aabb is None:  # cull disabled: everything-boxes pass every test
@@ -351,7 +358,7 @@ def _mt_pallas_call(kernel, count, rays, soup: TriSoup, r_pad, interpret):
             in_specs=[
                 pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
+                pl.BlockSpec((f_tiles, 9, ct), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((aabb.shape[0], 8), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -364,7 +371,7 @@ def _mt_pallas_call(kernel, count, rays, soup: TriSoup, r_pad, interpret):
         out_shape=jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=60 * pairs,
-            bytes_accessed=(r_pad * 12 + f_tiles * 9 * TRI_TILE) * 4,
+            bytes_accessed=(r_pad * 12 + f_tiles * 9 * ct) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -428,11 +435,12 @@ def make_pallas_mt_tracer(scene, interpret: bool | None = None):
         interpret = jax.devices()[0].platform != "tpu"
     # Exclude padding by building the soup only over real faces; the soup
     # re-pads to TRI_TILE with all-zero (unhittable) triangles.
-    soup = build_tri_soup(scene.geom)
+    soup = build_tri_soup(scene.geom, num_faces=scene.num_faces)
     soup = soup._replace(num_faces=scene.num_faces)
 
     if scene.num_keys == 2:
-        soup1 = build_tri_soup(scene.geom, key=1)
+        soup1 = build_tri_soup(scene.geom, key=1,
+                               num_faces=scene.num_faces)
         soup1 = soup1._replace(num_faces=scene.num_faces)
 
         def closest(o, d, tmin, tmax, time, count=None):
@@ -552,7 +560,8 @@ def _closest_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref,
         best_t, best_prim, best_u, best_v = carry
         c = cols[:7] + (best_t,)
         t, u, v, hit, prim_f = _mt_test_motion(
-            c, tcol, tris0_ref[k], tris1_ref[k], k * TRI_TILE
+            c, tcol, tris0_ref[k], tris1_ref[k],
+            k * tris0_ref.shape[2]
         )
         t = jnp.where(hit, t, _BIG)
         t_c = jnp.min(t, axis=1, keepdims=True)
@@ -592,7 +601,8 @@ def _any_kernel_motion(count_ref, rays_ref, time_ref, tris0_ref, tris1_ref,
 
     def mt_tile(k, occ):
         _, _, _, hit, _ = _mt_test_motion(
-            cols, tcol, tris0_ref[k], tris1_ref[k], k * TRI_TILE
+            cols, tcol, tris0_ref[k], tris1_ref[k],
+            k * tris0_ref.shape[2]
         )
         return jnp.maximum(occ, jnp.max(hit.astype(jnp.float32), axis=1,
                                         keepdims=True))
@@ -635,9 +645,11 @@ def _mt_motion_call(kernel, count, rays, time_col, soup0, soup1, r_pad,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((MOTION_RAY_TILE, 1), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
+                pl.BlockSpec((f_tiles, 9, tris0.shape[2]),
+                             lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f_tiles, 9, TRI_TILE), lambda i, *_: (0, 0, 0),
+                pl.BlockSpec((f_tiles, 9, tris0.shape[2]),
+                             lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((aabb.shape[0], 8), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),

@@ -547,7 +547,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
             def mt_tile(k, occ):
                 _, _, _, hit, _ = _mt_test_motion(
                     cols, tcol_sh, tris_ref[k], tris1_ref[k],
-                    jnp.int32(k * TRI_TILE)
+                    jnp.int32(k * tris_ref.shape[2])
                 )
                 return jnp.maximum(
                     occ,
@@ -556,7 +556,8 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         else:
             def mt_tile(k, occ):
                 _, _, _, hit, _ = _mt_test_cols(
-                    cols, tris_ref[k], jnp.int32(k * TRI_TILE)
+                    cols, tris_ref[k],
+                    jnp.int32(k * tris_ref.shape[2])
                 )
                 return jnp.maximum(
                     occ,
@@ -743,7 +744,7 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ] + [
-                    pl.BlockSpec((n_tiles, 9, TRI_TILE),
+                    pl.BlockSpec((n_tiles, 9, soup_tris.shape[2]),
                                  lambda i, *_: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
                     for _t in tris_tables
@@ -800,12 +801,13 @@ class FusedPipeline:
             )
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
-        soup = build_tri_soup(scene.geom)
+        soup = build_tri_soup(scene.geom, num_faces=scene.num_faces)
         self.soup = soup._replace(num_faces=scene.num_faces)
         self.num_faces = scene.num_faces
         self.motion = scene.num_keys == 2
         if self.motion:
-            soup1 = build_tri_soup(scene.geom, key=1)
+            soup1 = build_tri_soup(scene.geom, key=1,
+                                   num_faces=scene.num_faces)
             self.soup1 = soup1._replace(num_faces=scene.num_faces)
             self.shade = make_fused_shader(scene, cfg, self.soup, self.soup1,
                                            interpret=interpret)
