@@ -469,8 +469,7 @@ def _lcg_advance_table(spp: int) -> jnp.ndarray:
     return np.array(rows, np.uint64).astype(np.uint32)  # host constants
 
 
-def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
-                 fused=None):
+def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
     """Persistent ray-pool integrator.
 
     Where the wave integrator runs a bounce while_loop per (block, sample)
@@ -487,12 +486,10 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
     samples are summed differs, so images match to float addition order.
     Returns (rgb [N,3] mean over spp, n_radiance_rays, n_shadow_rays).
 
-    With `fused` (a trace.pallas_shade.FusedPipeline), the whole
-    trace+shade+NEE+shadow+RR stage runs as two Pallas kernels instead of a
-    trace + shadow-trace + ~40 XLA fusions; results are identical to float
-    fusion order.
+    FusedPipeline tracers take the packed-state variant below
+    (_render_pool_fused) instead.
     """
-    trace_closest, trace_any = tracer if fused is None else (None, None)
+    trace_closest, trace_any = tracer
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
     spp = cfg.samples_per_launch
@@ -725,61 +722,6 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
         # integrator / reference S3.3) ---
         seed, _time = rng.rnd_masked(s["seed"], alive)
 
-        if fused is not None:
-            # two Pallas kernels: closest-hit + fused shade/NEE/shadow/RR
-            rays = jnp.concatenate(
-                [
-                    s["org"], s["dir"],
-                    jnp.full((pool, 1), cfg.primary_tmin, jnp.float32),
-                    jnp.full((pool, 1), cfg.primary_tmax, jnp.float32),
-                ],
-                axis=1,
-            )
-            hit4 = fused.closest_raw(rays, count_hint,
-                                     time_col=_time[:, None])
-            misc8 = jnp.concatenate(
-                [
-                    jax.lax.bitcast_convert_type(seed, jnp.float32)[:, None],
-                    s["atten"], s["last_atten"],
-                    # emission collects at depth 0 and after delta chains
-                    ((s["depth"] == 0) | s["prev_delta"])
-                    .astype(jnp.float32)[:, None],
-                ],
-                axis=1,
-            )
-            rays2, misc16 = fused.shade(rays, hit4, misc8, count_hint)
-            seed = jnp.where(
-                alive,
-                jax.lax.bitcast_convert_type(misc16[:, 0], jnp.uint32),
-                s["seed"],
-            )
-            atten = jnp.where(alive[:, None], misc16[:, 1:4], s["atten"])
-            last_atten = jnp.where(
-                alive[:, None], misc16[:, 4:7], s["last_atten"]
-            )
-            acc = s["acc"] + jnp.where(alive[:, None], misc16[:, 7:10], 0.0)
-            survive = misc16[:, 10] > 0.5
-            want_shadow = alive & (misc16[:, 11] > 0.5)
-            depth = jnp.where(alive, s["depth"] + 1, s["depth"])
-            new_alive = alive & survive & (depth < cfg.max_depth)
-            org = jnp.where(new_alive[:, None], rays2[:, 0:3], s["org"])
-            direction = jnp.where(new_alive[:, None], rays2[:, 3:6], s["dir"])
-            return dict(
-                s,
-                org=org,
-                dir=direction,
-                seed=seed,
-                atten=atten,
-                last_atten=last_atten,
-                acc=acc,
-                depth=depth,
-                alive=new_alive,
-                prev_delta=jnp.where(alive, misc16[:, 12] > 0.5,
-                                     s["prev_delta"]),
-                n_rad=s["n_rad"] + n_live,
-                n_shad=s["n_shad"] + jnp.sum(want_shadow.astype(jnp.int32)),
-            )
-
         hit = trace_closest(
             s["org"], s["dir"], cfg.primary_tmin, cfg.primary_tmax, _time,
             count=count_hint,
@@ -859,6 +801,221 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index,
     return rgb, aov, s["n_rad"], s["n_shad"]
 
 
+def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
+    """Persistent ray pool over the fused kernel pair with PACKED state.
+
+    The fused shade kernel consumes and emits the whole [pool, 16] per-lane
+    state blob (trace/pallas_shade.py MISC layout) with accumulation, RR,
+    depth, and aliveness resolved in-kernel, so this loop body keeps only
+    work assignment, camera-ray refill, and the framebuffer flush — the
+    dict-state pool's ~40 per-iteration state-update fusions measured 2.5x
+    the kernels' own cost on a Cornell subframe. Schedules (pixel-major /
+    sample-major), RNG streams, and per-path arithmetic are identical to
+    _render_pool.
+    """
+    n_pix = pixel_idx.shape[0]
+    pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
+    spp = cfg.samples_per_launch
+    total_work = n_pix * spp
+    width = jnp.float32(cfg.width)
+    height = jnp.float32(cfg.height)
+    jump = _lcg_advance_table(spp)
+    pixel_base = pixel_idx[0]
+
+    if cfg.sort_rays:
+        v0s = scene.geom.v0[0][: scene.num_faces]
+        sort_lo = jnp.min(v0s, axis=0)
+        s_hi = jnp.max(v0s, axis=0)
+        sort_inv = 1.0 / jnp.maximum(s_hi - sort_lo, 1e-6)
+
+    state = dict(
+        rays=jnp.zeros((pool, 8), jnp.float32),
+        misc=jnp.zeros((pool, 16), jnp.float32).at[:, 13].set(-1.0),
+        image=jnp.zeros((n_pix + 1, 3), jnp.float32),  # +1 = scatter sink
+        next_work=jnp.zeros((), jnp.int32),
+        iter=jnp.zeros((), jnp.int32),
+        n_rad=jnp.zeros((), jnp.int32),
+        n_shad=jnp.zeros((), jnp.float32),
+    )
+
+    if cfg.pool_pixel_major:
+        def cond(s):
+            m = s["misc"]
+            pending = (m[:, 13] >= 0) & (m[:, 14] < spp)
+            return ((s["next_work"] < n_pix) | jnp.any(m[:, 9] > 0)
+                    | jnp.any(pending))
+    else:
+        def cond(s):
+            return ((s["next_work"] < total_work)
+                    | jnp.any(s["misc"][:, 9] > 0))
+
+    def body(s):
+        rays, misc = s["rays"], s["misc"]
+        alive = misc[:, 9] > 0
+        dead = ~alive
+        pixel = misc[:, 13]
+        samp = misc[:, 14]
+        acc = misc[:, 10:13]
+        image = s["image"]
+        next_work = s["next_work"]
+
+        if cfg.pool_pixel_major:
+            completed = dead & (pixel >= 0) & (samp >= spp)
+            do_flush = (s["iter"] % cfg.flush_every) == 0
+
+            def flush_fn(img):
+                target = jnp.where(completed, pixel.astype(jnp.int32),
+                                   n_pix)
+                return img.at[target].add(
+                    jnp.where(completed[:, None], acc, 0.0)
+                )
+
+            image = jax.lax.cond(do_flush, flush_fn, lambda im: im, image)
+            freed = completed & do_flush
+            pixel = jnp.where(freed, -1.0, pixel)
+            acc = jnp.where(freed[:, None], 0.0, acc)
+            samp = jnp.where(freed, 0.0, samp)
+
+            # assign fresh pixels to idle lanes
+            idle = dead & (pixel < 0)
+            rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
+            wpix = next_work + rank
+            take_px = idle & (wpix < n_pix)
+            pixel = jnp.where(
+                take_px,
+                (pixel_base + jnp.clip(wpix, 0, n_pix - 1))
+                .astype(jnp.float32),
+                pixel,
+            )
+            samp = jnp.where(take_px, 0.0, samp)
+            next_work = next_work + jnp.sum(take_px.astype(jnp.int32))
+
+            # (re)start: any dead lane holding a pixel with samples left
+            take = dead & (pixel >= 0) & (samp < spp)
+            samp_rng = samp  # this sample's index feeds the RNG jump
+            samp = jnp.where(take, samp + 1.0, samp)
+            new_pixel = jnp.maximum(pixel, 0.0).astype(jnp.int32)
+        else:
+            # sample-major: flush every dying path, refill immediately
+            flush = dead & (pixel >= 0)
+            target = jnp.where(flush, pixel.astype(jnp.int32), n_pix)
+            image = image.at[target].add(
+                jnp.where(flush[:, None], acc, 0.0)
+            )
+            rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+            w = next_work + rank
+            take = dead & (w < total_work)
+            w_c = jnp.clip(w, 0, total_work - 1)
+            samp_rng = (w_c // n_pix).astype(jnp.float32)
+            new_pixel = pixel_base + w_c % n_pix
+            pixel = jnp.where(take, new_pixel.astype(jnp.float32),
+                              jnp.where(flush, -1.0, pixel))
+            acc = jnp.where((take | flush)[:, None], 0.0, acc)
+            samp = jnp.where(take, samp_rng, samp)
+            next_work = next_work + jnp.sum(take.astype(jnp.int32))
+
+        st = rng.tea(new_pixel.astype(jnp.uint32), subframe_index)
+        if cfg.seed:
+            st = rng.rot_seed(st, jnp.uint32(cfg.seed))
+        # per-sample LCG jump constants via a select chain (a gather from
+        # the tiny [spp, 2] table costs a full serial pass on TPU)
+        samp_i = samp_rng.astype(jnp.int32)
+        aj = jnp.full((pool,), int(jump[0, 0]), jnp.uint32)
+        cj = jnp.full((pool,), int(jump[0, 1]), jnp.uint32)
+        for si in range(1, spp):
+            sel = samp_i == si
+            aj = jnp.where(sel, jnp.uint32(int(jump[si, 0])), aj)
+            cj = jnp.where(sel, jnp.uint32(int(jump[si, 1])), cj)
+        st = aj * st + cj
+        st, jx = rng.rnd(st)
+        st, jy = rng.rnd(st)
+        px = new_pixel % cfg.width
+        py = new_pixel // cfg.width
+        new_org, new_dir = _camera_ray(cam, px, py, jx, jy, width, height)
+
+        take2 = take[:, None]
+        seed_u = jnp.where(
+            take, st, jax.lax.bitcast_convert_type(misc[:, 0], jnp.uint32)
+        )
+        alive2 = alive | take
+        # per-ray motion time draw (masked: streams advance on live lanes
+        # only, matching the wave integrator)
+        seed_u, _time = rng.rnd_masked(seed_u, alive2)
+
+        rays = jnp.concatenate(
+            [
+                jnp.where(take2, new_org, rays[:, 0:3]),
+                jnp.where(take2, new_dir, rays[:, 3:6]),
+                jnp.full((pool, 1), cfg.primary_tmin, jnp.float32),
+                jnp.full((pool, 1), cfg.primary_tmax, jnp.float32),
+            ],
+            axis=1,
+        )
+        one3 = jnp.ones((pool, 3), jnp.float32)
+        misc = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(seed_u, jnp.float32)[:, None],
+                jnp.where(take2, one3, misc[:, 1:4]),        # atten
+                jnp.where(take2, one3, misc[:, 4:7]),        # last_atten
+                jnp.where(take, 0.0, misc[:, 7])[:, None],   # prev_delta
+                jnp.where(take, 0.0, misc[:, 8])[:, None],   # depth
+                alive2.astype(jnp.float32)[:, None],
+                acc,
+                pixel[:, None],
+                samp[:, None],
+                jnp.zeros((pool, 1), jnp.float32),
+            ],
+            axis=1,
+        )
+
+        if cfg.sort_rays:
+            from ..accel.morton import morton3d
+
+            oct_key = (
+                (rays[:, 3] >= 0).astype(jnp.uint32)
+                + 2 * (rays[:, 4] >= 0).astype(jnp.uint32)
+                + 4 * (rays[:, 5] >= 0).astype(jnp.uint32)
+            )
+            om = morton3d((rays[:, 0:3] - sort_lo) * sort_inv)
+            key = (oct_key << jnp.uint32(27)) | (om >> jnp.uint32(3))
+            key = jnp.where(alive2, key, jnp.uint32(0xFFFFFFFF))
+            order = jnp.argsort(key)
+            rays = jnp.take(rays, order, axis=0)
+            misc = jnp.take(misc, order, axis=0)
+            _time = jnp.take(_time, order, axis=0)
+            alive2 = misc[:, 9] > 0
+
+        n_live = jnp.sum(alive2.astype(jnp.int32))
+        if cfg.sort_rays:
+            count_hint = n_live  # sorted: alive lanes are a dense prefix
+        else:
+            count_hint = jnp.max(
+                jnp.where(alive2, jnp.arange(pool, dtype=jnp.int32), -1)
+            ) + 1
+
+        hit4 = fused.closest_raw(rays, count_hint, time_col=_time[:, None])
+        rays2, misc2 = fused.shade(rays, hit4, misc, count_hint)
+
+        return dict(
+            s, rays=rays2, misc=misc2, image=image,
+            next_work=next_work, iter=s["iter"] + 1,
+            n_rad=s["n_rad"] + n_live,
+            n_shad=s["n_shad"] + jnp.sum(misc2[:, 15]),
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    # final flush: the loop exits with all lanes dead but unflushed
+    misc = s["misc"]
+    pixel = misc[:, 13]
+    flushm = pixel >= 0
+    target = jnp.where(flushm, pixel.astype(jnp.int32), n_pix)
+    image = s["image"].at[target].add(
+        jnp.where(flushm[:, None], misc[:, 10:13], 0.0)
+    )
+    rgb = image[:n_pix] * (1.0 / jnp.float32(spp))
+    return rgb, None, s["n_rad"], s["n_shad"].astype(jnp.int32)
+
+
 def render_pixels(
     scene: Scene,
     cfg: RenderConfig,
@@ -890,8 +1047,8 @@ def render_pixels(
                    _next_pow2(pixel_idx.shape[0] * cfg.samples_per_launch))
         if pool % 256:
             raise ValueError("fused pipeline needs a pool multiple of 256")
-        return _render_pool(scene, cfg, cam, None, pixel_idx, subframe_index,
-                            fused=tracer)
+        return _render_pool_fused(scene, cfg, cam, pixel_idx,
+                                  subframe_index, fused=tracer)
     if tracer is None:
         tracer = make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
     if cfg.integrator == "pool":

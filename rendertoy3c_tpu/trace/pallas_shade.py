@@ -27,10 +27,12 @@ general XLA shading path (integrate/path.py) — same results, more kernels.
 Table layouts (VMEM, lane-friendly):
   attr   [16, F] f32 : rows n0.xyz n1.xyz n2.xyz emission.xyz diffuse.xyz pad
   lights [16, Lp] f32: rows v0.xyz v1.xyz v2.xyz emission.xyz normal.xyz area
-  misc_in  [R, 8] f32: seed(bits) atten.xyz last_atten.xyz emit_gate
+  misc [R, 16] f32 (same layout in and out — the pool's packed per-lane
+  state, round-tripped through the kernel with all post-shade updates
+  applied in-kernel):
+    0 seed(bits) | 1-3 atten | 4-6 last_atten | 7 prev_delta | 8 depth
+    | 9 alive | 10-12 acc | 13 pixel | 14 samp | 15 want_shadow (out only)
   rays_out [R, 8] f32: new org/dir + tmin/tmax for the next bounce
-  misc_out [R, 16] f32: seed(bits) atten.xyz last_atten.xyz contrib.xyz
-                        survive want_shadow pad*3
 """
 from __future__ import annotations
 
@@ -55,9 +57,13 @@ MAX_ONEHOT_FACES = 2048
 
 
 def build_shade_tables(scene, textured: bool = False,
-                       dispatch: bool = False):
+                       dispatch: bool = False, f_limit: int | None = None):
     """(attr_t [H,F], lights_t [24,Lp]) — transposed so the one-hot fetch
     yields lanes-major rows (see module doc).
+
+    f_limit: truncate the face axis to the traced soup's padded width (hit
+    prim ids never exceed it), shrinking the per-ray attr one-hot matmul's
+    K — 4x for a Cornell whose 128-wide soup sits in a 512-padded scene.
 
     Attr rows 0-15: n0 n1 n2 emission diffuse pad. Textured scenes append
     rows 16-21 = uv0.xy uv1.xy uv2.xy, 22 = diffuse texture id. Dispatch
@@ -67,22 +73,24 @@ def build_shade_tables(scene, textured: bool = False,
     (the CDF difference consumed by the power sampler)."""
     g = scene.geom
     f = g.mat_id.shape[0]
-    mat_id = np.asarray(g.mat_id)
+    if f_limit is not None:
+        f = min(f, f_limit)
+    mat_id = np.asarray(g.mat_id)[:f]
     emission = np.asarray(scene.materials.emission)[mat_id]
     diffuse = np.asarray(scene.materials.diffuse)[mat_id]
     params_base = 23 if textured else 16
     height = params_base + 6 if dispatch else (24 if textured else 16)
     height = -(-height // 8) * 8
     attr = np.zeros((f, height), np.float32)
-    attr[:, 0:3] = np.asarray(g.n0[0])
-    attr[:, 3:6] = np.asarray(g.n1[0])
-    attr[:, 6:9] = np.asarray(g.n2[0])
+    attr[:, 0:3] = np.asarray(g.n0[0])[:f]
+    attr[:, 3:6] = np.asarray(g.n1[0])[:f]
+    attr[:, 6:9] = np.asarray(g.n2[0])[:f]
     attr[:, 9:12] = emission
     attr[:, 12:15] = diffuse
     if textured:
-        attr[:, 16:18] = np.asarray(g.uv0)
-        attr[:, 18:20] = np.asarray(g.uv1)
-        attr[:, 20:22] = np.asarray(g.uv2)
+        attr[:, 16:18] = np.asarray(g.uv0)[:f]
+        attr[:, 18:20] = np.asarray(g.uv1)[:f]
+        attr[:, 20:22] = np.asarray(g.uv2)[:f]
         attr[:, 22] = np.asarray(scene.materials.diffuse_tex)[mat_id]
     if dispatch:
         m = scene.materials
@@ -229,7 +237,7 @@ def _tex_fetch(u, v, tid, meta_ref, quad_ref, ah, aw):
 
 
 def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
-                       shadow_eps, textured=False, ah=0, aw=0,
+                       shadow_eps, max_depth, textured=False, ah=0, aw=0,
                        dispatch=False, params_base=16, power_cdf=None,
                        motion=False):
     """power_cdf: static tuple of per-light CDF values enables the power
@@ -238,7 +246,13 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
     (integrate/bsdf.py semantics) instead of the reference Lambertian.
     motion: 2-key scenes — the shadow sweep lerps triangles to the
     per-ray occlusion time (the seed-fork peek, closehit_radiance.cu:123);
-    shading attributes stay key 0 like the SBT pointers."""
+    shading attributes stay key 0 like the SBT pointers.
+
+    The kernel is the pool integrator's whole post-trace stage: it consumes
+    the packed per-lane state (MISC_LAYOUT below) and emits the COMPLETE
+    next-iteration state — accumulation, depth, aliveness, and RR all
+    resolve in-kernel, so the XLA loop body keeps only refill + flush
+    (integrate/path.py _render_pool_fused)."""
     bgx, bgy, bgz = (float(b) for b in bg)
     _E7 = 1e-7
 
@@ -264,7 +278,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         # boundary.
         rays_t = jnp.transpose(rays_ref[:], (1, 0))   # [8, RT]
         hit_t = jnp.transpose(hit_ref[:], (1, 0))     # [4, RT]
-        misc_t = jnp.transpose(misc_ref[:], (1, 0))   # [8, RT]
+        misc_t = jnp.transpose(misc_ref[:], (1, 0))   # [16, RT]
 
         def row(m, c):
             return m[c:c + 1, :]
@@ -278,7 +292,12 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         seed = row(misc_t, 0)
         atten = [row(misc_t, c) for c in (1, 2, 3)]
         last_at = [row(misc_t, c) for c in (4, 5, 6)]
-        emit_gate = row(misc_t, 7)  # 1.0 when emission may collect
+        prev_delta = row(misc_t, 7)
+        depth = row(misc_t, 8)
+        alive = row(misc_t, 9) > 0.0
+        acc = [row(misc_t, c) for c in (10, 11, 12)]
+        # emission collects at depth 0 and after delta chains
+        emit_gate = jnp.where((depth == 0.0) | (prev_delta > 0.0), 1.0, 0.0)
 
         is_hit = prim_f >= 0.0
         prim_c = jnp.maximum(prim_f, 0.0)
@@ -309,7 +328,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                       for c in range(3)]
 
         # --- BSDF sample (cosine hemisphere; reference draw order) ---
-        adv = is_hit  # every lane in a live tile advances like the XLA path
+        adv = is_hit & alive  # dead lanes' seeds/state pass through
         seed, _z1 = _rnd_masked(seed, adv)
         seed, _z2 = _rnd_masked(seed, adv)
         seed, u1 = _rnd_masked(seed, adv)
@@ -609,17 +628,28 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         ]
         contrib = [emitted[c] + radiance[c] * last_at[c] for c in range(3)]
 
-        new_at = [jnp.where(is_hit, atten[c] * at_fac[c], atten[c])
+        new_at = [jnp.where(adv, atten[c] * at_fac[c], atten[c])
                   for c in range(3)]
-        new_last = list(new_at)
+        alive_f = alive.astype(jnp.float32)
+        new_last = [jnp.where(alive, new_at[c], last_at[c])
+                    for c in range(3)]
 
         # --- RR (raygen.cu:62-66): draw only on hit lanes ---
         p_rr = 0.30 * new_at[0] + 0.59 * new_at[1] + 0.11 * new_at[2]
         seed, u_rr = _rnd_masked(seed, adv)
-        survive = is_hit & (u_rr <= p_rr)
+        survive = adv & (u_rr <= p_rr)
         inv_p = 1.0 / jnp.maximum(p_rr, 1e-12)
         new_at = [jnp.where(survive, new_at[c] * inv_p, new_at[c])
                   for c in range(3)]
+
+        # --- complete next-iteration state (the pool's post-shade stage) ---
+        acc_new = [acc[c] + jnp.where(alive, contrib[c], 0.0)
+                   for c in range(3)]
+        depth_new = depth + alive_f
+        alive_new = (survive
+                     & (depth_new < float(max_depth))).astype(jnp.float32)
+        pdelta_new = jnp.where(alive, is_delta.astype(jnp.float32),
+                               prev_delta)
 
         rays_o = jnp.concatenate(
             [
@@ -636,11 +666,11 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         rays_out[:, :] = jnp.transpose(rays_o, (1, 0))
 
         misc_o = jnp.concatenate(
-            [seed] + new_at + new_last + contrib + [
-                survive.astype(jnp.float32),
+            [seed] + new_at + new_last + [pdelta_new, depth_new, alive_new]
+            + acc_new + [
+                row(misc_t, 13),  # pixel: pass-through
+                row(misc_t, 14),  # samp: pass-through
                 want_shadow.astype(jnp.float32),
-                is_delta.astype(jnp.float32),  # slot 12: prev_delta feed
-                jnp.zeros((3, rt), jnp.float32),
             ],
             axis=0,
         )  # [16, RT]
@@ -682,7 +712,7 @@ def fused_shade_eligible(scene, cfg) -> bool:
 
 def make_fused_shader(scene, cfg, soup, soup1=None,
                       interpret: bool | None = None):
-    """Returns shade(rays, hit4, misc8, count) -> (rays_out, misc_out16).
+    """Returns shade(rays, hit4, misc16, count) -> (rays_out, misc_out16).
 
     soup: the closest kernel's TriSoup (tiles + cull AABBs, shared).
     soup1: key-1 soup for 2-key motion scenes (shadow rays lerp)."""
@@ -691,8 +721,9 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
     motion = soup1 is not None
     textured = _fused_texture_state(scene) == "diffuse"
     dispatch = not getattr(scene, "all_diffuse", False)
+    f_limit = soup.tris.shape[0] * soup.tris.shape[2]
     attr, lights = build_shade_tables(scene, textured=textured,
-                                      dispatch=dispatch)
+                                      dispatch=dispatch, f_limit=f_limit)
     power_cdf = None
     if cfg.light_sampler == "power":
         power_cdf = tuple(
@@ -721,14 +752,14 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
     tris_tables = (soup_tris, soup1.tris) if motion else (soup_tris,)
     kernel = _make_shade_kernel(
         n_tiles, scene.num_lights, cfg.bg_radiance,
-        cfg.shadow_tmin, cfg.shadow_tmax_eps,
+        cfg.shadow_tmin, cfg.shadow_tmax_eps, cfg.max_depth,
         textured=textured, ah=ah, aw=aw,
         dispatch=dispatch, params_base=23 if textured else 16,
         power_cdf=power_cdf, motion=motion,
     )
 
     @functools.partial(jax.jit, static_argnames=())
-    def shade(rays, hit4, misc8, count):
+    def shade(rays, hit4, misc16, count):
         r_pad = rays.shape[0]
         count = jnp.asarray(count, jnp.int32).reshape(1)
         return pl.pallas_call(
@@ -741,7 +772,7 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
+                    pl.BlockSpec((RAY_TILE, 16), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ] + [
                     pl.BlockSpec((n_tiles, 9, soup_tris.shape[2]),
@@ -776,7 +807,7 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                 jax.ShapeDtypeStruct((r_pad, 16), jnp.float32),
             ),
             interpret=interpret,
-        )(count, rays, hit4, misc8, *tris_tables, soup_aabb, soup_super,
+        )(count, rays, hit4, misc16, *tris_tables, soup_aabb, soup_super,
           attr, lights, *tex_tables)
 
     return shade
