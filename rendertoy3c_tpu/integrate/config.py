@@ -46,7 +46,7 @@ class RenderConfig:
     # letting them run every flush_every iterations (completed lanes wait at
     # most flush_every-1 iterations to be recycled).
     pool_pixel_major: bool = False
-    flush_every: int = 4
+    flush_every: int = 16
 
     # Pool-only: re-sort live lanes by direction-octant Morton keys each
     # iteration. Costs an argsort + state permutation; pays off for tracers

@@ -567,11 +567,12 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             do_flush = (s["iter"] % cfg.flush_every) == 0
 
             def flush_fn(imgs):
-                target = jnp.where(completed, s["pixel"], n_pix)
+                # unique-indices fast path: one lane per pixel (see the
+                # packed pool's flush_fn); non-completed lanes drop OOB
+                target = jnp.where(completed, s["pixel"], n_pix + 1)
                 return tuple(
-                    img.at[target].add(
-                        jnp.where(completed[:, None], s[acc_k], 0.0)
-                    )
+                    img.at[target].add(s[acc_k], mode="drop",
+                                       unique_indices=True)
                     for img, (_img_k, acc_k) in zip(imgs, _IMGS)
                 )
 
@@ -784,12 +785,13 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
     s = jax.lax.while_loop(cond, body, state)
     # final flush: the loop exits with all lanes dead but unflushed
     flush = s["pixel"] >= 0
-    target = jnp.where(flush, s["pixel"], n_pix)
+    target_oob = jnp.where(flush, s["pixel"], n_pix + 1)  # drop idle lanes
     inv_spp = 1.0 / jnp.float32(spp)
 
     def final_flush(img_k, acc_k):
-        img = s[img_k].at[target].add(
-            jnp.where(flush[:, None], s[acc_k], 0.0)
+        img = s[img_k].at[target_oob].add(
+            s[acc_k], mode="drop",
+            unique_indices=bool(cfg.pool_pixel_major),
         )
         return img[:n_pix] * inv_spp
 
@@ -864,11 +866,14 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
             do_flush = (s["iter"] % cfg.flush_every) == 0
 
             def flush_fn(img):
+                # pixel-major: each pixel is owned by exactly one lane, so
+                # kept targets are unique — the scatter takes XLA's
+                # unique-indices fast path; non-completed lanes go
+                # out-of-bounds and drop
                 target = jnp.where(completed, pixel.astype(jnp.int32),
-                                   n_pix)
-                return img.at[target].add(
-                    jnp.where(completed[:, None], acc, 0.0)
-                )
+                                   n_pix + 1)
+                return img.at[target].add(acc, mode="drop",
+                                          unique_indices=True)
 
             image = jax.lax.cond(do_flush, flush_fn, lambda im: im, image)
             freed = completed & do_flush
@@ -1008,9 +1013,10 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     misc = s["misc"]
     pixel = misc[:, 13]
     flushm = pixel >= 0
-    target = jnp.where(flushm, pixel.astype(jnp.int32), n_pix)
+    target = jnp.where(flushm, pixel.astype(jnp.int32), n_pix + 1)
     image = s["image"].at[target].add(
-        jnp.where(flushm[:, None], misc[:, 10:13], 0.0)
+        misc[:, 10:13], mode="drop",
+        unique_indices=bool(cfg.pool_pixel_major),
     )
     rgb = image[:n_pix] * (1.0 / jnp.float32(spp))
     return rgb, None, s["n_rad"], s["n_shad"].astype(jnp.int32)
