@@ -998,8 +998,13 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
                 jnp.where(alive2, jnp.arange(pool, dtype=jnp.int32), -1)
             ) + 1
 
-        hit4 = fused.closest_raw(rays, count_hint, time_col=_time[:, None])
-        rays2, misc2 = fused.shade(rays, hit4, misc, count_hint)
+        if fused.merged:
+            # megakernel: closest + shade + NEE + shadow + RR, one launch
+            rays2, misc2 = fused.trace_shade(rays, misc, count_hint)
+        else:
+            hit4 = fused.closest_raw(rays, count_hint,
+                                     time_col=_time[:, None])
+            rays2, misc2 = fused.shade(rays, hit4, misc, count_hint)
 
         return dict(
             s, rays=rays2, misc=misc2, image=image,

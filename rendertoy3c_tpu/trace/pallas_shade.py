@@ -239,7 +239,7 @@ def _tex_fetch(u, v, tid, meta_ref, quad_ref, ah, aw):
 def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        shadow_eps, max_depth, textured=False, ah=0, aw=0,
                        dispatch=False, params_base=16, power_cdf=None,
-                       motion=False):
+                       motion=False, closest_in_kernel=False):
     """power_cdf: static tuple of per-light CDF values enables the power
     light sampler (in-kernel searchsorted as an unrolled compare-sum);
     None = uniform pick. dispatch: full 4-type material dispatch
@@ -252,12 +252,19 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
     the packed per-lane state (MISC_LAYOUT below) and emits the COMPLETE
     next-iteration state — accumulation, depth, aliveness, and RR all
     resolve in-kernel, so the XLA loop body keeps only refill + flush
-    (integrate/path.py _render_pool_fused)."""
+    (integrate/path.py _render_pool_fused).
+
+    closest_in_kernel: the MEGAKERNEL variant — the closest-hit sweep runs
+    in-kernel over the same VMEM-resident soup before shading (no hit_ref
+    input, no [R, 4] HBM round trip, one launch per pool iteration).
+    Static scenes only; motion keeps the two-kernel split."""
     bgx, bgy, bgz = (float(b) for b in bg)
     _E7 = 1e-7
 
-    def kernel(count_ref, rays_ref, hit_ref, misc_ref, *rest):
+    def kernel(count_ref, rays_ref, *rest):
         rest = list(rest)
+        hit_ref = None if closest_in_kernel else rest.pop(0)
+        misc_ref = rest.pop(0)
         tris_ref = rest.pop(0)
         tris1_ref = rest.pop(0) if motion else None
         aabb_ref = rest.pop(0)
@@ -270,6 +277,48 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         rays_out, misc_out = rest
         i = pl.program_id(0)
         rt = rays_ref.shape[0]
+        live_tile = i * RAY_TILE < count_ref[0]
+
+        if closest_in_kernel:
+            # --- in-kernel closest sweep (the _closest_kernel body) ---
+            ccols = tuple(rays_ref[:, c:c + 1] for c in range(8))
+            cinv = _inv_cols(ccols[3], ccols[4], ccols[5])
+            cinit = (
+                ccols[7],                                # best_t = tmax
+                jnp.full((rt, 1), -1.0, jnp.float32),    # best_prim
+                jnp.zeros((rt, 1), jnp.float32),
+                jnp.zeros((rt, 1), jnp.float32),
+            )
+
+            def c_tile(k, carry):
+                best_t, best_prim, best_u, best_v = carry
+                t, u, v, hit, prim_f = _mt_test_cols(
+                    ccols[:7] + (best_t,), tris_ref[k],
+                    jnp.int32(k * tris_ref.shape[2])
+                )
+                t = jnp.where(hit, t, 1e30)
+                t_c = jnp.min(t, axis=1, keepdims=True)
+                at_min = t <= t_c
+                prim_cc = jnp.min(jnp.where(at_min, prim_f, 1e30), axis=1,
+                                  keepdims=True)
+                one = at_min & (prim_f == prim_cc)
+                u_c = jnp.sum(jnp.where(one, u, 0.0), axis=1, keepdims=True)
+                v_c = jnp.sum(jnp.where(one, v, 0.0), axis=1, keepdims=True)
+                better = t_c < best_t
+                return (
+                    jnp.where(better, t_c, best_t),
+                    jnp.where(better, prim_cc, best_prim),
+                    jnp.where(better, u_c, best_u),
+                    jnp.where(better, v_c, best_v),
+                )
+
+            cb_t, cb_prim, cb_u, cb_v = _culled_sweep(
+                aabb_ref, super_ref, n_tiles_static, ccols[0:3], cinv,
+                ccols[6], lambda c: c[0], c_tile, cinit, live_tile,
+            )
+            # miss lanes keep best_t == tmax (the sweep's init), matching
+            # trace_closest_mt_raw's raw output exactly
+            hit4_cols = jnp.concatenate([cb_t, cb_prim, cb_u, cb_v], axis=1)
 
         # Lanes-major shading: transpose per-lane state to [C, RT] so every
         # elementwise op runs on [1, RT] rows at full 128-lane width (the
@@ -277,7 +326,10 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         # keeps its rays-in-sublanes layout via one transpose at the
         # boundary.
         rays_t = jnp.transpose(rays_ref[:], (1, 0))   # [8, RT]
-        hit_t = jnp.transpose(hit_ref[:], (1, 0))     # [4, RT]
+        if closest_in_kernel:
+            hit_t = jnp.transpose(hit4_cols, (1, 0))  # [4, RT]
+        else:
+            hit_t = jnp.transpose(hit_ref[:], (1, 0))
         misc_t = jnp.transpose(misc_ref[:], (1, 0))   # [16, RT]
 
         def row(m, c):
@@ -584,7 +636,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                 )
 
         # compaction gating: tiles past the live count skip the sweep
-        live = i * RAY_TILE < count_ref[0]
+        live = live_tile
         occ_col = _culled_sweep(
             aabb_ref, super_ref, n_tiles_static, cols[0:3], inv_sd,
             cols[6], lambda c: cols[7], mt_tile,
@@ -711,14 +763,18 @@ def fused_shade_eligible(scene, cfg) -> bool:
 
 
 def make_fused_shader(scene, cfg, soup, soup1=None,
-                      interpret: bool | None = None):
-    """Returns shade(rays, hit4, misc16, count) -> (rays_out, misc_out16).
+                      interpret: bool | None = None, merged=False):
+    """Returns shade(rays, hit4, misc16, count) -> (rays_out, misc_out16),
+    or with merged=True the megakernel trace_shade(rays, misc16, count)
+    (closest sweep in-kernel; static scenes only).
 
     soup: the closest kernel's TriSoup (tiles + cull AABBs, shared).
     soup1: key-1 soup for 2-key motion scenes (shadow rays lerp)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     motion = soup1 is not None
+    if merged and motion:
+        raise ValueError("the merged megakernel is static-only")
     textured = _fused_texture_state(scene) == "diffuse"
     dispatch = not getattr(scene, "all_diffuse", False)
     f_limit = soup.tris.shape[0] * soup.tris.shape[2]
@@ -755,13 +811,18 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
         cfg.shadow_tmin, cfg.shadow_tmax_eps, cfg.max_depth,
         textured=textured, ah=ah, aw=aw,
         dispatch=dispatch, params_base=23 if textured else 16,
-        power_cdf=power_cdf, motion=motion,
+        power_cdf=power_cdf, motion=motion, closest_in_kernel=merged,
     )
+    hit_specs = [] if merged else [
+        pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
 
     @functools.partial(jax.jit, static_argnames=())
     def shade(rays, hit4, misc16, count):
         r_pad = rays.shape[0]
         count = jnp.asarray(count, jnp.int32).reshape(1)
+        hit_ops = () if merged else (hit4,)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -770,8 +831,7 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                 in_specs=[
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
-                                 memory_space=pltpu.VMEM),
+                ] + hit_specs + [
                     pl.BlockSpec((RAY_TILE, 16), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ] + [
@@ -807,9 +867,14 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                 jax.ShapeDtypeStruct((r_pad, 16), jnp.float32),
             ),
             interpret=interpret,
-        )(count, rays, hit4, misc16, *tris_tables, soup_aabb, soup_super,
-          attr, lights, *tex_tables)
+        )(count, rays, *hit_ops, misc16, *tris_tables, soup_aabb,
+          soup_super, attr, lights, *tex_tables)
 
+    if merged:
+        def trace_shade(rays, misc16, count):
+            return shade(rays, None, misc16, count)
+
+        return trace_shade
     return shade
 
 
@@ -836,6 +901,7 @@ class FusedPipeline:
         self.soup = soup._replace(num_faces=scene.num_faces)
         self.num_faces = scene.num_faces
         self.motion = scene.num_keys == 2
+        self.merged = not self.motion
         if self.motion:
             soup1 = build_tri_soup(scene.geom, key=1,
                                    num_faces=scene.num_faces)
@@ -846,8 +912,11 @@ class FusedPipeline:
                 trace_closest_mt_motion_raw, interpret=interpret
             )
         else:
-            self.shade = make_fused_shader(scene, cfg, self.soup,
-                                           interpret=interpret)
+            # static scenes get the megakernel: closest + shade + NEE +
+            # shadow + RR in ONE launch per pool iteration
+            self.trace_shade = make_fused_shader(scene, cfg, self.soup,
+                                                 interpret=interpret,
+                                                 merged=True)
             self._closest_raw = functools.partial(
                 trace_closest_mt_raw, interpret=interpret
             )
