@@ -254,7 +254,7 @@ def main(argv=None) -> int:
                 scene = morton_order_scene(scene)
 
             if (args.renderer == "path" and cfg.integrator == "pool"
-                    and not args.mesh_shape and not cfg.aov
+                    and not args.mesh_shape
                     and fused_shade_eligible(scene, cfg)
                     and cfg.ray_block % 256 == 0):
                 tracer = make_fused_pipeline(scene, cfg)

@@ -830,15 +830,24 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
         s_hi = jnp.max(v0s, axis=0)
         sort_inv = 1.0 / jnp.maximum(s_hi - sort_lo, 1e-6)
 
+    misc_w = 24 if cfg.aov else 16  # 16-21: first-hit albedo/normal accs
     state = dict(
         rays=jnp.zeros((pool, 8), jnp.float32),
-        misc=jnp.zeros((pool, 16), jnp.float32).at[:, 13].set(-1.0),
+        misc=jnp.zeros((pool, misc_w), jnp.float32).at[:, 13].set(-1.0),
         image=jnp.zeros((n_pix + 1, 3), jnp.float32),  # +1 = scatter sink
         next_work=jnp.zeros((), jnp.int32),
         iter=jnp.zeros((), jnp.int32),
         n_rad=jnp.zeros((), jnp.int32),
         n_shad=jnp.zeros((), jnp.float32),
     )
+    if cfg.aov:
+        state.update(
+            image_alb=jnp.zeros((n_pix + 1, 3), jnp.float32),
+            image_nrm=jnp.zeros((n_pix + 1, 3), jnp.float32),
+        )
+    # (image key, misc acc column range) pairs driving every flush
+    _IMGS = ((("image", 10), ("image_alb", 16), ("image_nrm", 19))
+             if cfg.aov else (("image", 10),))
 
     if cfg.pool_pixel_major:
         def cond(s):
@@ -858,27 +867,33 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
         pixel = misc[:, 13]
         samp = misc[:, 14]
         acc = misc[:, 10:13]
-        image = s["image"]
+        aacc = misc[:, 16:22] if cfg.aov else None
+        images = tuple(s[k] for k, _ in _IMGS)
         next_work = s["next_work"]
 
         if cfg.pool_pixel_major:
             completed = dead & (pixel >= 0) & (samp >= spp)
             do_flush = (s["iter"] % cfg.flush_every) == 0
 
-            def flush_fn(img):
+            def flush_fn(imgs):
                 # pixel-major: each pixel is owned by exactly one lane, so
                 # kept targets are unique — the scatter takes XLA's
                 # unique-indices fast path; non-completed lanes go
                 # out-of-bounds and drop
                 target = jnp.where(completed, pixel.astype(jnp.int32),
                                    n_pix + 1)
-                return img.at[target].add(acc, mode="drop",
-                                          unique_indices=True)
+                return tuple(
+                    img.at[target].add(misc[:, c:c + 3], mode="drop",
+                                       unique_indices=True)
+                    for img, (_k, c) in zip(imgs, _IMGS)
+                )
 
-            image = jax.lax.cond(do_flush, flush_fn, lambda im: im, image)
+            images = jax.lax.cond(do_flush, flush_fn, lambda im: im, images)
             freed = completed & do_flush
             pixel = jnp.where(freed, -1.0, pixel)
             acc = jnp.where(freed[:, None], 0.0, acc)
+            if cfg.aov:
+                aacc = jnp.where(freed[:, None], 0.0, aacc)
             samp = jnp.where(freed, 0.0, samp)
 
             # assign fresh pixels to idle lanes
@@ -902,10 +917,12 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
             new_pixel = jnp.maximum(pixel, 0.0).astype(jnp.int32)
         else:
             # sample-major: flush every dying path, refill immediately
+            # (two samples of one pixel may die together -> not unique)
             flush = dead & (pixel >= 0)
-            target = jnp.where(flush, pixel.astype(jnp.int32), n_pix)
-            image = image.at[target].add(
-                jnp.where(flush[:, None], acc, 0.0)
+            target = jnp.where(flush, pixel.astype(jnp.int32), n_pix + 1)
+            images = tuple(
+                img.at[target].add(misc[:, c:c + 3], mode="drop")
+                for img, (_k, c) in zip(images, _IMGS)
             )
             rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
             w = next_work + rank
@@ -916,6 +933,8 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
             pixel = jnp.where(take, new_pixel.astype(jnp.float32),
                               jnp.where(flush, -1.0, pixel))
             acc = jnp.where((take | flush)[:, None], 0.0, acc)
+            if cfg.aov:
+                aacc = jnp.where((take | flush)[:, None], 0.0, aacc)
             samp = jnp.where(take, samp_rng, samp)
             next_work = next_work + jnp.sum(take.astype(jnp.int32))
 
@@ -957,21 +976,21 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
             axis=1,
         )
         one3 = jnp.ones((pool, 3), jnp.float32)
-        misc = jnp.concatenate(
-            [
-                jax.lax.bitcast_convert_type(seed_u, jnp.float32)[:, None],
-                jnp.where(take2, one3, misc[:, 1:4]),        # atten
-                jnp.where(take2, one3, misc[:, 4:7]),        # last_atten
-                jnp.where(take, 0.0, misc[:, 7])[:, None],   # prev_delta
-                jnp.where(take, 0.0, misc[:, 8])[:, None],   # depth
-                alive2.astype(jnp.float32)[:, None],
-                acc,
-                pixel[:, None],
-                samp[:, None],
-                jnp.zeros((pool, 1), jnp.float32),
-            ],
-            axis=1,
-        )
+        misc_cols = [
+            jax.lax.bitcast_convert_type(seed_u, jnp.float32)[:, None],
+            jnp.where(take2, one3, misc[:, 1:4]),        # atten
+            jnp.where(take2, one3, misc[:, 4:7]),        # last_atten
+            jnp.where(take, 0.0, misc[:, 7])[:, None],   # prev_delta
+            jnp.where(take, 0.0, misc[:, 8])[:, None],   # depth
+            alive2.astype(jnp.float32)[:, None],
+            acc,
+            pixel[:, None],
+            samp[:, None],
+            jnp.zeros((pool, 1), jnp.float32),
+        ]
+        if cfg.aov:
+            misc_cols += [aacc, jnp.zeros((pool, 2), jnp.float32)]
+        misc = jnp.concatenate(misc_cols, axis=1)
 
         if cfg.sort_rays:
             from ..accel.morton import morton3d
@@ -1007,10 +1026,11 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
             rays2, misc2 = fused.shade(rays, hit4, misc, count_hint)
 
         return dict(
-            s, rays=rays2, misc=misc2, image=image,
+            s, rays=rays2, misc=misc2,
             next_work=next_work, iter=s["iter"] + 1,
             n_rad=s["n_rad"] + n_live,
             n_shad=s["n_shad"] + jnp.sum(misc2[:, 15]),
+            **{k: img for (k, _c), img in zip(_IMGS, images)},
         )
 
     s = jax.lax.while_loop(cond, body, state)
@@ -1019,12 +1039,19 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     pixel = misc[:, 13]
     flushm = pixel >= 0
     target = jnp.where(flushm, pixel.astype(jnp.int32), n_pix + 1)
-    image = s["image"].at[target].add(
-        misc[:, 10:13], mode="drop",
-        unique_indices=bool(cfg.pool_pixel_major),
-    )
-    rgb = image[:n_pix] * (1.0 / jnp.float32(spp))
-    return rgb, None, s["n_rad"], s["n_shad"].astype(jnp.int32)
+    inv_spp = 1.0 / jnp.float32(spp)
+
+    def final_img(key, c):
+        img = s[key].at[target].add(
+            misc[:, c:c + 3], mode="drop",
+            unique_indices=bool(cfg.pool_pixel_major),
+        )
+        return img[:n_pix] * inv_spp
+
+    rgb = final_img("image", 10)
+    aov = ((final_img("image_alb", 16), final_img("image_nrm", 19))
+           if cfg.aov else None)
+    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32)
 
 
 def render_pixels(
@@ -1051,9 +1078,6 @@ def render_pixels(
     if isinstance(tracer, FusedPipeline):
         if cfg.integrator != "pool":
             raise ValueError("FusedPipeline requires cfg.integrator='pool'")
-        if cfg.aov:
-            raise ValueError("the fused pipeline does not produce AOVs; "
-                             "use the unfused tracers with cfg.aov")
         pool = min(cfg.ray_block,
                    _next_pow2(pixel_idx.shape[0] * cfg.samples_per_launch))
         if pool % 256:

@@ -239,7 +239,7 @@ def _tex_fetch(u, v, tid, meta_ref, quad_ref, ah, aw):
 def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        shadow_eps, max_depth, textured=False, ah=0, aw=0,
                        dispatch=False, params_base=16, power_cdf=None,
-                       motion=False, closest_in_kernel=False):
+                       motion=False, closest_in_kernel=False, aov=False):
     """power_cdf: static tuple of per-light CDF values enables the power
     light sampler (in-kernel searchsorted as an unrolled compare-sum);
     None = uniform pick. dispatch: full 4-type material dispatch
@@ -257,7 +257,11 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
     closest_in_kernel: the MEGAKERNEL variant — the closest-hit sweep runs
     in-kernel over the same VMEM-resident soup before shading (no hit_ref
     input, no [R, 4] HBM round trip, one launch per pool iteration).
-    Static scenes only; motion keeps the two-kernel split."""
+    Static scenes only; motion keeps the two-kernel split.
+
+    aov: the misc blob widens to 24 columns; 16-18/19-21 carry first-hit
+    albedo/shading-normal accumulators (integrate/path.py _shade_and_nee's
+    sh_albedo/sh_normal at depth 0), feeding film/denoise.py's guides."""
     bgx, bgy, bgz = (float(b) for b in bg)
     _E7 = 1e-7
 
@@ -717,15 +721,25 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         )  # [8, RT]
         rays_out[:, :] = jnp.transpose(rays_o, (1, 0))
 
-        misc_o = jnp.concatenate(
+        misc_rows = (
             [seed] + new_at + new_last + [pdelta_new, depth_new, alive_new]
             + acc_new + [
                 row(misc_t, 13),  # pixel: pass-through
                 row(misc_t, 14),  # samp: pass-through
                 want_shadow.astype(jnp.float32),
-            ],
-            axis=0,
-        )  # [16, RT]
+            ]
+        )
+        if aov:
+            first = adv & (depth == 0.0)
+            ns_rows = (nsx, nsy, nsz)
+            misc_rows += [
+                row(misc_t, 16 + c) + jnp.where(first, albedo[c], 0.0)
+                for c in range(3)
+            ] + [
+                row(misc_t, 19 + c) + jnp.where(first, ns_rows[c], 0.0)
+                for c in range(3)
+            ] + [jnp.zeros((2, rt), jnp.float32)]
+        misc_o = jnp.concatenate(misc_rows, axis=0)  # [16|24, RT]
         misc_out[:, :] = jnp.transpose(misc_o, (1, 0))
 
     return kernel
@@ -812,7 +826,9 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
         textured=textured, ah=ah, aw=aw,
         dispatch=dispatch, params_base=23 if textured else 16,
         power_cdf=power_cdf, motion=motion, closest_in_kernel=merged,
+        aov=cfg.aov,
     )
+    misc_w = 24 if cfg.aov else 16
     hit_specs = [] if merged else [
         pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -832,7 +848,7 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ] + hit_specs + [
-                    pl.BlockSpec((RAY_TILE, 16), lambda i, *_: (i, 0),
+                    pl.BlockSpec((RAY_TILE, misc_w), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ] + [
                     pl.BlockSpec((n_tiles, 9, soup_tris.shape[2]),
@@ -858,13 +874,13 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                 out_specs=(
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((RAY_TILE, 16), lambda i, *_: (i, 0),
+                    pl.BlockSpec((RAY_TILE, misc_w), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
-                jax.ShapeDtypeStruct((r_pad, 16), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, misc_w), jnp.float32),
             ),
             interpret=interpret,
         )(count, rays, *hit_ops, misc16, *tris_tables, soup_aabb,

@@ -111,3 +111,28 @@ def test_aov_checkpoint_roundtrip(tmp_path):
     f2 = load_checkpoint(p, cfg)
     np.testing.assert_array_equal(np.asarray(f2.albedo),
                                   np.asarray(film.albedo))
+
+
+def test_aov_fused_matches_pool():
+    """The fused pipeline's in-kernel first-hit AOV accumulators match the
+    unfused pool's (_shade_and_nee sh_albedo/sh_normal at depth 0)."""
+    from rendertoy3c_tpu.trace.pallas_shade import make_fused_pipeline
+
+    meshes, cam = cornell_box()
+    scene = build_scene(meshes)
+    cfg = RenderConfig(integrator="pool", pool_pixel_major=True,
+                       width=16, height=16, samples_per_launch=2,
+                       max_depth=3, ray_block=512, aov=True)
+    film_ref, _ = render_frame(scene, cam.params(), cfg, subframes=2)
+    pipe = make_fused_pipeline(scene, cfg, interpret=True)
+    film_got, _ = render_frame(scene, cam.params(), cfg, subframes=2,
+                               tracer=pipe)
+    np.testing.assert_allclose(np.asarray(film_got.accum),
+                               np.asarray(film_ref.accum),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(film_got.albedo),
+                               np.asarray(film_ref.albedo),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(film_got.normal),
+                               np.asarray(film_ref.normal),
+                               rtol=1e-4, atol=1e-5)
