@@ -56,8 +56,19 @@ _INV_2_24 = 1.0 / float(1 << 24)
 MAX_ONEHOT_FACES = 2048
 
 
+def attr_params_base(textured: bool, uv_xform: bool,
+                     normal_maps: bool) -> int:
+    """First material-parameter row in the attr table (mirrors
+    build_shade_tables' layout arithmetic)."""
+    if not textured:
+        return 16
+    base = 29 if uv_xform else 23
+    return base + (4 if normal_maps else 0)
+
+
 def build_shade_tables(scene, textured: bool = False,
-                       dispatch: bool = False, f_limit: int | None = None):
+                       dispatch: bool = False, f_limit: int | None = None,
+                       uv_xform: bool = False, normal_maps: bool = False):
     """(attr_t [H,F], lights_t [24,Lp]) — transposed so the one-hot fetch
     yields lanes-major rows (see module doc).
 
@@ -78,8 +89,10 @@ def build_shade_tables(scene, textured: bool = False,
     mat_id = np.asarray(g.mat_id)[:f]
     emission = np.asarray(scene.materials.emission)[mat_id]
     diffuse = np.asarray(scene.materials.diffuse)[mat_id]
-    params_base = 23 if textured else 16
-    height = params_base + 6 if dispatch else (24 if textured else 16)
+    nmap_base = (29 if uv_xform else 23) if textured else 16
+    params_base = attr_params_base(textured, uv_xform, normal_maps)
+    height = (params_base + 6 if dispatch
+              else (params_base + 1 if textured else 16))
     height = -(-height // 8) * 8
     attr = np.zeros((f, height), np.float32)
     attr[:, 0:3] = np.asarray(g.n0[0])[:f]
@@ -92,6 +105,22 @@ def build_shade_tables(scene, textured: bool = False,
         attr[:, 18:20] = np.asarray(g.uv1)[:f]
         attr[:, 20:22] = np.asarray(g.uv2)[:f]
         attr[:, 22] = np.asarray(scene.materials.diffuse_tex)[mat_id]
+        if uv_xform:
+            # per-material uv transform rows (m00 m01 m10 m11 ox oy),
+            # applied in-kernel AFTER interpolation in the exact
+            # integrate/path.py op order for bit parity
+            attr[:, 23:29] = np.asarray(scene.materials.uv_xform)[mat_id]
+        if normal_maps:
+            # per-face raw tangent from the uv parameterization
+            # (path.py:125-136: tang = e1*duv2.y - e2*duv1.y, world space)
+            # + the material's normal-texture id
+            duv1 = (np.asarray(g.uv1) - np.asarray(g.uv0))[:f]
+            duv2 = (np.asarray(g.uv2) - np.asarray(g.uv0))[:f]
+            tang = (np.asarray(g.e1[0])[:f] * duv2[:, 1:2]
+                    - np.asarray(g.e2[0])[:f] * duv1[:, 1:2])
+            attr[:, nmap_base:nmap_base + 3] = tang
+            attr[:, nmap_base + 3] = np.asarray(
+                scene.materials.normal_tex)[mat_id]
     if dispatch:
         m = scene.materials
         attr[:, params_base + 0] = np.asarray(m.mtype)[mat_id]
@@ -239,7 +268,8 @@ def _tex_fetch(u, v, tid, meta_ref, quad_ref, ah, aw):
 def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        shadow_eps, max_depth, textured=False, ah=0, aw=0,
                        dispatch=False, params_base=16, power_cdf=None,
-                       motion=False, closest_in_kernel=False, aov=False):
+                       motion=False, closest_in_kernel=False, aov=False,
+                       uv_xform=False, nmap_base=0, normal_maps=False):
     """power_cdf: static tuple of per-light CDF values enables the power
     light sampler (in-kernel searchsorted as an unrolled compare-sum);
     None = uniform pick. dispatch: full 4-type material dispatch
@@ -365,6 +395,44 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         ngy = w0 * row(a, 1) + bu * row(a, 4) + bv * row(a, 7)
         ngz = w0 * row(a, 2) + bu * row(a, 5) + bv * row(a, 8)
         ngx, ngy, ngz, _ = _normalize3(ngx, ngy, ngz)
+        if textured:
+            tu = w0 * row(a, 16) + bu * row(a, 18) + bv * row(a, 20)
+            tv = w0 * row(a, 17) + bu * row(a, 19) + bv * row(a, 21)
+            tid = row(a, 22)
+            if uv_xform:
+                # uv' = offset + M @ uv (MaterialData.h texture desc /
+                # KHR_texture_transform), same op order as path.py:113-115
+                tu2 = row(a, 23) * tu + row(a, 24) * tv + row(a, 27)
+                tv2 = row(a, 25) * tu + row(a, 26) * tv + row(a, 28)
+                tu, tv = tu2, tv2
+        if normal_maps:
+            # tangent-space normal mapping on the interpolated normal,
+            # pre-faceforward (path.py:116-148 order; raw tangents baked
+            # per face, Gram-Schmidt against ng in-kernel)
+            ntex = row(a, nmap_base + 3)
+            n_rgb = _tex_fetch(tu, tv, ntex, meta_ref, quad_ref, ah, aw)
+            ntsx = n_rgb[0] * 2.0 - 1.0
+            ntsy = n_rgb[1] * 2.0 - 1.0
+            ntsz = n_rgb[2] * 2.0 - 1.0
+            tgx = row(a, nmap_base + 0)
+            tgy = row(a, nmap_base + 1)
+            tgz = row(a, nmap_base + 2)
+            d_tn = tgx * ngx + tgy * ngy + tgz * ngz
+            tgx = tgx - ngx * d_tn
+            tgy = tgy - ngy * d_tn
+            tgz = tgz - ngz * d_tn
+            tgx, tgy, tgz, _ = _normalize3(tgx, tgy, tgz, eps=1e-12)
+            btx = ngy * tgz - ngz * tgy
+            bty = ngz * tgx - ngx * tgz
+            btz = ngx * tgy - ngy * tgx
+            mgx = ntsx * tgx + ntsy * btx + ntsz * ngx
+            mgy = ntsx * tgy + ntsy * bty + ntsz * ngy
+            mgz = ntsx * tgz + ntsy * btz + ntsz * ngz
+            mgx, mgy, mgz, _ = _normalize3(mgx, mgy, mgz, eps=1e-12)
+            has_nm = ntex >= 0.0
+            ngx = jnp.where(has_nm, mgx, ngx)
+            ngy = jnp.where(has_nm, mgy, ngy)
+            ngz = jnp.where(has_nm, mgz, ngz)
         # faceforward onto the -d hemisphere
         side = jnp.where(-(dx * ngx + dy * ngy + dz * ngz) >= 0.0, 1.0, -1.0)
         nsx, nsy, nsz = ngx * side, ngy * side, ngz * side
@@ -375,9 +443,6 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         emitted = [row(a, 9 + c) * emit_gate * hit_f for c in range(3)]
         albedo = [row(a, 12 + c) for c in range(3)]
         if textured:
-            tu = w0 * row(a, 16) + bu * row(a, 18) + bv * row(a, 20)
-            tv = w0 * row(a, 17) + bu * row(a, 19) + bv * row(a, 21)
-            tid = row(a, 22)
             tex_rgb = _tex_fetch(tu, tv, tid, meta_ref, quad_ref, ah, aw)
             present = tid >= 0.0
             albedo = [jnp.where(present, tex_rgb[c], albedo[c])
@@ -754,8 +819,6 @@ def _fused_texture_state(scene) -> str:
     ok = (
         atlas.quad is not None
         and atlas.data.shape[0] * atlas.data.shape[1] <= MAX_ATLAS_TEXELS
-        and not getattr(scene, "any_uv_transform", False)
-        and not getattr(scene, "any_normal_map", False)
         and not np.asarray(mats.roughness_tex >= 0).any()
         and not np.asarray(mats.emissive_tex >= 0).any()
     )
@@ -767,7 +830,8 @@ def fused_shade_eligible(scene, cfg) -> bool:
         scene.num_keys in (1, 2)
         and scene.num_lights >= 1
         and _fused_texture_state(scene) != "unsupported"
-        and not getattr(scene, "any_normal_map", False)
+        and (not getattr(scene, "any_normal_map", False)
+             or _fused_texture_state(scene) == "diffuse")
         and getattr(scene, "env", None) is None
         and cfg.light_sampler in ("uniform", "power")
         and cfg.throughput_model == "reference"
@@ -791,9 +855,14 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
         raise ValueError("the merged megakernel is static-only")
     textured = _fused_texture_state(scene) == "diffuse"
     dispatch = not getattr(scene, "all_diffuse", False)
+    uv_xform = textured and bool(getattr(scene, "any_uv_transform", False))
+    normal_maps = (textured
+                   and bool(getattr(scene, "any_normal_map", False)))
     f_limit = soup.tris.shape[0] * soup.tris.shape[2]
     attr, lights = build_shade_tables(scene, textured=textured,
-                                      dispatch=dispatch, f_limit=f_limit)
+                                      dispatch=dispatch, f_limit=f_limit,
+                                      uv_xform=uv_xform,
+                                      normal_maps=normal_maps)
     power_cdf = None
     if cfg.light_sampler == "power":
         power_cdf = tuple(
@@ -824,9 +893,11 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
         n_tiles, scene.num_lights, cfg.bg_radiance,
         cfg.shadow_tmin, cfg.shadow_tmax_eps, cfg.max_depth,
         textured=textured, ah=ah, aw=aw,
-        dispatch=dispatch, params_base=23 if textured else 16,
+        dispatch=dispatch,
+        params_base=attr_params_base(textured, uv_xform, normal_maps),
         power_cdf=power_cdf, motion=motion, closest_in_kernel=merged,
-        aov=cfg.aov,
+        aov=cfg.aov, uv_xform=uv_xform,
+        nmap_base=(29 if uv_xform else 23), normal_maps=normal_maps,
     )
     misc_w = 24 if cfg.aov else 16
     hit_specs = [] if merged else [

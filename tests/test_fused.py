@@ -180,3 +180,65 @@ def test_fused_matches_wave_multi_subframe(cornell):
         np.asarray(f_fused.accum), np.asarray(f_wave.accum),
         rtol=3e-5, atol=3e-5,
     )
+
+
+def test_fused_uv_transform_matches_pool():
+    """KHR_texture_transform-style uv transforms shade in-kernel (attr rows
+    23-28) identically to the XLA path's post-interpolation transform."""
+    from rendertoy3c_tpu.scene.builtin import textured_quad_scene
+
+    meshes, textures, camera = textured_quad_scene()
+    meshes[0].material.tex_offset = (0.15, -0.1)
+    meshes[0].material.tex_rotation = 0.35
+    meshes[0].material.tex_scale = (1.5, 0.8)
+    scene = build_scene(meshes, textures=textures)
+    assert scene.any_uv_transform
+    cfg = _cfg(samples_per_launch=2)
+    assert fused_shade_eligible(scene, cfg)
+    cam = camera.params()
+    f_ref, _ = render_frame(scene, cam, cfg, subframes=1)
+    pipe = make_fused_pipeline(scene, cfg, interpret=True)
+    f_fused, _ = render_frame(scene, cam, cfg, subframes=1, tracer=pipe)
+    np.testing.assert_allclose(
+        np.asarray(f_fused.accum), np.asarray(f_ref.accum),
+        rtol=3e-5, atol=3e-5,
+    )
+
+
+def test_fused_normal_map_matches_pool():
+    """Tangent-space normal mapping runs in-kernel (baked per-face raw
+    tangents + a second texture fetch) identically to path.py:116-148."""
+    from rendertoy3c_tpu.scene.builtin import quad
+    from rendertoy3c_tpu.scene.material import MaterialType
+    from rendertoy3c_tpu.scene.mesh import Mesh
+    from rendertoy3c_tpu.scene.camera import Camera
+
+    bumpy = np.zeros((8, 8, 4), np.uint8)
+    bumpy[..., 0] = np.tile(np.linspace(40, 215, 8, dtype=np.uint8), (8, 1))
+    bumpy[..., 1] = 128
+    bumpy[..., 2] = 220
+    bumpy[..., 3] = 255
+
+    v, f = quad([-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1])
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    lv, lf = quad([-0.4, 2, -0.4], [-0.4, 2, 0.4], [0.4, 2, 0.4],
+                  [0.4, 2, -0.4])
+    lamp = Mesh(vertices=lv[None], indices=lf,
+                material=Material(emissive=(12, 12, 12)))
+    mat = Material(material_type=MaterialType.PRINCIPLED,
+                   diffuse=(0.7, 0.7, 0.7), roughness=0.8,
+                   normal_texture_id=0)
+    floor = Mesh(vertices=v[None], indices=f, texcoords=uvs, material=mat)
+    scene = build_scene([floor, lamp], textures=[bumpy])
+    assert scene.any_normal_map
+    cam = Camera(eye=(0, 1.5, 2.0), lookat=(0, 0, 0), fov_y=45.0)
+    cfg = _cfg(samples_per_launch=4, max_depth=3)
+    assert fused_shade_eligible(scene, cfg)
+    f_ref, _ = render_frame(scene, cam.params(), cfg, subframes=2)
+    pipe = make_fused_pipeline(scene, cfg, interpret=True)
+    f_fused, _ = render_frame(scene, cam.params(), cfg, subframes=2,
+                              tracer=pipe)
+    np.testing.assert_allclose(
+        np.asarray(f_fused.accum), np.asarray(f_ref.accum),
+        rtol=3e-5, atol=3e-5,
+    )
