@@ -17,12 +17,14 @@ TPU-native tricks:
   * the shadow probe sweeps the same VMEM-resident triangle soup as the
     closest kernel (any-hit with per-lane light distance as tmax).
 
-Gated fast path: DIFFUSE-only scenes, static geometry, uniform light
-sampler, reference throughput model, constant background. Diffuse textures
-are fused in-kernel for atlases within MAX_ATLAS_TEXELS (the bilinear fetch
-is a two-stage one-hot gather on the MXU, see _tex_fetch); roughness/
-emissive/normal maps and uv transforms fall back. Everything else uses the
-general XLA shading path (integrate/path.py) — same results, more kernels.
+Gated fast path: <=2 motion keys, uniform/power light sampler, reference
+throughput model, constant background, <= MAX_ONEHOT_FACES faces. Covered
+in-kernel: the full 4-type material dispatch, diffuse textures for atlases
+within MAX_ATLAS_TEXELS (the bilinear fetch is a two-stage one-hot gather
+on the MXU, see _tex_fetch), uv transforms, tangent-space normal maps, and
+first-hit AOV accumulation. Roughness/emissive maps, env maps, and larger
+scenes fall back to the general XLA shading path (integrate/path.py) —
+same results, more kernels.
 
 Table layouts (VMEM, lane-friendly):
   attr   [16, F] f32 : rows n0.xyz n1.xyz n2.xyz emission.xyz diffuse.xyz pad
