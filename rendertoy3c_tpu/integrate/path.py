@@ -1017,13 +1017,11 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
                 jnp.where(alive2, jnp.arange(pool, dtype=jnp.int32), -1)
             ) + 1
 
-        if fused.merged:
-            # megakernel: closest + shade + NEE + shadow + RR, one launch
-            rays2, misc2 = fused.trace_shade(rays, misc, count_hint)
-        else:
-            hit4 = fused.closest_raw(rays, count_hint,
-                                     time_col=_time[:, None])
-            rays2, misc2 = fused.shade(rays, hit4, misc, count_hint)
+        # megakernel: closest + shade + NEE + shadow + RR, one launch
+        # (motion variants consume the per-ray time as an 8-wide block)
+        time8 = (jnp.broadcast_to(_time[:, None], (pool, 8))
+                 if fused.motion else None)
+        rays2, misc2 = fused.trace_shade(rays, misc, count_hint, time8)
 
         return dict(
             s, rays=rays2, misc=misc2,

@@ -299,6 +299,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
 
     def kernel(count_ref, rays_ref, *rest):
         rest = list(rest)
+        time_ref = rest.pop(0) if (closest_in_kernel and motion) else None
         hit_ref = None if closest_in_kernel else rest.pop(0)
         misc_ref = rest.pop(0)
         tris_ref = rest.pop(0)
@@ -326,12 +327,23 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                 jnp.zeros((rt, 1), jnp.float32),
             )
 
+            if motion:
+                tcol_c = time_ref[:, 0:1]
+
             def c_tile(k, carry):
                 best_t, best_prim, best_u, best_v = carry
-                t, u, v, hit, prim_f = _mt_test_cols(
-                    ccols[:7] + (best_t,), tris_ref[k],
-                    jnp.int32(k * tris_ref.shape[2])
-                )
+                if motion:
+                    # per-ray time-lerped triangles (2-key motion; the
+                    # union cull boxes cover both keys)
+                    t, u, v, hit, prim_f = _mt_test_motion(
+                        ccols[:7] + (best_t,), tcol_c, tris_ref[k],
+                        tris1_ref[k], jnp.int32(k * tris_ref.shape[2])
+                    )
+                else:
+                    t, u, v, hit, prim_f = _mt_test_cols(
+                        ccols[:7] + (best_t,), tris_ref[k],
+                        jnp.int32(k * tris_ref.shape[2])
+                    )
                 t = jnp.where(hit, t, 1e30)
                 t_c = jnp.min(t, axis=1, keepdims=True)
                 at_min = t <= t_c
@@ -853,8 +865,6 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     motion = soup1 is not None
-    if merged and motion:
-        raise ValueError("the merged megakernel is static-only")
     textured = _fused_texture_state(scene) == "diffuse"
     dispatch = not getattr(scene, "all_diffuse", False)
     uv_xform = textured and bool(getattr(scene, "any_uv_transform", False))
@@ -906,11 +916,16 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
         pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
+    time_specs = [
+        pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] if (merged and motion) else []
 
     @functools.partial(jax.jit, static_argnames=())
-    def shade(rays, hit4, misc16, count):
+    def shade(rays, hit4, misc16, count, time8=None):
         r_pad = rays.shape[0]
         count = jnp.asarray(count, jnp.int32).reshape(1)
+        time_ops = (time8,) if (merged and motion) else ()
         hit_ops = () if merged else (hit4,)
         return pl.pallas_call(
             kernel,
@@ -920,7 +935,7 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                 in_specs=[
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
-                ] + hit_specs + [
+                ] + time_specs + hit_specs + [
                     pl.BlockSpec((RAY_TILE, misc_w), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ] + [
@@ -956,12 +971,12 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                 jax.ShapeDtypeStruct((r_pad, misc_w), jnp.float32),
             ),
             interpret=interpret,
-        )(count, rays, *hit_ops, misc16, *tris_tables, soup_aabb,
-          soup_super, attr, lights, *tex_tables)
+        )(count, rays, *time_ops, *hit_ops, misc16, *tris_tables,
+          soup_aabb, soup_super, attr, lights, *tex_tables)
 
     if merged:
-        def trace_shade(rays, misc16, count):
-            return shade(rays, None, misc16, count)
+        def trace_shade(rays, misc16, count, time8=None):
+            return shade(rays, None, misc16, count, time8)
 
         return trace_shade
     return shade
@@ -990,19 +1005,22 @@ class FusedPipeline:
         self.soup = soup._replace(num_faces=scene.num_faces)
         self.num_faces = scene.num_faces
         self.motion = scene.num_keys == 2
-        self.merged = not self.motion
+        self.merged = True
+        # megakernel: closest + shade + NEE + shadow + RR in ONE launch
+        # per pool iteration (motion lerps the closest sweep by the per-ray
+        # time column)
         if self.motion:
             soup1 = build_tri_soup(scene.geom, key=1,
                                    num_faces=scene.num_faces)
             self.soup1 = soup1._replace(num_faces=scene.num_faces)
-            self.shade = make_fused_shader(scene, cfg, self.soup, self.soup1,
-                                           interpret=interpret)
+            self.trace_shade = make_fused_shader(scene, cfg, self.soup,
+                                                 self.soup1,
+                                                 interpret=interpret,
+                                                 merged=True)
             self._closest_motion_raw = functools.partial(
                 trace_closest_mt_motion_raw, interpret=interpret
             )
         else:
-            # static scenes get the megakernel: closest + shade + NEE +
-            # shadow + RR in ONE launch per pool iteration
             self.trace_shade = make_fused_shader(scene, cfg, self.soup,
                                                  interpret=interpret,
                                                  merged=True)
