@@ -264,12 +264,12 @@ def main():
     if on_tpu:
         cfg = RenderConfig(width=768, height=768, samples_per_launch=8,
                            max_depth=16, ray_block=32768, integrator="pool",
-                           pool_pixel_major=True, flush_every=16)
+                           pool_pixel_major=True)
         warmup, timed = 1, 4
     else:  # CI smoke mode
         cfg = RenderConfig(width=96, height=96, samples_per_launch=1,
                            max_depth=4, ray_block=4096, integrator="pool",
-                           pool_pixel_major=True, flush_every=16)
+                           pool_pixel_major=True)
         warmup, timed = 1, 1
 
     meshes, camera = cornell_box()

@@ -44,9 +44,11 @@ class RenderConfig:
     # Pool-only: pixel-major work order — a lane renders ALL its pixel's
     # samples before flushing, cutting framebuffer scatter-adds by ~spp and
     # letting them run every flush_every iterations (completed lanes wait at
-    # most flush_every-1 iterations to be recycled).
+    # most flush_every-1 iterations to be recycled). 0 = auto: 16 for
+    # small framebuffers, 8 once n_pix > 32x the pool (measured optimum
+    # flips at ~1080p with a 32k pool).
     pool_pixel_major: bool = False
-    flush_every: int = 16
+    flush_every: int = 0
 
     # Pool-only: re-sort live lanes by direction-octant Morton keys each
     # iteration. Costs an argsort + state permutation; pays off for tracers

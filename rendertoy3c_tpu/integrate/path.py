@@ -492,6 +492,8 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
     trace_closest, trace_any = tracer
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
+    # 0 = auto flush cadence (see RenderConfig.flush_every)
+    flush_every = cfg.flush_every or (8 if n_pix > 32 * pool else 16)
     spp = cfg.samples_per_launch
     total_work = n_pix * spp
     width = jnp.float32(cfg.width)
@@ -564,7 +566,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             # its samples back-to-back; the framebuffer scatter runs only
             # every flush_every iterations over lanes whose pixel completed.
             completed = dead & (s["pixel"] >= 0) & (s["samp"] >= spp)
-            do_flush = (s["iter"] % cfg.flush_every) == 0
+            do_flush = (s["iter"] % flush_every) == 0
 
             def flush_fn(imgs):
                 # unique-indices fast path: one lane per pixel (see the
@@ -817,6 +819,8 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     """
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
+    # 0 = auto flush cadence (see RenderConfig.flush_every)
+    flush_every = cfg.flush_every or (8 if n_pix > 32 * pool else 16)
     spp = cfg.samples_per_launch
     total_work = n_pix * spp
     width = jnp.float32(cfg.width)
@@ -873,7 +877,7 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
 
         if cfg.pool_pixel_major:
             completed = dead & (pixel >= 0) & (samp >= spp)
-            do_flush = (s["iter"] % cfg.flush_every) == 0
+            do_flush = (s["iter"] % flush_every) == 0
 
             def flush_fn(imgs):
                 # pixel-major: each pixel is owned by exactly one lane, so
