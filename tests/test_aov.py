@@ -136,3 +136,35 @@ def test_aov_fused_matches_pool():
     np.testing.assert_allclose(np.asarray(film_got.normal),
                                np.asarray(film_ref.normal),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_aov_fused_motion_matches_pool():
+    """Motion megakernel + AOV accumulators together (time-lerped closest
+    in-kernel, first-hit guides at the time-sampled hit)."""
+    from rendertoy3c_tpu.scene.scene import Instance, build_scene as _bs
+    from rendertoy3c_tpu.trace.pallas_shade import make_fused_pipeline
+
+    meshes, cam = cornell_box()
+    two_key = np.zeros((2, 3, 4), np.float32)
+    two_key[:, :, :3] = np.eye(3)
+    two_key[1, 0, 3] = 0.25
+    inst = [Instance(mesh_index=i) for i in range(len(meshes) - 1)]
+    inst.append(Instance(mesh_index=len(meshes) - 1, transforms=two_key))
+    scene = _bs(meshes, instances=inst)
+    assert scene.num_keys == 2
+    cfg = RenderConfig(integrator="pool", pool_pixel_major=True,
+                       width=16, height=16, samples_per_launch=2,
+                       max_depth=3, ray_block=512, aov=True)
+    film_ref, _ = render_frame(scene, cam.params(), cfg, subframes=2)
+    pipe = make_fused_pipeline(scene, cfg, interpret=True)
+    film_got, _ = render_frame(scene, cam.params(), cfg, subframes=2,
+                               tracer=pipe)
+    np.testing.assert_allclose(np.asarray(film_got.accum),
+                               np.asarray(film_ref.accum),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(film_got.albedo),
+                               np.asarray(film_ref.albedo),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(film_got.normal),
+                               np.asarray(film_ref.normal),
+                               rtol=1e-4, atol=1e-5)
