@@ -1,115 +1,247 @@
-"""Benchmark harness: Mrays/sec (radiance + shadow) on the flagship workload.
+"""Benchmark harness: Mrays/sec (radiance + shadow) on the BASELINE suite.
 
 Measures the BASELINE.md north-star metric — rays traced per wall-clock
-second through the full wavefront integrator (primary + bounce radiance rays
-plus NEE shadow probes, the counting rule of BASELINE.md) — on the Cornell
-box at the reference's default 768x768 / 8 spp workload shape
-(src/wavefront.cpp:300,55).
+second through the full wavefront integrator (primary + bounce radiance
+rays plus NEE shadow probes, the counting rule of BASELINE.md) — on the
+reference's default workload shape (768x768 / 8 spp, src/wavefront.cpp:300,
+55) plus the five BASELINE.md configs rendered from REAL .obj assets
+(io/genassets.py writes them; io/obj.py loads them like the reference's
+mesh.cpp does).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is the ratio
-against our own recorded first-round figure kept in BENCH_TARGET below —
-i.e. a regression/progress tracker rather than a cross-vendor comparison.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against OUR OWN first-round figure (BENCH_TARGET below) — a
+self-relative progress tracker, NOT a cross-vendor comparison. Per-config
+details (best AND median rates) land in BENCH_DETAILS.json.
+
+Before timing, a parity gate renders one small frame through the fused
+Pallas pipeline AND the plain XLA integrator on the chip and fails loudly
+on mismatch — Mosaic-compiled regressions can't hide behind fast numbers
+(CI runs the kernels in interpret mode only).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
+import statistics
 import sys
 import time
 
-# First recorded TPU number for this workload; update when the kernel gets
-# materially faster so vs_baseline tracks progress across rounds.
+# First recorded TPU number for this workload; kept fixed so vs_baseline
+# tracks progress across rounds (self-relative, see module docstring).
 BENCH_TARGET_MRAYS = 13.5  # round-1 recorded figure (Pallas MT + ray pool)
+
+ASSET_DIR = os.path.expanduser("~/.cache/rendertoy3c_assets")
 
 
 def _bench_step(step, cam, film_create_fn, warmup, timed):
-    """Run warmup+timed subframes; times each subframe separately and rates
-    by the best one (the remote-TPU tunnel adds occasional multi-100ms
-    scheduling noise that would otherwise dominate short runs).
-    Returns (mrays, representative_dt_total)."""
+    """Run warmup+timed subframes, timing each separately. Returns
+    (best_mrays, median_mrays, best_spp_s, median_spp_s) — best because the
+    remote-TPU tunnel adds occasional multi-100ms scheduling noise, median
+    so the record stays honest about typical rates."""
     import jax
 
     film = film_create_fn()
     for _ in range(warmup):
         film, stats = step(cam, film)
     jax.block_until_ready(film.accum)
-    best_rate = 0.0
-    best_dt = float("inf")
+    rates = []
+    dts = []
     for _ in range(timed):
         t0 = time.perf_counter()
         film, stats = step(cam, film)
         jax.block_until_ready(film.accum)
         dt = time.perf_counter() - t0
         rays = int(stats.radiance_rays) + int(stats.shadow_rays)
-        best_rate = max(best_rate, rays / dt / 1e6)
-        best_dt = min(best_dt, dt)
-    return best_rate, best_dt * timed
+        rates.append(rays / dt / 1e6)
+        dts.append(dt)
+    return (max(rates), statistics.median(rates), min(dts),
+            statistics.median(dts))
 
 
-def run_config_suite(cfg_kwargs, warmup, timed):
-    """The five BASELINE.md workloads; returns {name: {mrays, spp_s}}."""
+def _parity_gate(cfg_kwargs):
+    """Fused Pallas pipeline vs plain XLA pool on one small frame (both on
+    the chip). Identical per-path arithmetic; sums differ only in float
+    order, so the images must agree tightly. Raises on mismatch."""
+    import dataclasses as dc
+
     import jax
     import numpy as np
 
     from rendertoy3c_tpu.film.film import film_create
     from rendertoy3c_tpu.integrate.config import RenderConfig
     from rendertoy3c_tpu.integrate.path import make_render_fn
-    from rendertoy3c_tpu.scene.builtin import cornell_box, textured_quad_scene
-    from rendertoy3c_tpu.scene.instanced import build_instanced_scene
+    from rendertoy3c_tpu.scene.builtin import cornell_box
+    from rendertoy3c_tpu.scene.scene import build_scene
+    from rendertoy3c_tpu.trace.pallas_shade import (
+        fused_shade_eligible, make_fused_pipeline,
+    )
+
+    cfg = RenderConfig(width=96, height=96, samples_per_launch=2,
+                      max_depth=6, ray_block=4096, integrator="pool",
+                      pool_pixel_major=True)
+    meshes, camera = cornell_box()
+    camera.aspect_ratio = 1.0
+    scene = build_scene(meshes)
+    assert fused_shade_eligible(scene, cfg)
+    cam = camera.params()
+
+    def render(tracer):
+        step = make_render_fn(scene, cfg, tracer=tracer)
+        film, _ = step(cam, film_create(cfg.height, cfg.width))
+        return np.asarray(film.accum[..., :3])
+
+    img_fused = render(make_fused_pipeline(scene, cfg))
+    img_xla = render(None)
+    diff = np.abs(img_fused - img_xla)
+    if diff.mean() > 5e-3 or diff.max() > 0.35:
+        raise RuntimeError(
+            f"fused-vs-XLA parity gate FAILED: mean|d|={diff.mean():.4g} "
+            f"max|d|={diff.max():.4g} — Mosaic kernels disagree with the "
+            "XLA integrator on hardware"
+        )
+    print(f"parity gate ok: mean|d|={diff.mean():.2e} "
+          f"max|d|={diff.max():.2e}", file=sys.stderr)
+
+
+def _town_scene(faces, two_key=False, untextured=False, principled=False):
+    """Load the generated town .obj through the real asset path."""
+    import numpy as np
+
+    from rendertoy3c_tpu.io.genassets import generate_town
+    from rendertoy3c_tpu.io.obj import load_obj
+    from rendertoy3c_tpu.scene.camera import Camera
     from rendertoy3c_tpu.scene.material import Material, MaterialType
-    from rendertoy3c_tpu.scene.scene import Instance, build_scene
+    from rendertoy3c_tpu.scene.scene import build_scene
+
+    paths, camkw = generate_town(ASSET_DIR, faces_target=faces,
+                                 two_key=two_key)
+    meshes, textures = load_obj(paths if two_key else paths[:1])
+    if untextured:
+        for m in meshes:
+            m.material = dataclasses.replace(
+                m.material, diffuse_texture_id=-1, emissive_texture_id=-1,
+                roughness_texture_id=-1, normal_texture_id=-1)
+        textures = []
+    if principled:
+        rng = np.random.default_rng(5)
+        for i, m in enumerate(meshes):
+            if max(m.material.emissive) > 0:
+                continue
+            m.material = dataclasses.replace(
+                m.material, material_type=MaterialType.PRINCIPLED,
+                roughness=float(rng.uniform(0.15, 0.7)),
+                metallic=float(rng.uniform(0.0, 0.9)))
+    scene = build_scene(meshes, textures=textures or None)
+    cam = Camera(**camkw)
+    return scene, cam
+
+
+def _auto_tracer(scene, cfg, on_tpu):
+    """The CLI's backend ladder (app/cli.py): fused megakernel for small
+    static scenes, tile-cull Pallas MT for small/motion, per-ray leaf walk
+    for large static."""
+    if not on_tpu:
+        return None
     from rendertoy3c_tpu.trace.pallas_mt import make_pallas_mt_tracer
+    from rendertoy3c_tpu.trace.pallas_shade import (
+        fused_shade_eligible, make_fused_pipeline,
+    )
+
+    if scene.num_keys == 1 and scene.num_faces > 16384:
+        from rendertoy3c_tpu.accel.lbvh import split_order_scene
+        from rendertoy3c_tpu.trace.leafwalk import make_leafwalk_tracer
+
+        return make_leafwalk_tracer(split_order_scene(scene))
+    if (cfg.integrator == "pool" and fused_shade_eligible(scene, cfg)
+            and cfg.ray_block % 256 == 0):
+        return make_fused_pipeline(scene, cfg)
+    return make_pallas_mt_tracer(scene)
+
+
+def run_config_suite(cfg_kwargs, warmup, timed):
+    """The BASELINE.md workloads; returns {name: stats}."""
+    import jax
+    import numpy as np
+
+    from rendertoy3c_tpu.film.film import film_create
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import make_render_fn
+    from rendertoy3c_tpu.scene.builtin import cornell_box
+    from rendertoy3c_tpu.scene.instanced import build_instanced_scene
+    from rendertoy3c_tpu.scene.material import Material
+    from rendertoy3c_tpu.scene.scene import Instance, build_scene
+    from rendertoy3c_tpu.trace.instanced import make_instanced_tracer
     from rendertoy3c_tpu.trace.pallas_instanced import (
         make_pallas_instanced_tracer,
-    )
-    from rendertoy3c_tpu.trace.instanced import make_instanced_tracer
-    from rendertoy3c_tpu.trace.pallas_shade import (
-        fused_shade_eligible,
-        make_fused_pipeline,
     )
 
     on_tpu = jax.devices()[0].platform == "tpu"
     results = {}
     cfg = RenderConfig(**cfg_kwargs)
-    spp_per_frame = cfg.samples_per_launch
 
-    def record(name, scene, tracer):
-        step = make_render_fn(scene, cfg, tracer=tracer)
-        meshes_cam.aspect_ratio = cfg.width / cfg.height
-        cam = meshes_cam.params()
-        mrays, dt = _bench_step(
-            step, cam, lambda: film_create(cfg.height, cfg.width),
-            warmup, timed,
+    def record(name, scene, cam, cfg_c, tracer=None, timed_c=None,
+               warmup_c=None):
+        t0 = time.perf_counter()
+        if tracer is None:
+            tracer = _auto_tracer(scene, cfg_c, on_tpu)
+        step = make_render_fn(scene, cfg_c, tracer=tracer)
+        cam.aspect_ratio = cfg_c.width / cfg_c.height
+        best, med, bdt, mdt = _bench_step(
+            step, cam.params(),
+            lambda: film_create(cfg_c.height, cfg_c.width),
+            warmup_c or warmup, timed_c or timed,
         )
+        spp = cfg_c.samples_per_launch
         results[name] = {
-            "mrays_per_sec": round(mrays, 3),
-            "spp_per_sec": round(timed * spp_per_frame / dt, 3),
+            "mrays_per_sec": round(best, 3),
+            "mrays_per_sec_median": round(med, 3),
+            "spp_per_sec": round(spp / bdt, 3),
+            "spp_per_sec_median": round(spp / mdt, 3),
         }
+        print(f"  {name}: best {best:.2f} / median {med:.2f} Mray/s "
+              f"({time.perf_counter() - t0:.0f}s incl. build+compile)",
+              file=sys.stderr)
 
-    def mt(scene, cfg_for=None):
-        c = cfg_for or cfg
-        if not on_tpu:
-            return None
-        if (c.integrator == "pool" and fused_shade_eligible(scene, c)
-                and c.ray_block % 256 == 0):
-            return make_fused_pipeline(scene, c)
-        return make_pallas_mt_tracer(scene)
+    # BASELINE config 1: single static .obj mesh, Lambertian + NEE, 1080p
+    scene, cam = _town_scene(50000, untextured=True)
+    cfg_1080 = dataclasses.replace(cfg, width=1920, height=1080)
+    record("static_obj_1080p", scene, cam, cfg_1080, timed_c=2)
 
-    # 1. static Lambertian + NEE
-    meshes, meshes_cam = cornell_box()
+    # BASELINE config 2: textured multi-material .obj scene with NEE
+    scene, cam = _town_scene(50000)
+    cfg_sorted = dataclasses.replace(cfg, sort_rays=True)
+    record("textured_obj", scene, cam, cfg_sorted)
+
+    # BASELINE config 5: principled BSDF + power light sampler on the .obj
+    scene, cam = _town_scene(50000, principled=True)
+    cfg_p = dataclasses.replace(cfg, light_sampler="power", sort_rays=True)
+    record("principled_power_obj", scene, cam, cfg_p)
+
+    # BASELINE config 4: motion blur (2-key vertex motion from keyframed
+    # .obj files, the reference's motion format)
+    scene, cam = _town_scene(50000, two_key=True)
+    cfg_m = dataclasses.replace(cfg, sort_rays=True)
+    record("obj_motion_2key", scene, cam, cfg_m, timed_c=2)
+
+    # scale sweep: 200k-face static .obj
+    scene, cam = _town_scene(200000, untextured=True)
+    record("large_scene_200k", scene, cam, cfg_sorted, timed_c=2)
+
+    # legacy continuity configs (round-1 records): builtin Cornell shapes
+    meshes, ccam = cornell_box()
     scene = build_scene(meshes)
-    record("static_lambert_nee", scene, mt(scene))
+    record("static_lambert_nee", scene, ccam, cfg)
+    record("static_1080p", scene, ccam,
+           dataclasses.replace(cfg, width=1920, height=1080), timed_c=2)
 
-    # 2. textured multi-material
-    tmeshes, textures, meshes_cam = textured_quad_scene()
-    scene = build_scene(tmeshes, textures=textures)
-    record("textured", scene, mt(scene))
-
-    # 3. two-level AS multi-instance
-    meshes, meshes_cam = cornell_box(with_blocks=False)
-    block = meshes[0]
+    # BASELINE config 3: two-level AS multi-instance (baked: small static
+    # instanced scenes flatten onto the fused path — the TPU-first TLAS
+    # answer; the trace-time TLAS kernels are tracked separately)
+    meshes, ccam = cornell_box(with_blocks=False)
     xs = []
     for gx in (-0.6, 0.0, 0.6):
         for gz in (-0.6, 0.0, 0.6):
@@ -119,125 +251,41 @@ def run_config_suite(cfg_kwargs, warmup, timed):
             xs.append(t)
     inst = [Instance(mesh_index=i) for i in range(len(meshes))]
     inst += [Instance(mesh_index=0, transforms=t) for t in xs]
-    # Small static instanced scenes auto-bake to world-space geometry and
-    # ride the fused pipeline (the TPU-first TLAS answer: flattening beats
-    # trace-time two-level traversal until VMEM runs out); the trace-time
-    # TLAS kernels stay for scenes past the fused face budget and are
-    # tracked separately below.
     scene_baked = build_scene(meshes, instances=inst)
-    record("multi_instance_tlas", scene_baked, mt(scene_baked))
+    record("multi_instance_tlas", scene_baked, ccam, cfg)
 
     iscene = build_instanced_scene(meshes, inst)
     tracer = (make_pallas_instanced_tracer(iscene) if on_tpu
               else make_instanced_tracer(iscene))
-    import dataclasses as _dc
+    record("multi_instance_tracetime", iscene, ccam,
+           dataclasses.replace(cfg, sort_rays=True), tracer=tracer)
 
-    cfg_sorted = _dc.replace(cfg, sort_rays=True)  # coherence helps TLAS cull
-    step = make_render_fn(iscene, cfg_sorted, tracer=tracer)
-    meshes_cam.aspect_ratio = cfg.width / cfg.height
-    mrays, dt = _bench_step(
-        step, meshes_cam.params(),
-        lambda: film_create(cfg.height, cfg.width), warmup, timed,
-    )
-    results["multi_instance_tracetime"] = {
-        "mrays_per_sec": round(mrays, 3),
-        "spp_per_sec": round(timed * spp_per_frame / dt, 3),
-    }
-
-    # 4. motion blur (2-key instance matrix motion)
-    meshes, meshes_cam = cornell_box()
-    two_key = np.zeros((2, 3, 4), np.float32)
-    two_key[:, :, :3] = np.eye(3)
-    two_key[1, 0, 3] = 0.25
-    inst = [Instance(mesh_index=i) for i in range(len(meshes) - 1)]
-    inst.append(Instance(mesh_index=len(meshes) - 1, transforms=two_key))
-    scene = build_scene(meshes, instances=inst)
-    record("motion_blur", scene, mt(scene))
-
-    # 1b. the BASELINE.md-specified shape: 1080p offline accumulation
-    import dataclasses as _dc1080
-
-    cfg_1080 = _dc1080.replace(cfg, width=1920, height=1080)
-    meshes, meshes_cam = cornell_box()
-    scene = build_scene(meshes)
-    step = make_render_fn(scene, cfg_1080, tracer=mt(scene, cfg_1080))
-    meshes_cam.aspect_ratio = cfg_1080.width / cfg_1080.height
-    mrays, dt = _bench_step(
-        step, meshes_cam.params(),
-        lambda: film_create(cfg_1080.height, cfg_1080.width), warmup, timed,
-    )
-    results["static_1080p"] = {
-        "mrays_per_sec": round(mrays, 3),
-        "spp_per_sec": round(timed * spp_per_frame / dt, 3),
-    }
-
-    # 5b. large scene: 49k-triangle box field (tile-cull scaling story)
+    # 49k box field (round-1 scaling record, leafwalk path)
     rng = np.random.default_rng(0)
-    v_all, f_all = [], []
-    off = 0
-    from rendertoy3c_tpu.scene.builtin import box_mesh
-    from rendertoy3c_tpu.scene.mesh import Mesh as _Mesh
-    from rendertoy3c_tpu.scene.camera import Camera as _Camera
     from rendertoy3c_tpu.accel.lbvh import split_order_scene
+    from rendertoy3c_tpu.scene.builtin import box_mesh, quad
+    from rendertoy3c_tpu.scene.camera import Camera as _Camera
+    from rendertoy3c_tpu.scene.mesh import Mesh as _Mesh
 
     white = Material(diffuse=(0.7, 0.7, 0.7))
+    v_all, f_all, off = [], [], 0
     for gx in range(64):
         for gz in range(64):
             m = box_mesh([gx - 32, 0, gz - 32],
-                         [gx - 31.2, rng.uniform(0.3, 2.0), gz - 31.2], white)
+                         [gx - 31.2, rng.uniform(0.3, 2.0), gz - 31.2],
+                         white)
             v_all.append(m.vertices[0])
             f_all.append(m.indices + off)
             off += m.vertices.shape[1]
     bigm = _Mesh(vertices=np.concatenate(v_all)[None],
                  indices=np.concatenate(f_all), material=white)
-    from rendertoy3c_tpu.scene.builtin import quad as _quad
-    lv, lf = _quad([-6, 25, -6], [-6, 25, 6], [6, 25, 6], [6, 25, -6])
+    lv, lf = quad([-6, 25, -6], [-6, 25, 6], [6, 25, 6], [6, 25, -6])
     lampm = _Mesh(vertices=lv[None], indices=lf,
                   material=Material(emissive=(40.0, 40.0, 40.0)))
     big_scene = split_order_scene(build_scene([bigm, lampm]))
-    meshes_cam = _Camera(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0)
-    import dataclasses as _dcl
+    bcam = _Camera(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0)
+    record("large_scene_49k", big_scene, bcam, cfg_sorted, timed_c=2)
 
-    cfg_big = _dcl.replace(cfg, sort_rays=True)
-    if on_tpu:
-        # incoherent bounce wavefronts defeat tile-granular culling at this
-        # scene size; the per-ray ordered leaf walk scales (trace/leafwalk.py)
-        from rendertoy3c_tpu.trace.leafwalk import make_leafwalk_tracer
-
-        tracer_big = make_leafwalk_tracer(big_scene)
-    else:
-        tracer_big = mt(big_scene, cfg_big)
-    step = make_render_fn(big_scene, cfg_big, tracer=tracer_big)
-    meshes_cam.aspect_ratio = cfg.width / cfg.height
-    mrays, dt = _bench_step(
-        step, meshes_cam.params(),
-        lambda: film_create(cfg.height, cfg.width), warmup, timed,
-    )
-    results["large_scene_49k"] = {
-        "mrays_per_sec": round(mrays, 3),
-        "spp_per_sec": round(timed * spp_per_frame / dt, 3),
-    }
-
-    # 5. principled BSDF + power light sampler (reference roadmap workload)
-    meshes, meshes_cam = cornell_box()
-    meshes[0].material = Material(
-        material_type=MaterialType.PRINCIPLED, diffuse=(0.7, 0.6, 0.5),
-        roughness=0.35, metallic=0.6,
-    )
-    scene = build_scene(meshes)
-    import dataclasses
-
-    cfg_p = dataclasses.replace(cfg, light_sampler="power")
-    step = make_render_fn(scene, cfg_p, tracer=mt(scene))
-    meshes_cam.aspect_ratio = cfg.width / cfg.height
-    cam = meshes_cam.params()
-    mrays, dt = _bench_step(
-        step, cam, lambda: film_create(cfg.height, cfg.width), warmup, timed
-    )
-    results["principled_power"] = {
-        "mrays_per_sec": round(mrays, 3),
-        "spp_per_sec": round(timed * spp_per_frame / dt, 3),
-    }
     return results
 
 
@@ -246,10 +294,8 @@ def main():
 
     # persistent XLA compilation cache (the NVRTC SourceCache analog,
     # sutil/sutil.cpp:1046-1055): repeated runs skip the 15-45s compiles
-    import os as _os
-
-    _cache = _os.path.expanduser("~/.cache/rendertoy3c_jax")
-    _os.makedirs(_cache, exist_ok=True)
+    _cache = os.path.expanduser("~/.cache/rendertoy3c_jax")
+    os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -258,7 +304,6 @@ def main():
     from rendertoy3c_tpu.integrate.path import make_render_fn
     from rendertoy3c_tpu.scene.builtin import cornell_box
     from rendertoy3c_tpu.scene.scene import build_scene
-    from rendertoy3c_tpu.trace.pallas_mt import make_pallas_mt_tracer
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
@@ -266,6 +311,7 @@ def main():
                            max_depth=16, ray_block=32768, integrator="pool",
                            pool_pixel_major=True)
         warmup, timed = 1, 4
+        _parity_gate(None)
     else:  # CI smoke mode
         cfg = RenderConfig(width=96, height=96, samples_per_launch=1,
                            max_depth=4, ray_block=4096, integrator="pool",
@@ -275,20 +321,11 @@ def main():
     meshes, camera = cornell_box()
     camera.aspect_ratio = cfg.width / cfg.height
     scene = build_scene(meshes)
-    if on_tpu:
-        from rendertoy3c_tpu.trace.pallas_shade import (
-            fused_shade_eligible, make_fused_pipeline,
-        )
-
-        tracer = (make_fused_pipeline(scene, cfg)
-                  if fused_shade_eligible(scene, cfg)
-                  else make_pallas_mt_tracer(scene))
-    else:
-        tracer = None
+    tracer = _auto_tracer(scene, cfg, on_tpu)
     step = make_render_fn(scene, cfg, tracer=tracer)
     cam = camera.params()
 
-    mrays, _ = _bench_step(
+    mrays, mrays_med, _, _ = _bench_step(
         step, cam, lambda: film_create(cfg.height, cfg.width), warmup, timed
     )
 
@@ -304,8 +341,14 @@ def main():
             warmup, timed,
         )
         details["headline_cornell_768_8spp"] = {
-            "mrays_per_sec": round(mrays, 3)
+            "mrays_per_sec": round(mrays, 3),
+            "mrays_per_sec_median": round(mrays_med, 3),
         }
+        details["_baseline_note"] = (
+            "vs_baseline is self-relative (this repo's first-round figure, "
+            f"{BENCH_TARGET_MRAYS} Mray/s); the CUDA reference publishes no "
+            "numbers (BASELINE.md)"
+        )
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=1)
     except Exception as e:  # details are best-effort; the headline must print

@@ -271,7 +271,8 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        shadow_eps, max_depth, textured=False, ah=0, aw=0,
                        dispatch=False, params_base=16, power_cdf=None,
                        motion=False, closest_in_kernel=False, aov=False,
-                       uv_xform=False, nmap_base=0, normal_maps=False):
+                       uv_xform=False, nmap_base=0, normal_maps=False,
+                       external=False):
     """power_cdf: static tuple of per-light CDF values enables the power
     light sampler (in-kernel searchsorted as an unrolled compare-sum);
     None = uniform pick. dispatch: full 4-type material dispatch
@@ -302,16 +303,25 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         time_ref = rest.pop(0) if (closest_in_kernel and motion) else None
         hit_ref = None if closest_in_kernel else rest.pop(0)
         misc_ref = rest.pop(0)
-        tris_ref = rest.pop(0)
-        tris1_ref = rest.pop(0) if motion else None
-        aabb_ref = rest.pop(0)
-        super_ref = rest.pop(0)
+        if external:
+            # external mode: the soup never enters the kernel — closest
+            # and the shadow occlusion run OUTSIDE (any tracer backend);
+            # attrs arrive pre-gathered per ray, shadow rays exit
+            tris_ref = tris1_ref = aabb_ref = super_ref = None
+        else:
+            tris_ref = rest.pop(0)
+            tris1_ref = rest.pop(0) if motion else None
+            aabb_ref = rest.pop(0)
+            super_ref = rest.pop(0)
         attr_ref = rest.pop(0)
         lights_ref = rest.pop(0)
         if textured:
             quad_ref = rest.pop(0)
             meta_ref = rest.pop(0)
-        rays_out, misc_out = rest
+        if external:
+            rays_out, misc_out, shadow_out = rest
+        else:
+            rays_out, misc_out = rest
         i = pl.program_id(0)
         rt = rays_ref.shape[0]
         live_tile = i * RAY_TILE < count_ref[0]
@@ -402,8 +412,9 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         is_hit = prim_f >= 0.0
         prim_c = jnp.maximum(prim_f, 0.0)
 
-        # --- attribute fetch (transposed one-hot matmul -> [16, RT]) ---
-        a = _onehot_fetch_t(prim_c, attr_ref)
+        # --- attribute fetch: transposed one-hot matmul -> [16, RT], or
+        # (external) the pre-gathered per-ray attr block as-is ---
+        a = attr_ref[:, :] if external else _onehot_fetch_t(prim_c, attr_ref)
         w0 = 1.0 - bu - bv
         ngx = w0 * row(a, 0) + bu * row(a, 3) + bv * row(a, 6)
         ngy = w0 * row(a, 1) + bu * row(a, 4) + bv * row(a, 7)
@@ -676,12 +687,12 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         if dispatch:
             want_shadow = want_shadow & ~is_delta
 
-        # --- shadow sweep over the soup (traceOcclusion) ---
+        # --- shadow rays: in-kernel sweep, or handed to the caller ---
         # boundary transpose: the MT sweep wants rays in sublanes
         tmax_s = jnp.where(want_shadow, ldist - shadow_eps, 0.0)
         stmin = jnp.full((1, rt), shadow_tmin, jnp.float32)
         sh_rows = [px, py, pz, ldx, ldy, ldz, stmin, tmax_s]
-        if motion:
+        if motion and not external:
             # shadow-ray time: peek of the post-NEE stream (the seed fork
             # that never rejoins, closehit_radiance.cu:123-138)
             _, occl_time = _rnd(seed)
@@ -689,13 +700,22 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         sh_mat = jnp.concatenate(sh_rows, axis=0)  # [8|9, RT]
         sh_cols = jnp.transpose(sh_mat, (1, 0))  # [RT, 8|9]
 
+        if external:
+            # occlusion resolves outside: emit the shadow rays; the NEE
+            # contribution leaves via extra misc columns, gated by the
+            # caller on ~occluded (see ExternalPipeline.trace_shade)
+            shadow_out[:, :] = sh_cols
+            lit = want_shadow
+        else:
+            lit = None  # set after the sweep below
+
         def col(c):
             return sh_cols[:, c:c + 1]
 
         cols = tuple(col(c) for c in range(8))
         inv_sd = _inv_cols(cols[3], cols[4], cols[5])
 
-        if motion:
+        if motion and not external:
             tcol_sh = sh_cols[:, 8:9]
 
             def mt_tile(k, occ):
@@ -707,7 +727,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                     occ,
                     jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True),
                 )
-        else:
+        elif not external:
             def mt_tile(k, occ):
                 _, _, _, hit, _ = _mt_test_cols(
                     cols, tris_ref[k],
@@ -718,15 +738,16 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                     jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True),
                 )
 
-        # compaction gating: tiles past the live count skip the sweep
-        live = live_tile
-        occ_col = _culled_sweep(
-            aabb_ref, super_ref, n_tiles_static, cols[0:3], inv_sd,
-            cols[6], lambda c: cols[7], mt_tile,
-            jnp.zeros((rt, 1), jnp.float32), live,
-        )
-        occ = jnp.transpose(occ_col, (1, 0))  # [1, RT]
-        lit = want_shadow & (occ < 0.5)
+        if not external:
+            # compaction gating: tiles past the live count skip the sweep
+            live = live_tile
+            occ_col = _culled_sweep(
+                aabb_ref, super_ref, n_tiles_static, cols[0:3], inv_sd,
+                cols[6], lambda c: cols[7], mt_tile,
+                jnp.zeros((rt, 1), jnp.float32), live,
+            )
+            occ = jnp.transpose(occ_col, (1, 0))  # [1, RT]
+            lit = want_shadow & (occ < 0.5)
 
         if not dispatch:
             # weight = albedo/pi * powerHeuristic(pdf_light, |n.l|/pi)
@@ -756,6 +777,13 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                 jnp.where(lit, le[c] * f_ev[c] * scale, 0.0)
                 for c in range(3)
             ]
+        if external:
+            # the NEE term is provisional (gated on want_shadow only);
+            # split it out for the caller to apply after the external
+            # occlusion trace — the in-kernel accumulator takes only
+            # emission + the miss background
+            nee_out = [radiance[c] * last_at[c] for c in range(3)]
+            radiance = [jnp.zeros_like(r) for r in radiance]
         # miss lanes collect the constant background callable
         radiance = [
             jnp.where(is_hit, radiance[c], b)
@@ -818,7 +846,16 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                 row(misc_t, 19 + c) + jnp.where(first, ns_rows[c], 0.0)
                 for c in range(3)
             ] + [jnp.zeros((2, rt), jnp.float32)]
-        misc_o = jnp.concatenate(misc_rows, axis=0)  # [16|24, RT]
+        if external:
+            # pending NEE contribution rides extra output columns
+            # (misc_w..misc_w+2), zero-padded to the 8-aligned out width
+            misc_rows += nee_out
+        misc_o = jnp.concatenate(misc_rows, axis=0)  # [16|24(+3), RT]
+        if external and misc_o.shape[0] < misc_out.shape[1]:
+            misc_o = jnp.concatenate(
+                [misc_o, jnp.zeros(
+                    (misc_out.shape[1] - misc_o.shape[0], rt),
+                    jnp.float32)], axis=0)
         misc_out[:, :] = jnp.transpose(misc_o, (1, 0))
 
     return kernel
