@@ -141,25 +141,11 @@ def _town_scene(faces, two_key=False, untextured=False, principled=False):
 
 
 def _auto_tracer(scene, cfg, on_tpu):
-    """The CLI's backend ladder (app/cli.py): fused megakernel for small
-    static scenes, tile-cull Pallas MT for small/motion, per-ray leaf walk
-    for large static."""
-    if not on_tpu:
-        return None
-    from rendertoy3c_tpu.trace.pallas_mt import make_pallas_mt_tracer
-    from rendertoy3c_tpu.trace.pallas_shade import (
-        fused_shade_eligible, make_fused_pipeline,
-    )
+    """The shared backend ladder (trace/auto.py); returns (scene, tracer)
+    — the scene may be re-ordered to match the tracer's face ids."""
+    from rendertoy3c_tpu.trace.auto import choose_tracer
 
-    if scene.num_keys == 1 and scene.num_faces > 16384:
-        from rendertoy3c_tpu.accel.lbvh import split_order_scene
-        from rendertoy3c_tpu.trace.leafwalk import make_leafwalk_tracer
-
-        return make_leafwalk_tracer(split_order_scene(scene))
-    if (cfg.integrator == "pool" and fused_shade_eligible(scene, cfg)
-            and cfg.ray_block % 256 == 0):
-        return make_fused_pipeline(scene, cfg)
-    return make_pallas_mt_tracer(scene)
+    return choose_tracer(scene, cfg, on_tpu=on_tpu)
 
 
 def run_config_suite(cfg_kwargs, warmup, timed):
@@ -187,7 +173,7 @@ def run_config_suite(cfg_kwargs, warmup, timed):
                warmup_c=None):
         t0 = time.perf_counter()
         if tracer is None:
-            tracer = _auto_tracer(scene, cfg_c, on_tpu)
+            scene, tracer = _auto_tracer(scene, cfg_c, on_tpu)
         step = make_render_fn(scene, cfg_c, tracer=tracer)
         cam.aspect_ratio = cfg_c.width / cfg_c.height
         best, med, bdt, mdt = _bench_step(
@@ -262,7 +248,6 @@ def run_config_suite(cfg_kwargs, warmup, timed):
 
     # 49k box field (round-1 scaling record, leafwalk path)
     rng = np.random.default_rng(0)
-    from rendertoy3c_tpu.accel.lbvh import split_order_scene
     from rendertoy3c_tpu.scene.builtin import box_mesh, quad
     from rendertoy3c_tpu.scene.camera import Camera as _Camera
     from rendertoy3c_tpu.scene.mesh import Mesh as _Mesh
@@ -282,7 +267,7 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     lv, lf = quad([-6, 25, -6], [-6, 25, 6], [6, 25, 6], [6, 25, -6])
     lampm = _Mesh(vertices=lv[None], indices=lf,
                   material=Material(emissive=(40.0, 40.0, 40.0)))
-    big_scene = split_order_scene(build_scene([bigm, lampm]))
+    big_scene = build_scene([bigm, lampm])
     bcam = _Camera(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0)
     record("large_scene_49k", big_scene, bcam, cfg_sorted, timed_c=2)
 
@@ -321,7 +306,7 @@ def main():
     meshes, camera = cornell_box()
     camera.aspect_ratio = cfg.width / cfg.height
     scene = build_scene(meshes)
-    tracer = _auto_tracer(scene, cfg, on_tpu)
+    scene, tracer = _auto_tracer(scene, cfg, on_tpu)
     step = make_render_fn(scene, cfg, tracer=tracer)
     cam = camera.params()
 

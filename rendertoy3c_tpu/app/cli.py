@@ -224,15 +224,22 @@ def main(argv=None) -> int:
             import jax as _jax
 
             on_tpu = _jax.devices()[0].platform == "tpu"
-            if on_tpu and scene.num_keys == 1 and scene.num_faces > 16384:
-                # large static scenes: incoherent bounce wavefronts defeat
-                # the tile-granular cull; the per-ray walk scales better
-                tracer_kind = "leafwalk"
-            elif on_tpu and scene.num_keys <= 2:
-                tracer_kind = "pallas"
+            if on_tpu and scene.num_keys <= 2:
+                # the shared ladder (trace/auto.py): fused megakernel,
+                # external-shade pipelines over leafwalk / tile-cull, or a
+                # bare pallas tracer — by scene size and eligibility
+                from ..trace.auto import choose_tracer
+
+                want_pipe = (args.renderer == "path"
+                             and not args.mesh_shape)
+                scene, tracer = choose_tracer(scene, cfg, on_tpu=True,
+                                              want_pipeline=want_pipe)
+                tracer_kind = None
             else:
                 tracer_kind = "brute"
-        if tracer_kind == "leafwalk":
+        if tracer_kind is None:
+            pass
+        elif tracer_kind == "leafwalk":
             from ..accel.lbvh import split_order_scene
             from ..trace.leafwalk import make_leafwalk_tracer
 

@@ -1075,9 +1075,9 @@ def render_pixels(
     golden tests) or "pool" (persistent ray pool, ~100% lane occupancy, the
     fast path — identical per-path arithmetic, float-order-different sums).
     """
-    from ..trace.pallas_shade import FusedPipeline
+    from ..trace.pallas_shade import ExternalPipeline, FusedPipeline
 
-    if isinstance(tracer, FusedPipeline):
+    if isinstance(tracer, (FusedPipeline, ExternalPipeline)):
         if cfg.integrator != "pool":
             raise ValueError("FusedPipeline requires cfg.integrator='pool'")
         pool = min(cfg.ray_block,

@@ -692,13 +692,16 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         tmax_s = jnp.where(want_shadow, ldist - shadow_eps, 0.0)
         stmin = jnp.full((1, rt), shadow_tmin, jnp.float32)
         sh_rows = [px, py, pz, ldx, ldy, ldz, stmin, tmax_s]
-        if motion and not external:
+        if motion:
             # shadow-ray time: peek of the post-NEE stream (the seed fork
             # that never rejoins, closehit_radiance.cu:123-138)
             _, occl_time = _rnd(seed)
             sh_rows.append(occl_time)
-        sh_mat = jnp.concatenate(sh_rows, axis=0)  # [8|9, RT]
-        sh_cols = jnp.transpose(sh_mat, (1, 0))  # [RT, 8|9]
+        if external and len(sh_rows) < shadow_out.shape[1]:
+            sh_rows.append(jnp.zeros(
+                (shadow_out.shape[1] - len(sh_rows), rt), jnp.float32))
+        sh_mat = jnp.concatenate(sh_rows, axis=0)  # [8|9|16, RT]
+        sh_cols = jnp.transpose(sh_mat, (1, 0))  # [RT, 8|9|16]
 
         if external:
             # occlusion resolves outside: emit the shadow rays; the NEE
@@ -1074,3 +1077,185 @@ class FusedPipeline:
 
 def make_fused_pipeline(scene, cfg, interpret: bool | None = None):
     return FusedPipeline(scene, cfg, interpret=interpret)
+
+
+def external_shade_eligible(scene, cfg) -> bool:
+    """Kernel-side eligibility for the EXTERNAL pipeline: the fused-path
+    constraints minus everything the in-kernel trace imposed — no face
+    limit (attrs arrive pre-gathered) and any motion handled by the
+    caller's tracer."""
+    return (
+        scene.num_keys in (1, 2)
+        and scene.num_lights >= 1
+        and _fused_texture_state(scene) != "unsupported"
+        and (not getattr(scene, "any_normal_map", False)
+             or _fused_texture_state(scene) == "diffuse")
+        and getattr(scene, "env", None) is None
+        and cfg.light_sampler in ("uniform", "power")
+        and cfg.throughput_model == "reference"
+        and getattr(scene, "instances", None) is None
+    )
+
+
+def make_external_shader(scene, cfg, motion: bool,
+                         interpret: bool | None = None):
+    """The packed-state shade kernel WITHOUT an in-kernel trace stage.
+
+    Returns (shade, attr_rows) where
+      shade(rays, hit8, misc, attr_t, count) ->
+          (rays_out [R,8], misc_out [R, misc_w+8], shadow_out [R, 8|16])
+    and attr_rows is the UNtransposed [F, H] attribute table the caller
+    row-gathers by hit prim id (attr_t = gathered[H-major]). The closest
+    hit arrives as hit8 [R, 8] (t, prim, u, v, 0...), the shadow rays
+    leave as ray columns (o, d, tmin, tmax[, time]) for the caller's
+    any-hit tracer, and the pending NEE contribution rides misc columns
+    misc_w..misc_w+2 (already scaled by last_atten), to be added to acc
+    on unoccluded lanes. Same per-path arithmetic and RNG streams as the
+    fused megakernel (closehit_radiance.cu:60-160)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    textured = _fused_texture_state(scene) == "diffuse"
+    dispatch = not getattr(scene, "all_diffuse", False)
+    uv_xform = textured and bool(getattr(scene, "any_uv_transform", False))
+    normal_maps = (textured
+                   and bool(getattr(scene, "any_normal_map", False)))
+    attr_t, lights = build_shade_tables(scene, textured=textured,
+                                        dispatch=dispatch, f_limit=None,
+                                        uv_xform=uv_xform,
+                                        normal_maps=normal_maps)
+    attr_rows = jnp.transpose(attr_t, (1, 0))  # [F, H] for the row gather
+    power_cdf = None
+    if cfg.light_sampler == "power":
+        power_cdf = tuple(
+            float(c)
+            for c in np.asarray(scene.lights.power_cdf)[: scene.num_lights]
+        )
+    tex_tables = ()
+    ah = aw = 0
+    if textured:
+        quad_t, meta_t = build_texture_tables(scene.atlas)
+        tex_tables = (quad_t, meta_t)
+        ah, aw = scene.atlas.data.shape[:2]
+    kernel = _make_shade_kernel(
+        0, scene.num_lights, cfg.bg_radiance,
+        cfg.shadow_tmin, cfg.shadow_tmax_eps, cfg.max_depth,
+        textured=textured, ah=ah, aw=aw,
+        dispatch=dispatch,
+        params_base=attr_params_base(textured, uv_xform, normal_maps),
+        power_cdf=power_cdf, motion=motion, closest_in_kernel=False,
+        aov=cfg.aov, uv_xform=uv_xform,
+        nmap_base=(29 if uv_xform else 23), normal_maps=normal_maps,
+        external=True,
+    )
+    misc_w = 24 if cfg.aov else 16
+    misc_out_w = misc_w + 8  # +3 pending-NEE columns, 8-aligned
+    shadow_w = 16 if motion else 8
+    h = attr_t.shape[0]
+
+    @jax.jit
+    def shade(rays, hit8, misc, attr_g_t, count):
+        r_pad = rays.shape[0]
+        count = jnp.asarray(count, jnp.int32).reshape(1)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(r_pad // RAY_TILE,),
+                in_specs=[
+                    pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((RAY_TILE, misc_w), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    # per-ray pre-gathered attrs, params-major
+                    pl.BlockSpec((h, RAY_TILE), lambda i, *_: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(lights.shape, lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ] + [
+                    pl.BlockSpec(t.shape, lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for t in tex_tables
+                ],
+                out_specs=(
+                    pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((RAY_TILE, misc_out_w),
+                                 lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((RAY_TILE, shadow_w), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, misc_out_w), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, shadow_w), jnp.float32),
+            ),
+            interpret=interpret,
+        )(count, rays, hit8, misc, attr_g_t, lights, *tex_tables)
+
+    return shade, attr_rows
+
+
+class ExternalPipeline:
+    """Packed-state shade kernel driven by an EXTERNAL tracer pair.
+
+    The TPU answer to OptiX's one-pipeline-any-scene property
+    (shader_common.h:74-94 + closehit_radiance.cu): shading, NEE, RR, and
+    state updates stay in the single Pallas kernel while closest/any-hit
+    run OUTSIDE it through whatever traversal backend fits the scene —
+    the per-ray leaf walk for large soups, the tile-cull sweep for motion,
+    instanced TLAS kernels, anything exposing the standard
+    (o, d, tmin, tmax, time, count) tracer signature. Drop-in for the
+    pool integrator's packed-state loop (path.py _render_pool_fused)."""
+
+    def __init__(self, scene, cfg, tracer, interpret: bool | None = None):
+        if not external_shade_eligible(scene, cfg):
+            raise ValueError(
+                "scene/cfg outside the external shade path (needs "
+                "uniform/power sampler, reference throughput, no env map; "
+                "textures only as diffuse maps over atlases <= "
+                f"{MAX_ATLAS_TEXELS} texels)"
+            )
+        self.motion = scene.num_keys == 2
+        self.merged = True  # pool loop contract: one trace_shade per iter
+        self._closest, self._any = tracer
+        self._shade, self._attr_rows = make_external_shader(
+            scene, cfg, motion=self.motion, interpret=interpret
+        )
+        self._misc_w = 24 if cfg.aov else 16
+
+    def trace_shade(self, rays, misc, count, time8=None):
+        time_col = time8[:, 0] if time8 is not None else None
+        hit = self._closest(rays[:, 0:3], rays[:, 3:6], rays[:, 6],
+                            rays[:, 7], time_col, count)
+        hit8 = jnp.concatenate(
+            [
+                hit.t[:, None],
+                hit.prim.astype(jnp.float32)[:, None],
+                hit.u[:, None],
+                hit.v[:, None],
+                jnp.zeros((rays.shape[0], 4), jnp.float32),
+            ],
+            axis=1,
+        )
+        attr_t = jnp.transpose(
+            jnp.take(self._attr_rows, jnp.maximum(hit.prim, 0), axis=0),
+            (1, 0),
+        )
+        rays2, misc_e, sh = self._shade(rays, hit8, misc, attr_t, count)
+        occ = self._any(sh[:, 0:3], sh[:, 3:6], sh[:, 6], sh[:, 7],
+                        sh[:, 8] if self.motion else None, count)
+        w = self._misc_w
+        nee = jnp.where(occ[:, None], 0.0, misc_e[:, w:w + 3])
+        return rays2, jnp.concatenate(
+            [misc_e[:, :10], misc_e[:, 10:13] + nee, misc_e[:, 13:w]],
+            axis=1,
+        )
+
+
+def make_external_pipeline(scene, cfg, tracer,
+                           interpret: bool | None = None):
+    return ExternalPipeline(scene, cfg, tracer, interpret=interpret)
