@@ -230,8 +230,9 @@ def main(argv=None) -> int:
                 # bare pallas tracer — by scene size and eligibility
                 from ..trace.auto import choose_tracer
 
-                want_pipe = (args.renderer == "path"
-                             and not args.mesh_shape)
+                # pipeline tracers shard cleanly (the pool rebases its
+                # flush targets per shard), so --mesh-shape keeps them
+                want_pipe = args.renderer == "path"
                 scene, tracer = choose_tracer(scene, cfg, on_tpu=True,
                                               want_pipeline=want_pipe)
                 tracer_kind = None
@@ -261,7 +262,6 @@ def main(argv=None) -> int:
                 scene = morton_order_scene(scene)
 
             if (args.renderer == "path" and cfg.integrator == "pool"
-                    and not args.mesh_shape
                     and fused_shade_eligible(scene, cfg)
                     and cfg.ray_block % 256 == 0):
                 tracer = make_fused_pipeline(scene, cfg)

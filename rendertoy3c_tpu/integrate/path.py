@@ -570,8 +570,11 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
 
             def flush_fn(imgs):
                 # unique-indices fast path: one lane per pixel (see the
-                # packed pool's flush_fn); non-completed lanes drop OOB
-                target = jnp.where(completed, s["pixel"], n_pix + 1)
+                # packed pool's flush_fn); non-completed lanes drop OOB.
+                # pixel is the GLOBAL id (RNG/camera need it); the image is
+                # the local shard, so rebase before scattering.
+                target = jnp.where(completed, s["pixel"] - pixel_base,
+                                   n_pix + 1)
                 return tuple(
                     img.at[target].add(s[acc_k], mode="drop",
                                        unique_indices=True)
@@ -617,7 +620,8 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
         else:
             # --- sample-major: flush every dying path, refill immediately ---
             flush = dead & (s["pixel"] >= 0)
-            target = jnp.where(flush, s["pixel"], n_pix)  # idle -> sink row
+            # global pixel id -> local shard row; idle lanes -> sink row
+            target = jnp.where(flush, s["pixel"] - pixel_base, n_pix)
             flushed = {
                 img_k: s[img_k].at[target].add(
                     jnp.where(flush[:, None], s[acc_k], 0.0)
@@ -787,7 +791,8 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
     s = jax.lax.while_loop(cond, body, state)
     # final flush: the loop exits with all lanes dead but unflushed
     flush = s["pixel"] >= 0
-    target_oob = jnp.where(flush, s["pixel"], n_pix + 1)  # drop idle lanes
+    # global pixel id -> local shard row; idle lanes drop OOB
+    target_oob = jnp.where(flush, s["pixel"] - pixel_base, n_pix + 1)
     inv_spp = 1.0 / jnp.float32(spp)
 
     def final_flush(img_k, acc_k):
@@ -883,9 +888,11 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
                 # pixel-major: each pixel is owned by exactly one lane, so
                 # kept targets are unique — the scatter takes XLA's
                 # unique-indices fast path; non-completed lanes go
-                # out-of-bounds and drop
-                target = jnp.where(completed, pixel.astype(jnp.int32),
-                                   n_pix + 1)
+                # out-of-bounds and drop. pixel is the GLOBAL id; rebase
+                # into the local shard image.
+                target = jnp.where(
+                    completed, pixel.astype(jnp.int32) - pixel_base,
+                    n_pix + 1)
                 return tuple(
                     img.at[target].add(misc[:, c:c + 3], mode="drop",
                                        unique_indices=True)
@@ -923,7 +930,9 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
             # sample-major: flush every dying path, refill immediately
             # (two samples of one pixel may die together -> not unique)
             flush = dead & (pixel >= 0)
-            target = jnp.where(flush, pixel.astype(jnp.int32), n_pix + 1)
+            # global pixel id -> local shard row (see _render_pool)
+            target = jnp.where(flush, pixel.astype(jnp.int32) - pixel_base,
+                               n_pix + 1)
             images = tuple(
                 img.at[target].add(misc[:, c:c + 3], mode="drop")
                 for img, (_k, c) in zip(images, _IMGS)
@@ -1040,7 +1049,9 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     misc = s["misc"]
     pixel = misc[:, 13]
     flushm = pixel >= 0
-    target = jnp.where(flushm, pixel.astype(jnp.int32), n_pix + 1)
+    # global pixel id -> local shard row; idle lanes drop OOB
+    target = jnp.where(flushm, pixel.astype(jnp.int32) - pixel_base,
+                       n_pix + 1)
     inv_spp = 1.0 / jnp.float32(spp)
 
     def final_img(key, c):

@@ -72,6 +72,85 @@ def _bvh_factory(scene: Scene, aux, cfg: RenderConfig):
     return make_bvh_tracer(scene, aux)
 
 
+def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
+                           interpret: bool | None = None):
+    """Host-side prep for a FAST sharded backend; returns (scene, factory).
+
+    The Pallas backends' tables are deterministic host-side transforms of
+    the replicated scene, so they are built ONCE here and embedded as jit
+    constants — XLA replicates them onto every device, exactly like the
+    scene pytree itself. The returned scene may be re-ordered
+    (Morton/median-split) so prim ids match the tables: always render the
+    RETURNED scene. kind:
+
+      "auto"     — trace/auto.py's ladder, platform-independent (tests run
+                   the same selection in interpret mode on the CPU mesh)
+      "fused"    — fused megakernel pipeline (small static/motion scenes)
+      "external" — external shade pipeline over leafwalk (large) or
+                   tile-cull MT (small)
+      "leafwalk" — bare per-ray leaf walk pair
+      "pallas"   — bare tile-cull MT pair
+      "brute"    — the jnp brute-force pair (built in-shard, the default)
+
+    The factory ignores the traced scene_rep/aux arguments (tables are
+    already bound); samples_per_launch is the only cfg field the sharded
+    caller rewrites per-shard, and no kernel reads it.
+    """
+    from ..trace.auto import LEAFWALK_MIN_FACES
+    from ..trace.pallas_shade import (
+        external_shade_eligible,
+        fused_shade_eligible,
+        make_external_pipeline,
+        make_fused_pipeline,
+    )
+
+    pool_ok = (cfg.integrator == "pool" and cfg.ray_block % 256 == 0
+               and getattr(scene, "instances", None) is None)
+    large = scene.num_keys == 1 and scene.num_faces > LEAFWALK_MIN_FACES
+    if kind == "auto":
+        if large:
+            kind = ("external"
+                    if pool_ok and external_shade_eligible(scene, cfg)
+                    else "leafwalk")
+        elif pool_ok and fused_shade_eligible(scene, cfg):
+            kind = "fused"
+        elif pool_ok and external_shade_eligible(scene, cfg):
+            kind = "external"
+        elif scene.num_keys <= 2:
+            kind = "pallas"
+        else:
+            kind = "brute"
+
+    if kind == "brute":
+        return scene, _bruteforce_factory
+
+    pair = None
+    if ((kind == "leafwalk" and scene.num_keys == 1)
+            or (kind == "external" and large)):
+        from ..accel.lbvh import split_order_scene
+        from ..trace.leafwalk import make_leafwalk_tracer
+
+        scene = split_order_scene(scene)
+        pair = make_leafwalk_tracer(scene)
+    else:
+        if scene.num_faces > 512 and scene.num_keys == 1:
+            from ..accel.lbvh import morton_order_scene
+
+            scene = morton_order_scene(scene)
+        if kind != "fused":
+            from ..trace.pallas_mt import make_pallas_mt_tracer
+
+            pair = make_pallas_mt_tracer(scene, interpret=interpret)
+
+    if kind == "fused":
+        tracer = make_fused_pipeline(scene, cfg, interpret=interpret)
+    elif kind == "external":
+        tracer = make_external_pipeline(scene, cfg, pair, interpret=interpret)
+    else:
+        tracer = pair
+    return scene, lambda scene_rep, aux, cfg_local: tracer
+
+
 def make_render_fn_dist(
     scene: Scene,
     cfg: RenderConfig,
