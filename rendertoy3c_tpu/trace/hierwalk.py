@@ -1,0 +1,359 @@
+"""Hierarchical gather-round walk: the scalable incoherent-ray tracer.
+
+The TPU answer to optixTraverse over a GAS (shader_common.h:74-94) for
+scenes past VMEM residency. Measured laws this design is built on (see
+scripts/micro_rounds.py, v5e):
+
+  * a [R, W] row gather costs ~3 ns/ROW at R=32k, INDEPENDENT of W up to
+    128 f32 lanes (DMA-descriptor-rate bound, not traffic bound) — so every
+    tree node packs a full 128-float row and the only quantity that matters
+    is ROWS GATHERED PER RAY;
+  * rows wider than 128 lanes or tables past VMEM scale 3x worse;
+  * XLA scatters are banned (~10 ns/element serialized), so all per-ray
+    traversal state is dense [R] arrays updated with selects.
+
+Structure: a 16-ary tree over 13-triangle leaves, one 128-float row per
+node, walked DFS with per-ray, per-level 16-bit pending-children masks
+(a vectorized stackless traversal — the "stack" is D uint16s in lanes).
+One global while_loop round gathers each live ray's current node row and
+either MT-tests its 13 inline triangles (leaf) or slab-tests its 16 child
+boxes and pushes the hit mask (directory). Faces must be pre-ordered
+spatially (accel.lbvh.split_order_scene with leaf=HIER_LEAF) so consecutive
+13-face leaves and 16-leaf directories get tight boxes.
+
+Per-ray rows gathered = nodes visited (~10-16 on the 49k box field) vs the
+flat leafwalk's ~4.8 leaf visits x 18 row-units each — ~7x fewer row
+fetches, which is the whole game at 3 ns/row.
+
+Static scenes only (like leafwalk); motion uses the pallas_mt kernels.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .intersect import Hit
+
+HIER_LEAF = 13    # triangles inline per leaf row (9*13 = 117 <= 128 lanes)
+FANOUT = 16       # children per directory row (6*16 = 96 lanes of boxes)
+ROW = 128
+_BIG = 1e30
+_DET_EPS = 1e-10
+
+# row lane map
+_L_FIRST = 120    # leaf: first face id / dir: first child id (f32, exact)
+_L_TYPE = 127     # 1.0 = leaf, 0.0 = directory
+
+
+class HierTable(NamedTuple):
+    """Flat node table: one 128-f32 row per node, levels contiguous."""
+
+    table: jnp.ndarray        # [N, 128] f32
+    level_starts: tuple       # static: first row id of each directory level
+    #                           (root=0), leaves occupy the final range
+    leaf_start: int           # static: first leaf row id
+    num_faces: int
+
+
+def build_hier_table(geom, num_faces: int, key: int = 0) -> HierTable:
+    """Host-side (numpy) build over spatially-ordered faces.
+
+    Leaves are consecutive HIER_LEAF-face runs; each directory level groups
+    FANOUT consecutive lower nodes. Order the scene with
+    accel.lbvh.split_order_scene(scene, leaf=HIER_LEAF) first."""
+    f = num_faces
+    v0 = np.asarray(geom.v0[key][:f], np.float32)
+    e1 = np.asarray(geom.e1[key][:f], np.float32)
+    e2 = np.asarray(geom.e2[key][:f], np.float32)
+
+    n_leaf = max(1, -(-f // HIER_LEAF))
+    f_pad = n_leaf * HIER_LEAF
+    comp = np.zeros((9, f_pad), np.float32)
+    comp[0:3, :f] = v0.T
+    comp[3:6, :f] = e1.T
+    comp[6:9, :f] = e2.T
+    # leaf rows: component-major [9, HIER_LEAF] flattened
+    leaf_tris = (comp.reshape(9, n_leaf, HIER_LEAF).transpose(1, 0, 2)
+                 .reshape(n_leaf, 9 * HIER_LEAF))
+
+    # per-leaf AABBs (over real faces only)
+    p1 = v0 + e1
+    p2 = v0 + e2
+    lo_f = np.full((f_pad, 3), _BIG, np.float32)
+    hi_f = np.full((f_pad, 3), -_BIG, np.float32)
+    lo_f[:f] = np.minimum(np.minimum(v0, p1), p2)
+    hi_f[:f] = np.maximum(np.maximum(v0, p1), p2)
+    leaf_lo = lo_f.reshape(n_leaf, HIER_LEAF, 3).min(axis=1)
+    leaf_hi = hi_f.reshape(n_leaf, HIER_LEAF, 3).max(axis=1)
+
+    # directory levels bottom-up: level[i] groups FANOUT of level[i+1]
+    levels = []  # list of (lo [M,3], hi [M,3], first_child_row-relative)
+    lo, hi = leaf_lo, leaf_hi
+    counts = [n_leaf]
+    while counts[0] > 1:
+        m = counts[0]
+        n_dir = -(-m // FANOUT)
+        m_pad = n_dir * FANOUT
+        glo = np.full((m_pad, 3), _BIG, np.float32)
+        ghi = np.full((m_pad, 3), _BIG, np.float32)  # degenerate far box
+        glo[:m] = lo
+        ghi[:m] = hi
+        clo = glo.reshape(n_dir, FANOUT, 3)
+        chi = ghi.reshape(n_dir, FANOUT, 3)
+        levels.insert(0, (clo, chi))
+        # union over REAL children only (padding slots carry degenerate far
+        # boxes that would blow the parent's hi out to +BIG)
+        real = (clo[:, :, 0] < _BIG)[:, :, None]
+        lo = np.where(real, clo, _BIG).min(axis=1).astype(np.float32)
+        hi = np.where(real, chi, -_BIG).max(axis=1).astype(np.float32)
+        hi = np.where(lo < _BIG, hi, _BIG)
+        counts.insert(0, n_dir)
+
+    # assign row ids: [L0 dirs][L1 dirs]...[leaves]
+    starts = []
+    acc = 0
+    for c in counts[:-1]:
+        starts.append(acc)
+        acc += c
+    leaf_start = acc
+    n_rows = acc + n_leaf
+
+    table = np.zeros((n_rows, ROW), np.float32)
+    # directory rows
+    for li, (clo, chi) in enumerate(levels):
+        base = starts[li]
+        child_base = starts[li + 1] if li + 1 < len(levels) else leaf_start
+        n_dir = clo.shape[0]
+        rows = table[base:base + n_dir]
+        # component-major child boxes: lox[16] loy loz hix hiy hiz
+        for c in range(3):
+            rows[:, c * FANOUT:(c + 1) * FANOUT] = clo[:, :, c]
+            rows[:, (c + 3) * FANOUT:(c + 4) * FANOUT] = chi[:, :, c]
+        rows[:, _L_FIRST] = (child_base
+                             + FANOUT * np.arange(n_dir, dtype=np.float32))
+        rows[:, _L_TYPE] = 0.0
+    # leaf rows
+    lrows = table[leaf_start:]
+    lrows[:, :9 * HIER_LEAF] = leaf_tris
+    lrows[:, _L_FIRST] = HIER_LEAF * np.arange(n_leaf, dtype=np.float32)
+    lrows[:, _L_TYPE] = 1.0
+
+    return HierTable(table=jnp.asarray(table),
+                     level_starts=tuple(starts),
+                     leaf_start=leaf_start, num_faces=f)
+
+
+def _ilog2(x):
+    """Exact floor(log2) of positive power-of-two int32 (<= 2^23)."""
+    return (jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+            >> 23) - 127
+
+
+def _leaf_mt(rows, o, d, tmin, tcur):
+    """[R, HIER_LEAF] MT test of each ray vs its row's inline triangles."""
+    r = rows.shape[0]
+    tri = rows[:, :9 * HIER_LEAF].reshape(r, 9, HIER_LEAF)
+    v0x, v0y, v0z = tri[:, 0], tri[:, 1], tri[:, 2]
+    e1x, e1y, e1z = tri[:, 3], tri[:, 4], tri[:, 5]
+    e2x, e2y, e2z = tri[:, 6], tri[:, 7], tri[:, 8]
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        (jnp.abs(det) > _DET_EPS)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > tmin) & (t < tcur)
+    )
+    return t, u, v, hit
+
+
+def _dir_entries(rows, o, inv, tmin, tcur):
+    """[R, FANOUT] child-box entry distances; _BIG where missed.
+
+    Padding children carry degenerate far boxes (lo = hi = +BIG), which
+    fail (tn <= tf) & (tn < tcur) naturally (ROADMAP: inverted boxes are
+    NOT safe padding for unordered slab tests)."""
+    tn = jnp.full((rows.shape[0], FANOUT), -jnp.float32(_BIG))
+    tf = jnp.full((rows.shape[0], FANOUT), jnp.float32(_BIG))
+    for c in range(3):
+        lo = rows[:, c * FANOUT:(c + 1) * FANOUT]
+        hi = rows[:, (c + 3) * FANOUT:(c + 4) * FANOUT]
+        oc = o[:, c:c + 1]
+        ic = inv[:, c:c + 1]
+        t0 = (lo - oc) * ic
+        t1 = (hi - oc) * ic
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (tn <= tf) & (tf > tmin) & (tn < tcur)
+    return jnp.where(ok, jnp.maximum(tn, tmin), jnp.float32(_BIG))
+
+
+_POW2 = tuple(float(1 << j) for j in range(FANOUT))
+
+
+def _safe_inv(d):
+    return jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.float32(_BIG))
+
+
+def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool):
+    """The gather-round walk. All inputs [R(,3)]; returns best (t, prim,
+    u, v) for closest mode, or found [R] bool for any mode."""
+    r = o.shape[0]
+    n_levels = len(tab.level_starts)  # directory levels (root = level 0)
+    inv = _safe_inv(d)
+    tmin_c = tmin[:, None]
+    pow2 = jnp.asarray(_POW2, jnp.float32)
+
+    # level-id boundaries are STATIC: level of a row = count of starts <= id
+    bounds = tuple(tab.level_starts[1:]) + (tab.leaf_start,)
+
+    state = dict(
+        cur=jnp.where(live, 0, -1).astype(jnp.int32),
+        best_t=tmax,
+        best_prim=jnp.full((r,), -1, jnp.int32),
+        best_u=jnp.zeros((r,), jnp.float32),
+        best_v=jnp.zeros((r,), jnp.float32),
+        found=jnp.zeros((r,), bool),
+        masks=[jnp.zeros((r,), jnp.int32) for _ in range(n_levels)],
+        bases=[jnp.zeros((r,), jnp.int32) for _ in range(n_levels)],
+    )
+
+    def cond(s):
+        return jnp.any(s["cur"] >= 0)
+
+    def body(s):
+        cur = s["cur"]
+        valid = cur >= 0
+        rows = jnp.take(tab.table, jnp.maximum(cur, 0), axis=0)
+        is_leaf = rows[:, _L_TYPE] > 0.5
+        first = rows[:, _L_FIRST]
+
+        # --- leaf: fused MT over the inline triangles ---
+        tcur = jnp.where(s["found"], 0.0, s["best_t"]) if any_mode \
+            else s["best_t"]
+        t, u, v, hit = _leaf_mt(rows, o, d, tmin_c, tcur[:, None])
+        hit = hit & (is_leaf & valid)[:, None]
+        if any_mode:
+            found = s["found"] | jnp.any(hit, axis=1)
+            best_t, best_prim = s["best_t"], s["best_prim"]
+            best_u, best_v = s["best_u"], s["best_v"]
+        else:
+            tt = jnp.where(hit, t, jnp.float32(_BIG))
+            t_leaf = jnp.min(tt, axis=1)
+            lane = jax.lax.iota(jnp.int32, HIER_LEAF)[None, :]
+            at_min = tt <= t_leaf[:, None]
+            lane_sel = jnp.min(jnp.where(at_min, lane, HIER_LEAF), axis=1)
+            one = at_min & (lane == lane_sel[:, None])
+            better = t_leaf < s["best_t"]
+            best_t = jnp.where(better, t_leaf, s["best_t"])
+            best_prim = jnp.where(
+                better, first.astype(jnp.int32) + lane_sel, s["best_prim"])
+            best_u = jnp.where(
+                better, jnp.sum(jnp.where(one, u, 0.0), axis=1), s["best_u"])
+            best_v = jnp.where(
+                better, jnp.sum(jnp.where(one, v, 0.0), axis=1), s["best_v"])
+            found = s["found"]
+
+        # --- directory: slab-test 16 children, push pending bits ---
+        ent = _dir_entries(rows, o, inv, tmin_c,
+                           (jnp.where(found, 0.0, best_t)
+                            if any_mode else best_t)[:, None])
+        bits = jnp.sum(jnp.where(ent < _BIG, pow2[None, :], 0.0),
+                       axis=1).astype(jnp.int32)
+        is_dir = valid & ~is_leaf
+        masks = list(s["masks"])
+        bases = list(s["bases"])
+        for lv in range(n_levels):
+            # directory at level lv pushes into slot lv (children mask)
+            lo_b = tab.level_starts[lv]
+            hi_b = bounds[lv]
+            at_lv = is_dir & (cur >= lo_b) & (cur < hi_b)
+            masks[lv] = jnp.where(at_lv, bits, masks[lv])
+            bases[lv] = jnp.where(at_lv, first.astype(jnp.int32), bases[lv])
+
+        # --- pop: deepest pending level wins (DFS) ---
+        nxt = jnp.full((r,), -1, jnp.int32)
+        done_now = s["found"] if any_mode else jnp.zeros((r,), bool)
+        for lv in reversed(range(n_levels)):
+            m = masks[lv]
+            has = (m != 0) & valid & (nxt < 0) & ~done_now
+            low = m & -m
+            j = _ilog2(jnp.maximum(low, 1))
+            nxt = jnp.where(has, bases[lv] + j, nxt)
+            masks[lv] = jnp.where(has, m & (m - 1), masks[lv])
+
+        return dict(
+            cur=jnp.where(valid, nxt, cur),
+            best_t=best_t, best_prim=best_prim,
+            best_u=best_u, best_v=best_v, found=found,
+            masks=masks, bases=bases,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    if any_mode:
+        return state["found"]
+    return state["best_t"], state["best_prim"], state["best_u"], state["best_v"]
+
+
+@jax.jit
+def trace_closest_hier(tab: HierTable, o, d, tmin, tmax, count=None) -> Hit:
+    """Closest hit via the hierarchical gather walk (compaction contract:
+    only the first `count` rays are live)."""
+    r = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    live = jnp.arange(r) < (r if count is None else count)
+    t, prim, u, v = _walk(tab, o.astype(jnp.float32), d.astype(jnp.float32),
+                          tmin, tmax, live, any_mode=False)
+    valid = (prim >= 0) & (prim < tab.num_faces)
+    return Hit(t=jnp.where(valid, t, tmax),
+               prim=jnp.where(valid, prim, -1),
+               u=jnp.where(valid, u, 0.0), v=jnp.where(valid, v, 0.0))
+
+
+@jax.jit
+def trace_any_hier(tab: HierTable, o, d, tmin, tmax, count=None):
+    r = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    live = jnp.arange(r) < (r if count is None else count)
+    return _walk(tab, o.astype(jnp.float32), d.astype(jnp.float32),
+                 tmin, tmax, live, any_mode=True)
+
+
+def make_hierwalk_tracer(scene):
+    """(closest, any) pair over the hierarchical gather walk.
+
+    Static scenes only; order the scene with
+    accel.lbvh.split_order_scene(scene, leaf=HIER_LEAF) first so leaves and
+    directories cover compact clusters (correct either way, slower on
+    scrambled order)."""
+    if scene.num_keys != 1:
+        raise ValueError("hierwalk tracer supports static scenes only")
+    tab = build_hier_table(scene.geom, scene.num_faces)
+
+    def closest(o, d, tmin, tmax, time, count=None):
+        del time
+        return trace_closest_hier(tab, o, d, tmin, tmax, count=count)
+
+    def any_hit(o, d, tmin, tmax, time, count=None):
+        del time
+        return trace_any_hier(tab, o, d, tmin, tmax, count=count)
+
+    return closest, any_hit

@@ -1,0 +1,128 @@
+"""Hierarchical gather-walk tracer vs the brute-force oracle.
+
+Same contract as every tracer: (closest, any)(o, d, tmin, tmax, time,
+count). The walk must agree with brute force exactly on prim ids (both
+resolve min-t with lowest-prim tiebreak within a leaf; across leaves min-t
+is unambiguous for non-degenerate scenes) and on the occlusion mask.
+"""
+import numpy as np
+import pytest
+
+from rendertoy3c_tpu.accel.lbvh import split_order_scene
+from rendertoy3c_tpu.scene.builtin import box_mesh, cornell_box, quad
+from rendertoy3c_tpu.scene.material import Material
+from rendertoy3c_tpu.scene.mesh import Mesh
+from rendertoy3c_tpu.scene.scene import build_scene
+from rendertoy3c_tpu.trace.hierwalk import HIER_LEAF, make_hierwalk_tracer
+from rendertoy3c_tpu.trace.intersect import make_bruteforce_tracer
+
+
+def _box_field(n_side, seed=0):
+    rng = np.random.default_rng(seed)
+    white = Material(diffuse=(0.7, 0.7, 0.7))
+    v_all, f_all, off = [], [], 0
+    for gx in range(n_side):
+        for gz in range(n_side):
+            m = box_mesh(
+                [gx - n_side / 2, 0, gz - n_side / 2],
+                [gx - n_side / 2 + 0.8, rng.uniform(0.3, 2.0),
+                 gz - n_side / 2 + 0.8], white)
+            v_all.append(m.vertices[0])
+            f_all.append(m.indices + off)
+            off += m.vertices.shape[1]
+    big = Mesh(vertices=np.concatenate(v_all)[None],
+               indices=np.concatenate(f_all), material=white)
+    lv, lf = quad([-3, 9, -3], [-3, 9, 3], [3, 9, 3], [3, 9, -3])
+    lamp = Mesh(vertices=lv[None], indices=lf,
+                material=Material(emissive=(30.0, 30.0, 30.0)))
+    return build_scene([big, lamp])
+
+
+def _rand_rays(scene, n, seed=1):
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+
+    g = scene.geom
+    v0 = np.asarray(g.v0[0][: scene.num_faces])
+    lo = v0.min(axis=0) - 1.0
+    hi = v0.max(axis=0) + 1.0
+    o = rng.uniform(lo, hi, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _check(scene, n_rays=2048, seed=2, count=None):
+    import jax.numpy as jnp
+
+    scene = split_order_scene(scene, leaf=HIER_LEAF)
+    hc, ha = make_hierwalk_tracer(scene)
+    bc, ba = make_bruteforce_tracer(scene)
+    o, d = _rand_rays(scene, n_rays, seed)
+    tmin, tmax = 1e-3, 1e16
+    h = hc(o, d, tmin, tmax, None, count)
+    b = bc(o, d, tmin, tmax, None, count)
+    n_live = n_rays if count is None else count
+    np.testing.assert_array_equal(np.asarray(h.prim)[:n_live],
+                                  np.asarray(b.prim)[:n_live])
+    np.testing.assert_allclose(np.asarray(h.t)[:n_live],
+                               np.asarray(b.t)[:n_live], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.u)[:n_live],
+                               np.asarray(b.u)[:n_live], rtol=2e-4, atol=2e-4)
+    # any-hit with a bounded range (shadow-probe shape)
+    occ_h = np.asarray(ha(o, d, tmin, 5.0, None, count))
+    occ_b = np.asarray(ba(o, d, tmin, 5.0, None, count))
+    np.testing.assert_array_equal(occ_h[:n_live], occ_b[:n_live])
+
+
+def test_cornell_single_leaf_levels():
+    """36 faces -> 3 leaves, one directory level."""
+    meshes, _ = cornell_box()
+    _check(build_scene(meshes))
+
+
+def test_tiny_scene_single_row():
+    """<= 13 faces -> the root IS the single leaf row (zero levels)."""
+    lv, lf = quad([-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1])
+    m = Mesh(vertices=lv[None], indices=lf,
+             material=Material(diffuse=(0.5, 0.5, 0.5)))
+    _check(build_scene([m]), n_rays=512)
+
+
+def test_box_field_three_levels():
+    """16x16 boxes (~3k faces): leaves + 2-3 directory levels."""
+    _check(_box_field(16), n_rays=4096)
+
+
+def test_box_field_count_gating():
+    _check(_box_field(8), n_rays=1024, count=700)
+
+
+def test_large_field_matches():
+    """45x45 boxes (~24k faces): the production scale band."""
+    _check(_box_field(45, seed=3), n_rays=2048, seed=5)
+
+
+def test_render_parity_vs_brute():
+    """End-to-end: a frame through the pool integrator over hierwalk ==
+    the same frame over brute force (identical per-path arithmetic)."""
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+
+    scene = split_order_scene(_box_field(8), leaf=HIER_LEAF)
+    from rendertoy3c_tpu.scene.camera import Camera
+
+    cam = Camera(eye=(0, 6, 12), lookat=(0, 0, 0), fov_y=45.0,
+                 aspect_ratio=1.0)
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       max_depth=4, ray_block=512, integrator="pool")
+    f_h, s_h = render_frame(scene, cam.params(), cfg, subframes=1,
+                            tracer=make_hierwalk_tracer(scene))
+    f_b, s_b = render_frame(scene, cam.params(), cfg, subframes=1,
+                            tracer=make_bruteforce_tracer(scene))
+    # hit t is computed in a different arithmetic order than brute force
+    # (fused row MT), so epsilon-offset secondary rays can flip on ulp-level
+    # t differences — tolerate sub-1e-3 radiance deltas
+    np.testing.assert_allclose(np.asarray(f_h.accum), np.asarray(f_b.accum),
+                               rtol=2e-3, atol=2e-3)
+    assert abs(int(s_h.radiance_rays) - int(s_b.radiance_rays)) <= 8
