@@ -13,13 +13,18 @@ scripts/micro_rounds.py, v5e):
     traversal state is dense [R] arrays updated with selects.
 
 Structure: a 16-ary tree over 13-triangle leaves, one 128-float row per
-node, walked DFS with per-ray, per-level 16-bit pending-children masks
-(a vectorized stackless traversal — the "stack" is D uint16s in lanes).
-One global while_loop round gathers each live ray's current node row and
-either MT-tests its 13 inline triangles (leaf) or slab-tests its 16 child
-boxes and pushes the hit mask (directory). Faces must be pre-ordered
-spatially (accel.lbvh.split_order_scene with leaf=HIER_LEAF) so consecutive
-13-face leaves and 16-leaf directories get tight boxes.
+node, walked ORDERED DFS with per-ray, per-level pending-children entry
+distances (a vectorized stackless traversal — the "stack" is D [16]-float
+rows in lanes). One global while_loop round gathers each live ray's
+current node row and either MT-tests its 13 inline triangles (leaf) or
+slab-tests its 16 child boxes and records their entry distances
+(directory). The pop takes the NEAREST pending child at the deepest level
+and prunes every pending entry >= the ray's current best_t, so closest
+rays terminate in ~2·depth rounds instead of exhausting the full cut
+(the straggler fix over the round-1 unordered bitmask walk). Faces must
+be pre-ordered spatially (accel.lbvh.split_order_scene with
+leaf=HIER_LEAF) so consecutive 13-face leaves and 16-leaf directories get
+tight boxes.
 
 Per-ray rows gathered = nodes visited (~10-16 on the 49k box field) vs the
 flat leafwalk's ~4.8 leaf visits x 18 row-units each — ~7x fewer row
@@ -147,12 +152,6 @@ def build_hier_table(geom, num_faces: int, key: int = 0) -> HierTable:
                      leaf_start=leaf_start, num_faces=f)
 
 
-def _ilog2(x):
-    """Exact floor(log2) of positive power-of-two int32 (<= 2^23)."""
-    return (jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
-            >> 23) - 127
-
-
 def _leaf_mt(rows, o, d, tmin, tcur):
     """[R, HIER_LEAF] MT test of each ray vs its row's inline triangles."""
     r = rows.shape[0]
@@ -204,11 +203,16 @@ def _dir_entries(rows, o, inv, tmin, tcur):
     return jnp.where(ok, jnp.maximum(tn, tmin), jnp.float32(_BIG))
 
 
-_POW2 = tuple(float(1 << j) for j in range(FANOUT))
-
-
 def _safe_inv(d):
     return jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.float32(_BIG))
+
+
+def _prune_cut(best_t):
+    """Conservative pruning bound: slab entry and MT hit t round
+    differently (~1 ulp each), so a box whose entry lands a few ulps past
+    best_t can still contain the true closest hit. Expand the cut by a
+    relative+absolute slack before discarding pending subtrees."""
+    return best_t * 1.00001 + 1e-6
 
 
 def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool):
@@ -218,7 +222,7 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool):
     n_levels = len(tab.level_starts)  # directory levels (root = level 0)
     inv = _safe_inv(d)
     tmin_c = tmin[:, None]
-    pow2 = jnp.asarray(_POW2, jnp.float32)
+    lane16 = jax.lax.iota(jnp.int32, FANOUT)[None, :]
 
     # level-id boundaries are STATIC: level of a row = count of starts <= id
     bounds = tuple(tab.level_starts[1:]) + (tab.leaf_start,)
@@ -230,7 +234,9 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool):
         best_u=jnp.zeros((r,), jnp.float32),
         best_v=jnp.zeros((r,), jnp.float32),
         found=jnp.zeros((r,), bool),
-        masks=[jnp.zeros((r,), jnp.int32) for _ in range(n_levels)],
+        # pending-children entry distances per directory level (_BIG = none)
+        ents=[jnp.full((r, FANOUT), jnp.float32(_BIG))
+              for _ in range(n_levels)],
         bases=[jnp.zeros((r,), jnp.int32) for _ in range(n_levels)],
     )
 
@@ -270,39 +276,46 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool):
                 better, jnp.sum(jnp.where(one, v, 0.0), axis=1), s["best_v"])
             found = s["found"]
 
-        # --- directory: slab-test 16 children, push pending bits ---
+        # --- directory: slab-test 16 children, record entry distances ---
         ent = _dir_entries(rows, o, inv, tmin_c,
-                           (jnp.where(found, 0.0, best_t)
-                            if any_mode else best_t)[:, None])
-        bits = jnp.sum(jnp.where(ent < _BIG, pow2[None, :], 0.0),
-                       axis=1).astype(jnp.int32)
+                           _prune_cut(jnp.where(found, 0.0, best_t)
+                                      if any_mode else best_t)[:, None])
         is_dir = valid & ~is_leaf
-        masks = list(s["masks"])
+        ents = list(s["ents"])
         bases = list(s["bases"])
         for lv in range(n_levels):
-            # directory at level lv pushes into slot lv (children mask)
+            # directory at level lv pushes into slot lv (children entries);
+            # DFS invariant: deeper slots are spent when a level-lv node is
+            # visited, so a whole-row overwrite is safe
             lo_b = tab.level_starts[lv]
             hi_b = bounds[lv]
             at_lv = is_dir & (cur >= lo_b) & (cur < hi_b)
-            masks[lv] = jnp.where(at_lv, bits, masks[lv])
+            ents[lv] = jnp.where(at_lv[:, None], ent, ents[lv])
             bases[lv] = jnp.where(at_lv, first.astype(jnp.int32), bases[lv])
 
-        # --- pop: deepest pending level wins (DFS) ---
+        # --- pop: nearest pending child at the deepest level (ordered
+        # DFS), pruning entries past the ray's current best_t ---
         nxt = jnp.full((r,), -1, jnp.int32)
-        done_now = s["found"] if any_mode else jnp.zeros((r,), bool)
+        done_now = found if any_mode else jnp.zeros((r,), bool)
+        cut = _prune_cut(jnp.where(found, 0.0, best_t)
+                         if any_mode else best_t)[:, None]
         for lv in reversed(range(n_levels)):
-            m = masks[lv]
-            has = (m != 0) & valid & (nxt < 0) & ~done_now
-            low = m & -m
-            j = _ilog2(jnp.maximum(low, 1))
+            e = ents[lv]
+            alive = e < cut          # prune vs the CURRENT best_t
+            ee = jnp.where(alive, e, jnp.float32(_BIG))
+            e_min = jnp.min(ee, axis=1)
+            has = (e_min < _BIG) & valid & (nxt < 0) & ~done_now
+            at_min = ee <= e_min[:, None]
+            j = jnp.min(jnp.where(at_min, lane16, FANOUT), axis=1)
             nxt = jnp.where(has, bases[lv] + j, nxt)
-            masks[lv] = jnp.where(has, m & (m - 1), masks[lv])
+            taken = has[:, None] & (lane16 == j[:, None])
+            ents[lv] = jnp.where(taken, jnp.float32(_BIG), ents[lv])
 
         return dict(
             cur=jnp.where(valid, nxt, cur),
             best_t=best_t, best_prim=best_prim,
             best_u=best_u, best_v=best_v, found=found,
-            masks=masks, bases=bases,
+            ents=ents, bases=bases,
         )
 
     state = jax.lax.while_loop(cond, body, state)
