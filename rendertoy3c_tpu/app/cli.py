@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tracer",
-                   choices=["auto", "pallas", "leafwalk", "bvh", "brute"],
+                   choices=["auto", "pallas", "hierwalk", "leafwalk", "bvh",
+                            "brute"],
                    default="auto",
                    help="auto = per-ray leaf walk for large static scenes "
                         "on TPU, fused pallas tile-cull kernels for the "
@@ -246,6 +247,12 @@ def main(argv=None) -> int:
 
             scene = split_order_scene(scene)
             tracer = make_leafwalk_tracer(scene)
+        elif tracer_kind == "hierwalk":
+            from ..accel.lbvh import split_order_scene
+            from ..trace.hierwalk import HIER_LEAF, make_hierwalk_tracer
+
+            scene = split_order_scene(scene, leaf=HIER_LEAF)
+            tracer = make_hierwalk_tracer(scene)
         elif tracer_kind == "pallas":
             from ..trace.pallas_mt import make_pallas_mt_tracer
             from ..trace.pallas_shade import (

@@ -86,8 +86,9 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
       "auto"     — trace/auto.py's ladder, platform-independent (tests run
                    the same selection in interpret mode on the CPU mesh)
       "fused"    — fused megakernel pipeline (small static/motion scenes)
-      "external" — external shade pipeline over leafwalk (large) or
+      "external" — external shade pipeline over hierwalk (large) or
                    tile-cull MT (small)
+      "hierwalk" — bare ordered-DFS hierarchical walk pair
       "leafwalk" — bare per-ray leaf walk pair
       "pallas"   — bare tile-cull MT pair
       "brute"    — the jnp brute-force pair (built in-shard, the default)
@@ -125,13 +126,19 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
         return scene, _bruteforce_factory
 
     pair = None
-    if ((kind == "leafwalk" and scene.num_keys == 1)
-            or (kind == "external" and large)):
+    if kind == "leafwalk" and scene.num_keys == 1:
         from ..accel.lbvh import split_order_scene
         from ..trace.leafwalk import make_leafwalk_tracer
 
         scene = split_order_scene(scene)
         pair = make_leafwalk_tracer(scene)
+    elif ((kind == "hierwalk" and scene.num_keys == 1)
+            or (kind == "external" and large)):
+        from ..accel.lbvh import split_order_scene
+        from ..trace.hierwalk import HIER_LEAF, make_hierwalk_tracer
+
+        scene = split_order_scene(scene, leaf=HIER_LEAF)
+        pair = make_hierwalk_tracer(scene)
     else:
         if scene.num_faces > 512 and scene.num_keys == 1:
             from ..accel.lbvh import morton_order_scene

@@ -8,7 +8,7 @@ megakernel pool loop regardless of scene size:
 
   small static/motion  -> fused megakernel (closest in-kernel, pallas_shade)
   mid-size static      -> tile-cull Pallas MT closest + EXTERNAL shade
-  large static (>16k)  -> per-ray leaf walk closest + EXTERNAL shade
+  large static (>16k)  -> ordered-DFS hierarchical walk + EXTERNAL shade
   motion past fused    -> tile-cull motion kernels + EXTERNAL shade
   ineligible shading   -> bare tracer + the general XLA pool
 
@@ -21,7 +21,8 @@ import jax
 
 # Measured crossover (v5e, round 1): tile-granular culling degenerates to a
 # dense sweep on incoherent bounce wavefronts past ~16k faces, while the
-# per-ray ordered leaf walk keeps scaling.
+# per-ray walks keep scaling (round 2: the ordered-DFS hierwalk beats the
+# flat leafwalk end-to-end at 49k and 197k faces).
 LEAFWALK_MIN_FACES = 16384
 
 
@@ -51,10 +52,10 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
 
     if scene.num_keys == 1 and scene.num_faces > LEAFWALK_MIN_FACES:
         from ..accel.lbvh import split_order_scene
-        from .leafwalk import make_leafwalk_tracer
+        from .hierwalk import HIER_LEAF, make_hierwalk_tracer
 
-        scene = split_order_scene(scene)
-        tracer = make_leafwalk_tracer(scene)
+        scene = split_order_scene(scene, leaf=HIER_LEAF)
+        tracer = make_hierwalk_tracer(scene)
         if pipeline_ok and external_shade_eligible(scene, cfg):
             return scene, make_external_pipeline(scene, cfg, tracer)
         return scene, tracer

@@ -126,3 +126,14 @@ def test_render_parity_vs_brute():
     np.testing.assert_allclose(np.asarray(f_h.accum), np.asarray(f_b.accum),
                                rtol=2e-3, atol=2e-3)
     assert abs(int(s_h.radiance_rays) - int(s_b.radiance_rays)) <= 8
+
+
+def test_multi_phase_decay_widths():
+    """8k rays over a 24k-face field: exercises two width-decay
+    compactions (8192 -> 4096 -> 2048) plus the result expansion."""
+    _check(_box_field(45, seed=7), n_rays=8192, seed=11)
+
+
+def test_multi_phase_with_count():
+    """Width decay composes with the compacted-live-ray count hint."""
+    _check(_box_field(45, seed=9), n_rays=8192, seed=13, count=5000)
