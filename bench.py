@@ -106,6 +106,70 @@ def _parity_gate(cfg_kwargs):
     print(f"parity gate ok: mean|d|={diff.mean():.2e} "
           f"max|d|={diff.max():.2e}", file=sys.stderr)
 
+    # hierwalk gate at PRODUCTION POOL WIDTH on a production-size table:
+    # XLA miscompiled the walk's while_loop at >= 98304 lanes on the TPU
+    # backend (silent mostly-miss results at the 49k-scene table size while
+    # every width <= 81920 was exact; see trace/hierwalk._WALK_CHUNK) —
+    # trace a full-width wavefront and demand exact prim parity vs brute.
+    import jax.numpy as jnp
+
+    from rendertoy3c_tpu.accel.lbvh import split_order_scene
+    from rendertoy3c_tpu.integrate.path import _camera_ray
+    from rendertoy3c_tpu.scene.camera import Camera as _Cam
+    from rendertoy3c_tpu.trace.auto import POOL_BLOCK_LARGE
+    from rendertoy3c_tpu.trace.hierwalk import HIER_LEAF, make_hierwalk_tracer
+    from rendertoy3c_tpu.trace.intersect import make_bruteforce_tracer
+
+    sc = split_order_scene(_box_field_scene(), leaf=HIER_LEAF)
+    hc, _ = make_hierwalk_tracer(sc)
+    bc, _ = make_bruteforce_tracer(sc)
+    R = POOL_BLOCK_LARGE
+    cam_gate = _Cam(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0,
+                    aspect_ratio=1.0).params()
+    px = jnp.arange(R) % 768
+    py = (jnp.arange(R) // 768) % 768
+    o, d = _camera_ray(cam_gate, px, py, jnp.zeros(R), jnp.zeros(R),
+                       jnp.float32(768), jnp.float32(768))
+    hp = np.asarray(hc(o, d, 1e-2, 1e16, None, None).prim)
+    bp = np.asarray(bc(o, d, 1e-2, 1e16, None, None).prim)
+    bad = int((hp != bp).sum())
+    if bad:
+        raise RuntimeError(
+            f"hierwalk parity gate FAILED at width {R}: {bad}/{R} prim "
+            "mismatches vs brute force — the walk miscompiled at "
+            "production pool width")
+    print(f"hierwalk gate ok at width {R} "
+          f"({int((hp >= 0).sum())}/{R} hits)", file=sys.stderr)
+
+
+def _box_field_scene():
+    """The 64x64 box field (49k faces) shared by the hierwalk parity gate
+    and the large_scene_49k config."""
+    import numpy as np
+
+    from rendertoy3c_tpu.scene.builtin import box_mesh, quad
+    from rendertoy3c_tpu.scene.material import Material
+    from rendertoy3c_tpu.scene.mesh import Mesh
+    from rendertoy3c_tpu.scene.scene import build_scene
+
+    rng = np.random.default_rng(0)
+    white = Material(diffuse=(0.7, 0.7, 0.7))
+    v_all, f_all, off = [], [], 0
+    for gx in range(64):
+        for gz in range(64):
+            m = box_mesh([gx - 32, 0, gz - 32],
+                         [gx - 31.2, rng.uniform(0.3, 2.0), gz - 31.2],
+                         white)
+            v_all.append(m.vertices[0])
+            f_all.append(m.indices + off)
+            off += m.vertices.shape[1]
+    big = Mesh(vertices=np.concatenate(v_all)[None],
+               indices=np.concatenate(f_all), material=white)
+    lv, lf = quad([-6, 25, -6], [-6, 25, 6], [6, 25, 6], [6, 25, -6])
+    lamp = Mesh(vertices=lv[None], indices=lf,
+                material=Material(emissive=(40.0, 40.0, 40.0)))
+    return build_scene([big, lamp])
+
 
 def _town_scene(faces, two_key=False, untextured=False, principled=False):
     """Load the generated town .obj through the real asset path."""
@@ -173,6 +237,9 @@ def run_config_suite(cfg_kwargs, warmup, timed):
                warmup_c=None):
         t0 = time.perf_counter()
         if tracer is None:
+            from rendertoy3c_tpu.trace.auto import tune_config
+
+            cfg_c = tune_config(scene, cfg_c, on_tpu=on_tpu)
             scene, tracer = _auto_tracer(scene, cfg_c, on_tpu)
         step = make_render_fn(scene, cfg_c, tracer=tracer)
         cam.aspect_ratio = cfg_c.width / cfg_c.height
@@ -246,28 +313,10 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     record("multi_instance_tracetime", iscene, ccam,
            dataclasses.replace(cfg, sort_rays=True), tracer=tracer)
 
-    # 49k box field (round-1 scaling record, leafwalk path)
-    rng = np.random.default_rng(0)
-    from rendertoy3c_tpu.scene.builtin import box_mesh, quad
+    # 49k box field (round-1 scaling record, hierwalk path)
     from rendertoy3c_tpu.scene.camera import Camera as _Camera
-    from rendertoy3c_tpu.scene.mesh import Mesh as _Mesh
 
-    white = Material(diffuse=(0.7, 0.7, 0.7))
-    v_all, f_all, off = [], [], 0
-    for gx in range(64):
-        for gz in range(64):
-            m = box_mesh([gx - 32, 0, gz - 32],
-                         [gx - 31.2, rng.uniform(0.3, 2.0), gz - 31.2],
-                         white)
-            v_all.append(m.vertices[0])
-            f_all.append(m.indices + off)
-            off += m.vertices.shape[1]
-    bigm = _Mesh(vertices=np.concatenate(v_all)[None],
-                 indices=np.concatenate(f_all), material=white)
-    lv, lf = quad([-6, 25, -6], [-6, 25, 6], [6, 25, 6], [6, 25, -6])
-    lampm = _Mesh(vertices=lv[None], indices=lf,
-                  material=Material(emissive=(40.0, 40.0, 40.0)))
-    big_scene = build_scene([bigm, lampm])
+    big_scene = _box_field_scene()
     bcam = _Camera(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0)
     record("large_scene_49k", big_scene, bcam, cfg_sorted, timed_c=2)
 

@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--scene", nargs="+", required=True,
         help=".obj path(s) (N files = N motion keyframes, like the reference "
-             "loader) or a builtin: cornell, cornell-empty, textured",
+             "loader) or a builtin: cornell, cornell-empty, textured, prims "
+             "(analytic primitives; renders via the direct renderer)",
     )
     p.add_argument("--size", default="768x768", help="WxH (reference default 768x768)")
     p.add_argument("--spp", type=int, default=8, help="samples per launch")
@@ -120,17 +121,25 @@ def _vec3(s: str):
 
 
 def _load_scene(args):
-    """Returns (scene_meshes, textures, camera, point_lights)."""
-    from ..scene.builtin import cornell_box, textured_quad_scene
+    """Returns (scene_meshes, textures, camera, point_lights, prims)."""
+    from ..scene.builtin import (
+        cornell_box,
+        primitives_scene,
+        textured_quad_scene,
+    )
 
     names = args.scene
-    if len(names) == 1 and names[0] in ("cornell", "cornell-empty", "textured"):
+    if len(names) == 1 and names[0] in ("cornell", "cornell-empty",
+                                        "textured", "prims"):
         name = names[0]
         if name == "textured":
             meshes, textures, camera = textured_quad_scene()
-            return meshes, textures, camera, []
+            return meshes, textures, camera, [], None
+        if name == "prims":
+            meshes, prims, camera, lights = primitives_scene()
+            return meshes, [], camera, lights, prims
         meshes, camera = cornell_box(with_blocks=(name == "cornell"))
-        return meshes, [], camera, []
+        return meshes, [], camera, [], None
 
     from ..scene.camera import Camera
 
@@ -144,7 +153,7 @@ def _load_scene(args):
         camera = cameras[0] if cameras else Camera(
             eye=(5.0, 5.0, 5.0), lookat=(0.0, 1.0, 0.0), fov_y=45.0
         )
-        return meshes, textures, camera, lights
+        return meshes, textures, camera, lights, None
 
     from ..io.obj import load_obj
 
@@ -152,7 +161,7 @@ def _load_scene(args):
     # Default framing mirrors the reference app (eye (5,5,5) toward (0,1,0),
     # fov 45 — src/wavefront.cpp:238-253).
     camera = Camera(eye=(5.0, 5.0, 5.0), lookat=(0.0, 1.0, 0.0), fov_y=45.0)
-    return meshes, textures, camera, []
+    return meshes, textures, camera, [], None
 
 
 def main(argv=None) -> int:
@@ -200,7 +209,13 @@ def main(argv=None) -> int:
     )
 
     with timers.phase("load"):
-        meshes, textures, camera, point_lights = _load_scene(args)
+        meshes, textures, camera, point_lights, prims = _load_scene(args)
+        if prims and args.renderer != "direct":
+            print("analytic primitives render through the whitted-stack "
+                  "direct renderer (cuda/geometry.cu parity); forcing "
+                  "--renderer direct", file=sys.stderr)
+            args.renderer = "direct"
+            args.tracer = "brute" if args.tracer == "auto" else args.tracer
         if args.eye:
             camera.eye = args.eye
         if args.lookat:
@@ -217,7 +232,7 @@ def main(argv=None) -> int:
 
             env_map = build_env_map(load_image(args.env), scale=args.env_scale)
         scene = build_scene(meshes, textures=textures or None,
-                            env_map=env_map)
+                            env_map=env_map, prims=prims)
 
     with timers.phase("accel"):
         tracer_kind = args.tracer
@@ -229,11 +244,12 @@ def main(argv=None) -> int:
                 # the shared ladder (trace/auto.py): fused megakernel,
                 # external-shade pipelines over leafwalk / tile-cull, or a
                 # bare pallas tracer — by scene size and eligibility
-                from ..trace.auto import choose_tracer
+                from ..trace.auto import choose_tracer, tune_config
 
                 # pipeline tracers shard cleanly (the pool rebases its
                 # flush targets per shard), so --mesh-shape keeps them
                 want_pipe = args.renderer == "path"
+                cfg = tune_config(scene, cfg, on_tpu=True)
                 scene, tracer = choose_tracer(scene, cfg, on_tpu=True,
                                               want_pipeline=want_pipe)
                 tracer_kind = None
@@ -249,9 +265,12 @@ def main(argv=None) -> int:
             tracer = make_leafwalk_tracer(scene)
         elif tracer_kind == "hierwalk":
             from ..accel.lbvh import split_order_scene
-            from ..trace.hierwalk import HIER_LEAF, make_hierwalk_tracer
+            from ..trace.hierwalk import (
+                HIER_LEAF, HIER_LEAF_MOTION, make_hierwalk_tracer,
+            )
 
-            scene = split_order_scene(scene, leaf=HIER_LEAF)
+            leaf = HIER_LEAF if scene.num_keys == 1 else HIER_LEAF_MOTION
+            scene = split_order_scene(scene, leaf=leaf)
             tracer = make_hierwalk_tracer(scene)
         elif tracer_kind == "pallas":
             from ..trace.pallas_mt import make_pallas_mt_tracer

@@ -44,7 +44,8 @@ _INV_PI = 1.0 / math.pi
 
 def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
                  direction, point_lights, ambient, count=None,
-                 shadow_transmission=None, checker=False):
+                 shadow_transmission=None, checker=False,
+                 prim_override=None):
     """Vectorized whitted closest-hit (whitted.cu:149-289). Returns
     (rgb [R,3], shadow_ray_count).
 
@@ -52,6 +53,11 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
     fractional shadow visibility for scenes with MASK/BLEND materials
     (the reference's occlusion-anyhit attenuation, whitted.cu:113-137);
     when None, occlusion is the binary trace_any probe.
+
+    prim_override (optional): (is_prim [R], n [R,3], uv [R,2],
+    mat [R] i32) from the analytic-primitive sweep — overrides the
+    barycentric shading frame on those lanes (the whitted custom-primitive
+    programs' attribute path, cuda/geometry.cu:38-144).
 
     checker (static gate): compile in the procedural checker
     (cuda/shading.cu:169-205): the parity of floor(uv * inv_checker_size)
@@ -66,12 +72,18 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
     g = scene.geom
     ng = normalize(w0 * g.n0[0, prim] + w1 * g.n1[0, prim] + w2 * g.n2[0, prim])
     texcoord = w0 * g.uv0[prim] + w1 * g.uv1[prim] + w2 * g.uv2[prim]
-    ns = faceforward(ng, -direction, ng)
-    p = org + hit.t[:, None] * direction
-    wo = -direction
 
     mat = scene.materials
     mid = g.mat_id[prim]
+    if prim_override is not None:
+        is_prim, p_n, p_uv, p_mat = prim_override
+        ng = jnp.where(is_prim[:, None], p_n, ng)
+        texcoord = jnp.where(is_prim[:, None], p_uv, texcoord)
+        mid = jnp.where(is_prim, p_mat, mid)
+
+    ns = faceforward(ng, -direction, ng)
+    p = org + hit.t[:, None] * direction
+    wo = -direction
 
     tex_id = mat.diffuse_tex[mid]
     tex_rgb = sample_texture_bilinear(
@@ -231,6 +243,27 @@ def trace_shadow_transmission(scene, trace_closest, o, d, tmin, tmax, time,
     return trans
 
 
+def _merge_prim_hits(scene, hit, o, d, tmin, tmax_default):
+    """Fold the analytic-primitive sweep into a triangle Hit.
+
+    Returns (hit, (is_prim, n, uv, mat)) — the override tuple feeds
+    shade_direct's prim lanes. Primitive hits claim prim id 0 purely so
+    hit.mask stays true; every shading attribute on those lanes comes from
+    the override."""
+    from ..trace.primitives import trace_prims
+
+    tmax = jnp.where(hit.mask, hit.t, tmax_default)
+    pt, pn, puv, pmat, phit = trace_prims(scene.prims, o, d, tmin, tmax)
+    merged = Hit(
+        t=jnp.where(phit, pt, hit.t),
+        prim=jnp.where(phit, jnp.maximum(hit.prim, 0), hit.prim),
+        u=jnp.where(phit, 0.0, hit.u),
+        v=jnp.where(phit, 0.0, hit.v),
+        inst=hit.inst,
+    )
+    return merged, (phit, pn, puv, pmat)
+
+
 def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                          point_lights, ambient, bg, alpha_masked=False,
                          alpha_blended=False, blend_layers: int = 3,
@@ -245,12 +278,29 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
     if cfg.seed:
         seed = rng.rot_seed(seed, jnp.uint32(cfg.seed))
 
+    if scene.prims is not None:
+        from ..trace.primitives import trace_prims_any
+
+        tri_any = trace_any
+
+        def trace_any(o, d, tn, tx, time, count=None):
+            return (tri_any(o, d, tn, tx, time, count=count)
+                    | trace_prims_any(scene.prims, o, d, tn, tx))
+
     shadow_transmission = None
     if alpha_masked or alpha_blended:
         time0_s = jnp.zeros((n,), jnp.float32)
-        shadow_transmission = lambda p, ldir, tn, tx: trace_shadow_transmission(  # noqa: E731
-            scene, trace_closest, p, ldir, tn, tx, time0_s
-        )
+
+        def shadow_transmission(p, ldir, tn, tx):
+            trans = trace_shadow_transmission(
+                scene, trace_closest, p, ldir, tn, tx, time0_s
+            )
+            if scene.prims is not None:
+                from ..trace.primitives import trace_prims_any
+
+                blocked = trace_prims_any(scene.prims, p, ldir, tn, tx)
+                trans = jnp.where(blocked, 0.0, trans)
+            return trans
 
     def sample_body(carry, _):
         seed, acc, n_rad, n_shad = carry
@@ -278,14 +328,20 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                 hit = trace_closest(
                     org, direction, tmin_cur, cfg.primary_tmax, time0
                 )
+            prim_override = None
+            if scene.prims is not None:
+                hit, prim_override = _merge_prim_hits(
+                    scene, hit, org, direction, tmin_cur, cfg.primary_tmax)
             shaded, n_sh = shade_direct(
                 scene, cfg, trace_any, hit, org, direction, point_lights,
                 ambient, shadow_transmission=shadow_transmission,
-                checker=checker,
+                checker=checker, prim_override=prim_override,
             )
             n_sh_total = n_sh_total + n_sh
             if alpha_blended:
                 a, _, blend_lane, _ = _sampled_alpha(scene, hit)
+                if prim_override is not None:
+                    blend_lane = blend_lane & ~prim_override[0]  # prims opaque
                 a = jnp.where(blend_lane, a, 1.0)
             else:
                 a = jnp.ones((n,), jnp.float32)

@@ -107,7 +107,7 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
 
     pool_ok = (cfg.integrator == "pool" and cfg.ray_block % 256 == 0
                and getattr(scene, "instances", None) is None)
-    large = scene.num_keys == 1 and scene.num_faces > LEAFWALK_MIN_FACES
+    large = scene.num_keys <= 2 and scene.num_faces > LEAFWALK_MIN_FACES
     if kind == "auto":
         if large:
             kind = ("external"
@@ -132,12 +132,15 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
 
         scene = split_order_scene(scene)
         pair = make_leafwalk_tracer(scene)
-    elif ((kind == "hierwalk" and scene.num_keys == 1)
+    elif ((kind == "hierwalk" and scene.num_keys <= 2)
             or (kind == "external" and large)):
         from ..accel.lbvh import split_order_scene
-        from ..trace.hierwalk import HIER_LEAF, make_hierwalk_tracer
+        from ..trace.hierwalk import (
+            HIER_LEAF, HIER_LEAF_MOTION, make_hierwalk_tracer,
+        )
 
-        scene = split_order_scene(scene, leaf=HIER_LEAF)
+        leaf = HIER_LEAF if scene.num_keys == 1 else HIER_LEAF_MOTION
+        scene = split_order_scene(scene, leaf=leaf)
         pair = make_hierwalk_tracer(scene)
     else:
         if scene.num_faces > 512 and scene.num_keys == 1:

@@ -142,3 +142,53 @@ def textured_quad_scene(checker_size: int = 64):
         eye=(0.0, 1.2, 2.2), lookat=(0.0, 0.2, 0.0), fov_y=45.0, aspect_ratio=1.0
     )
     return [floor, lamp], [tex], camera
+
+
+def primitives_scene():
+    """Analytic-primitive demo: sphere + sphere shell + parallelogram
+    mirror + a Catmull-Rom curve over a triangle floor — the builtin
+    counterpart of the whitted stack's hand-built custom-primitive scenes
+    (cuda/geometry.cu, sphere.cu, curve.h; whitted SBT wiring in
+    sutil/Scene.cpp:1214-1452). Renders through --renderer direct.
+
+    Returns (meshes, prims, camera, point_lights)."""
+    from ..io.gltf import PointLight
+    from ..scene.camera import Camera
+    from ..scene.primitives import Curve, Parallelogram, Sphere, SphereShell
+
+    v, f = quad([-6, 0, -6], [-6, 0, 6], [6, 0, 6], [6, 0, -6])
+    floor = Mesh(
+        vertices=v[None], indices=f,
+        texcoords=np.asarray([[0, 0], [0, 1], [1, 1], [1, 0]], np.float32),
+        material=Material(diffuse=(0.8, 0.8, 0.8),
+                          checker_color2=(0.25, 0.3, 0.35),
+                          checker_inv_size=(8.0, 8.0)),
+    )
+    prims = [
+        Sphere(center=(-1.6, 1.0, 0.0), radius=1.0,
+               material=Material(diffuse=(0.8, 0.3, 0.25),
+                                 roughness=0.35, metallic=0.1)),
+        SphereShell(center=(1.6, 1.0, 0.0), r_inner=0.6, r_outer=0.95,
+                    material=Material(diffuse=(0.3, 0.55, 0.85),
+                                      roughness=0.15, metallic=0.6)),
+        Parallelogram(anchor=(-2.5, 0.01, -3.0), v1=(5.0, 0.0, 0.0),
+                      v2=(0.0, 0.0, 1.8),
+                      material=Material(diffuse=(0.9, 0.8, 0.35),
+                                        roughness=0.6)),
+        Curve(kind="catmull_rom",
+              ctrl=np.asarray([[-2.5, 0.2, 2.2], [-1.0, 1.8, 2.4],
+                               [1.0, 0.4, 2.6], [2.5, 1.6, 2.2]],
+                              np.float32),
+              radii=np.asarray([0.18, 0.28, 0.22, 0.12], np.float32),
+              material=Material(diffuse=(0.35, 0.75, 0.4),
+                                roughness=0.45)),
+    ]
+    camera = Camera(eye=(0.0, 3.2, 8.5), lookat=(0.0, 0.9, 0.0),
+                    fov_y=45.0)
+    lights = [
+        PointLight(position=(4.0, 6.0, 4.0), color=(1.0, 1.0, 1.0),
+                   intensity=14.0),
+        PointLight(position=(-5.0, 4.0, -2.0), color=(0.9, 0.95, 1.0),
+                   intensity=7.0),
+    ]
+    return [floor], prims, camera, lights

@@ -104,6 +104,10 @@ class Scene:
     any_uv_transform: bool = field(metadata=dict(static=True), default=False)
     # True when any material carries a (tangent-space) normal map
     any_normal_map: bool = field(metadata=dict(static=True), default=False)
+    # optional analytic-primitive slabs (scene/primitives.py PrimSoA) —
+    # the whitted custom-primitive path (cuda/GeometryData.h:55-135);
+    # consumed by the direct renderer's combined tracer
+    prims: Optional[object] = None
 
 
 def _apply_affine(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
@@ -125,6 +129,7 @@ def build_scene(
     textures: Optional[Sequence[np.ndarray]] = None,
     emissive_threshold: float = 1e-5,
     env_map=None,
+    prims: Optional[Sequence] = None,
 ) -> Scene:
     """Flatten meshes/instances into a world-space device scene.
 
@@ -238,6 +243,16 @@ def build_scene(
 
     from .material import MaterialType
 
+    prim_soa = None
+    if prims:
+        from .primitives import build_prim_soa
+
+        def material_index(mat):
+            materials.append(mat)
+            return len(materials) - 1
+
+        prim_soa = build_prim_soa(prims, material_index)
+
     return Scene(
         geom=geom,
         materials=build_material_table(materials),
@@ -253,4 +268,5 @@ def build_scene(
         ),
         any_uv_transform=any(m.has_uv_transform() for m in materials),
         any_normal_map=any(m.normal_texture_id >= 0 for m in materials),
+        prims=prim_soa,
     )

@@ -17,6 +17,8 @@ so face ids match the shade tables — always render the RETURNED scene.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 
 # Measured crossover (v5e, round 1): tile-granular culling degenerates to a
@@ -24,6 +26,39 @@ import jax
 # per-ray walks keep scaling (round 2: the ordered-DFS hierwalk beats the
 # flat leafwalk end-to-end at 49k and 197k faces).
 LEAFWALK_MIN_FACES = 16384
+
+# Pool width for the large-scene walks. The walk's while_loop pays the MAX
+# round count over the wavefront while useful work scales with the MEAN,
+# and max round count grows with width — so NARROW pools run at better
+# straggler efficiency until per-iteration fixed costs dominate. Measured
+# on v5e (hierwalk, sort on, flush 8): 49k box field 16k/32k/64k pools ->
+# 4.27 / 3.75 / 2.77 Mray/s; 200k town 16k/32k -> 2.21 / 2.00; 1080p town
+# 16k ~= 32k. (A 128k pool once measured 5-10x faster — that was the
+# >=98304-lane while_loop miscompile producing all-miss renders; see
+# hierwalk._WALK_CHUNK. Chunked-correct 128k pools LOSE: the chunks pay
+# max-rounds per chunk while pool glue grows.)
+POOL_BLOCK_LARGE = 16384
+
+
+def tune_config(scene, cfg, on_tpu: bool | None = None):
+    """Scene-aware pool-schedule knobs (the measured v5e optimum for the
+    large-scene walk band): 16k-lane pool (straggler efficiency, see
+    above), coherence re-sort on (the row gathers are locality-sensitive:
+    49k field 3.75 vs 3.47 unsorted), flush cadence 8. Callers apply this
+    BEFORE choose_tracer so the pipeline kernels bake the same config."""
+    if on_tpu is None:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    if (on_tpu and cfg.integrator == "pool"
+            and getattr(scene, "instances", None) is None
+            and scene.num_keys <= 2
+            and scene.num_faces > LEAFWALK_MIN_FACES):
+        return dataclasses.replace(
+            cfg,
+            ray_block=min(cfg.ray_block, POOL_BLOCK_LARGE),
+            sort_rays=True,
+            flush_every=cfg.flush_every or 8,
+        )
+    return cfg
 
 
 def choose_tracer(scene, cfg, on_tpu: bool | None = None,
@@ -50,11 +85,14 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
                    and cfg.ray_block % 256 == 0
                    and getattr(scene, "instances", None) is None)
 
-    if scene.num_keys == 1 and scene.num_faces > LEAFWALK_MIN_FACES:
+    if scene.num_keys <= 2 and scene.num_faces > LEAFWALK_MIN_FACES:
         from ..accel.lbvh import split_order_scene
-        from .hierwalk import HIER_LEAF, make_hierwalk_tracer
+        from .hierwalk import (
+            HIER_LEAF, HIER_LEAF_MOTION, make_hierwalk_tracer,
+        )
 
-        scene = split_order_scene(scene, leaf=HIER_LEAF)
+        leaf = HIER_LEAF if scene.num_keys == 1 else HIER_LEAF_MOTION
+        scene = split_order_scene(scene, leaf=leaf)
         tracer = make_hierwalk_tracer(scene)
         if pipeline_ok and external_shade_eligible(scene, cfg):
             return scene, make_external_pipeline(scene, cfg, tracer)

@@ -30,7 +30,12 @@ Per-ray rows gathered = nodes visited (~10-16 on the 49k box field) vs the
 flat leafwalk's ~4.8 leaf visits x 18 row-units each — ~7x fewer row
 fetches, which is the whole game at 3 ns/row.
 
-Static scenes only (like leafwalk); motion uses the pallas_mt kernels.
+2-key motion scenes use HIER_LEAF_MOTION-triangle leaves with BOTH
+keyframes' triangles inline; the leaf test lerps the raw row floats by the
+per-ray time (vertex lerp == row lerp, both linear) and directory boxes
+union the two keys' child boxes — correct for any t in [0,1] because
+lerped vertices are convex combinations (cuda_mesh.h:85-88 motion GAS
+semantics). >2-key scenes fall back to the pallas_mt kernels.
 """
 from __future__ import annotations
 
@@ -44,6 +49,7 @@ import numpy as np
 from .intersect import Hit
 
 HIER_LEAF = 13    # triangles inline per leaf row (9*13 = 117 <= 128 lanes)
+HIER_LEAF_MOTION = 6  # 2-key leaves: both keys inline (2*9*6 = 108 lanes)
 FANOUT = 16       # children per directory row (6*16 = 96 lanes of boxes)
 ROW = 128
 _BIG = 1e30
@@ -64,36 +70,52 @@ class HierTable(NamedTuple):
     num_faces: int
 
 
-def build_hier_table(geom, num_faces: int, key: int = 0) -> HierTable:
+def build_hier_table(geom, num_faces: int, num_keys: int = 1) -> HierTable:
     """Host-side (numpy) build over spatially-ordered faces.
 
-    Leaves are consecutive HIER_LEAF-face runs; each directory level groups
-    FANOUT consecutive lower nodes. Order the scene with
-    accel.lbvh.split_order_scene(scene, leaf=HIER_LEAF) first."""
+    Leaves are consecutive cap-face runs (cap = HIER_LEAF static,
+    HIER_LEAF_MOTION for 2-key scenes, whose leaves inline both keys);
+    each directory level groups FANOUT consecutive lower nodes. Order the
+    scene with accel.lbvh.split_order_scene(scene, leaf=cap) first."""
+    if num_keys not in (1, 2):
+        raise ValueError("hier table supports 1 or 2 motion keys")
+    cap = HIER_LEAF if num_keys == 1 else HIER_LEAF_MOTION
     f = num_faces
-    v0 = np.asarray(geom.v0[key][:f], np.float32)
-    e1 = np.asarray(geom.e1[key][:f], np.float32)
-    e2 = np.asarray(geom.e2[key][:f], np.float32)
+    n_leaf = max(1, -(-f // cap))
+    f_pad = n_leaf * cap
 
-    n_leaf = max(1, -(-f // HIER_LEAF))
-    f_pad = n_leaf * HIER_LEAF
-    comp = np.zeros((9, f_pad), np.float32)
-    comp[0:3, :f] = v0.T
-    comp[3:6, :f] = e1.T
-    comp[6:9, :f] = e2.T
-    # leaf rows: component-major [9, HIER_LEAF] flattened
-    leaf_tris = (comp.reshape(9, n_leaf, HIER_LEAF).transpose(1, 0, 2)
-                 .reshape(n_leaf, 9 * HIER_LEAF))
+    def key_comp(key):
+        v0 = np.asarray(geom.v0[key][:f], np.float32)
+        e1 = np.asarray(geom.e1[key][:f], np.float32)
+        e2 = np.asarray(geom.e2[key][:f], np.float32)
+        comp = np.zeros((9, f_pad), np.float32)
+        comp[0:3, :f] = v0.T
+        comp[3:6, :f] = e1.T
+        comp[6:9, :f] = e2.T
+        # leaf rows: component-major [9, cap] flattened
+        tris = (comp.reshape(9, n_leaf, cap).transpose(1, 0, 2)
+                .reshape(n_leaf, 9 * cap))
+        return tris, v0, e1, e2
 
-    # per-leaf AABBs (over real faces only)
-    p1 = v0 + e1
-    p2 = v0 + e2
+    leaf_tris, v0, e1, e2 = key_comp(0)
+    if num_keys == 2:
+        tris1, v01, e11, e21 = key_comp(1)
+        leaf_tris = np.concatenate([leaf_tris, tris1], axis=1)
+
+    # per-leaf AABBs (over real faces only; union over keys for motion —
+    # lerped vertices are convex combos of the keys, so the union bounds
+    # every time in [0,1])
     lo_f = np.full((f_pad, 3), _BIG, np.float32)
     hi_f = np.full((f_pad, 3), -_BIG, np.float32)
-    lo_f[:f] = np.minimum(np.minimum(v0, p1), p2)
-    hi_f[:f] = np.maximum(np.maximum(v0, p1), p2)
-    leaf_lo = lo_f.reshape(n_leaf, HIER_LEAF, 3).min(axis=1)
-    leaf_hi = hi_f.reshape(n_leaf, HIER_LEAF, 3).max(axis=1)
+    lo_f[:f] = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi_f[:f] = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    if num_keys == 2:
+        lo_f[:f] = np.minimum(
+            lo_f[:f], np.minimum(np.minimum(v01, v01 + e11), v01 + e21))
+        hi_f[:f] = np.maximum(
+            hi_f[:f], np.maximum(np.maximum(v01, v01 + e11), v01 + e21))
+    leaf_lo = lo_f.reshape(n_leaf, cap, 3).min(axis=1)
+    leaf_hi = hi_f.reshape(n_leaf, cap, 3).max(axis=1)
 
     # directory levels bottom-up: level[i] groups FANOUT of level[i+1]
     levels = []  # list of (lo [M,3], hi [M,3], first_child_row-relative)
@@ -143,8 +165,8 @@ def build_hier_table(geom, num_faces: int, key: int = 0) -> HierTable:
         rows[:, _L_TYPE] = 0.0
     # leaf rows
     lrows = table[leaf_start:]
-    lrows[:, :9 * HIER_LEAF] = leaf_tris
-    lrows[:, _L_FIRST] = HIER_LEAF * np.arange(n_leaf, dtype=np.float32)
+    lrows[:, : leaf_tris.shape[1]] = leaf_tris
+    lrows[:, _L_FIRST] = cap * np.arange(n_leaf, dtype=np.float32)
     lrows[:, _L_TYPE] = 1.0
 
     return HierTable(table=jnp.asarray(table),
@@ -152,10 +174,21 @@ def build_hier_table(geom, num_faces: int, key: int = 0) -> HierTable:
                      leaf_start=leaf_start, num_faces=f)
 
 
-def _leaf_mt(rows, o, d, tmin, tcur):
-    """[R, HIER_LEAF] MT test of each ray vs its row's inline triangles."""
+def _leaf_mt(rows, o, d, tmin, tcur, time=None):
+    """[R, cap] MT test of each ray vs its row's inline triangles.
+
+    With `time` ([R] in [0,1]): rows carry both keys' triangles
+    (HIER_LEAF_MOTION wide) and the raw row floats lerp before the test —
+    row lerp == vertex lerp, both linear in the components."""
     r = rows.shape[0]
-    tri = rows[:, :9 * HIER_LEAF].reshape(r, 9, HIER_LEAF)
+    if time is None:
+        cap = HIER_LEAF
+        tri = rows[:, :9 * cap].reshape(r, 9, cap)
+    else:
+        cap = HIER_LEAF_MOTION
+        t0 = rows[:, :9 * cap]
+        t1 = rows[:, 9 * cap:18 * cap]
+        tri = (t0 + time[:, None] * (t1 - t0)).reshape(r, 9, cap)
     v0x, v0y, v0z = tri[:, 0], tri[:, 1], tri[:, 2]
     e1x, e1y, e1z = tri[:, 3], tri[:, 4], tri[:, 5]
     e2x, e2y, e2z = tri[:, 6], tri[:, 7], tri[:, 8]
@@ -215,9 +248,11 @@ def _prune_cut(best_t):
     return best_t * 1.00001 + 1e-6
 
 
-def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool):
+def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool,
+          time=None):
     """The gather-round walk. All inputs [R(,3)]; returns best (t, prim,
-    u, v) for closest mode, or found [R] bool for any mode."""
+    u, v) for closest mode, or found [R] bool for any mode. `time` [R]
+    selects the 2-key motion leaf layout (see _leaf_mt)."""
     r = o.shape[0]
     n_levels = len(tab.level_starts)  # directory levels (root = level 0)
     inv = _safe_inv(d)
@@ -253,18 +288,20 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool):
         # --- leaf: fused MT over the inline triangles ---
         tcur = jnp.where(s["found"], 0.0, s["best_t"]) if any_mode \
             else s["best_t"]
-        t, u, v, hit = _leaf_mt(rows, o, d, tmin_c, tcur[:, None])
+        t, u, v, hit = _leaf_mt(rows, o, d, tmin_c, tcur[:, None],
+                                time=time)
         hit = hit & (is_leaf & valid)[:, None]
         if any_mode:
             found = s["found"] | jnp.any(hit, axis=1)
             best_t, best_prim = s["best_t"], s["best_prim"]
             best_u, best_v = s["best_u"], s["best_v"]
         else:
+            cap = hit.shape[1]
             tt = jnp.where(hit, t, jnp.float32(_BIG))
             t_leaf = jnp.min(tt, axis=1)
-            lane = jax.lax.iota(jnp.int32, HIER_LEAF)[None, :]
+            lane = jax.lax.iota(jnp.int32, cap)[None, :]
             at_min = tt <= t_leaf[:, None]
-            lane_sel = jnp.min(jnp.where(at_min, lane, HIER_LEAF), axis=1)
+            lane_sel = jnp.min(jnp.where(at_min, lane, cap), axis=1)
             one = at_min & (lane == lane_sel[:, None])
             better = t_leaf < s["best_t"]
             best_t = jnp.where(better, t_leaf, s["best_t"])
@@ -324,16 +361,43 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool):
     return state["best_t"], state["best_prim"], state["best_u"], state["best_v"]
 
 
+# Widest single while_loop the walk will run. XLA on the TPU backend
+# MISCOMPILES this loop somewhere between 81920 and 98304 lanes (measured:
+# duplicated-ray blocks return different, mostly-miss results at >= 98304
+# while every width <= 81920 is exact; the row gather, leaf MT, and slab
+# tests are each correct standalone at 131072+). Wider wavefronts are
+# walked in sequential <= 65536-lane chunks — the pool still amortizes its
+# glue over the full width, and 65536 was the measured-correct sweet spot.
+_WALK_CHUNK = 65536
+
+
+def _walk_chunked(tab, o, d, tmin, tmax, live, any_mode, time):
+    r = o.shape[0]
+    if r <= _WALK_CHUNK:
+        return _walk(tab, o, d, tmin, tmax, live, any_mode, time=time)
+    outs = []
+    for s in range(0, r, _WALK_CHUNK):
+        e = min(s + _WALK_CHUNK, r)
+        outs.append(_walk(
+            tab, o[s:e], d[s:e], tmin[s:e], tmax[s:e], live[s:e],
+            any_mode, time=None if time is None else time[s:e]))
+    if any_mode:
+        return jnp.concatenate(outs)
+    return tuple(jnp.concatenate(parts) for parts in zip(*outs))
+
+
 @jax.jit
-def trace_closest_hier(tab: HierTable, o, d, tmin, tmax, count=None) -> Hit:
+def trace_closest_hier(tab: HierTable, o, d, tmin, tmax, count=None,
+                       time=None) -> Hit:
     """Closest hit via the hierarchical gather walk (compaction contract:
     only the first `count` rays are live)."""
     r = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     live = jnp.arange(r) < (r if count is None else count)
-    t, prim, u, v = _walk(tab, o.astype(jnp.float32), d.astype(jnp.float32),
-                          tmin, tmax, live, any_mode=False)
+    t, prim, u, v = _walk_chunked(
+        tab, o.astype(jnp.float32), d.astype(jnp.float32),
+        tmin, tmax, live, any_mode=False, time=time)
     valid = (prim >= 0) & (prim < tab.num_faces)
     return Hit(t=jnp.where(valid, t, tmax),
                prim=jnp.where(valid, prim, -1),
@@ -341,32 +405,42 @@ def trace_closest_hier(tab: HierTable, o, d, tmin, tmax, count=None) -> Hit:
 
 
 @jax.jit
-def trace_any_hier(tab: HierTable, o, d, tmin, tmax, count=None):
+def trace_any_hier(tab: HierTable, o, d, tmin, tmax, count=None, time=None):
     r = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     live = jnp.arange(r) < (r if count is None else count)
-    return _walk(tab, o.astype(jnp.float32), d.astype(jnp.float32),
-                 tmin, tmax, live, any_mode=True)
+    return _walk_chunked(tab, o.astype(jnp.float32), d.astype(jnp.float32),
+                         tmin, tmax, live, any_mode=True, time=time)
 
 
 def make_hierwalk_tracer(scene):
     """(closest, any) pair over the hierarchical gather walk.
 
-    Static scenes only; order the scene with
-    accel.lbvh.split_order_scene(scene, leaf=HIER_LEAF) first so leaves and
-    directories cover compact clusters (correct either way, slower on
-    scrambled order)."""
-    if scene.num_keys != 1:
-        raise ValueError("hierwalk tracer supports static scenes only")
-    tab = build_hier_table(scene.geom, scene.num_faces)
+    Static and 2-key motion scenes; order the scene with
+    accel.lbvh.split_order_scene(scene, leaf=HIER_LEAF or
+    HIER_LEAF_MOTION) first so leaves and directories cover compact
+    clusters (correct either way, slower on scrambled order)."""
+    if scene.num_keys not in (1, 2):
+        raise ValueError("hierwalk tracer supports 1- or 2-key scenes")
+    motion = scene.num_keys == 2
+    tab = build_hier_table(scene.geom, scene.num_faces,
+                           num_keys=scene.num_keys)
+
+    def _time_col(time, o):
+        if not motion:
+            return None
+        if time is None:
+            return jnp.zeros((o.shape[0],), jnp.float32)
+        return jnp.broadcast_to(
+            jnp.asarray(time, jnp.float32), (o.shape[0],))
 
     def closest(o, d, tmin, tmax, time, count=None):
-        del time
-        return trace_closest_hier(tab, o, d, tmin, tmax, count=count)
+        return trace_closest_hier(tab, o, d, tmin, tmax, count=count,
+                                  time=_time_col(time, o))
 
     def any_hit(o, d, tmin, tmax, time, count=None):
-        del time
-        return trace_any_hier(tab, o, d, tmin, tmax, count=count)
+        return trace_any_hier(tab, o, d, tmin, tmax, count=count,
+                              time=_time_col(time, o))
 
     return closest, any_hit

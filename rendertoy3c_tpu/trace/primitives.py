@@ -10,6 +10,7 @@ unchanged-from-tmax semantics via the mask.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..math.vec import cross, dot, normalize
@@ -188,3 +189,94 @@ def intersect_curve(kind, ctrl, radii, o, d, tmin, tmax, segments: int = 8):
     hit_p = o + best_t[..., None] * d
     n = curve_surface_normal(kind, ctrl, radii, best_u, hit_p)
     return best_t, n, any_hit, best_u
+
+
+def trace_prims(prims, o, d, tmin, tmax):
+    """Closest analytic hit across every primitive slab of a PrimSoA.
+
+    One dense vectorized [R, K] sweep per kind present (static python
+    gates on the slab shapes — the TPU counterpart of the reference
+    registering one intersection program per custom-primitive kind into
+    the whitted SBT, sutil/Scene.cpp:1214-1452).
+
+    Returns (t [R], n [R,3], uv [R,2], mat [R] i32, hit [R] bool); lanes
+    that miss keep t = tmax, n/uv zeros, mat -1.
+    """
+    r = o.shape[0]
+    tmin_c = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))[:, None]
+    best_t = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    best_n = jnp.zeros((r, 3), jnp.float32)
+    best_uv = jnp.zeros((r, 2), jnp.float32)
+    best_mat = jnp.full((r,), -1, jnp.int32)
+    o_b = o[:, None, :]
+    d_b = d[:, None, :]
+
+    def merge(t, n, uv, mat, hit, best):
+        """Fold a [R, K] kind-sweep into the running [R] best."""
+        best_t, best_n, best_uv, best_mat = best
+        tt = jnp.where(hit, t, jnp.float32(1e30))
+        k_t = jnp.min(tt, axis=1)
+        k = tt.shape[1]
+        lane = jax.lax.iota(jnp.int32, k)[None, :]
+        sel = jnp.min(jnp.where(tt <= k_t[:, None], lane, k), axis=1)
+        one = (lane == sel[:, None]) & hit
+        better = k_t < best_t
+        pick = lambda a, cur: jnp.where(  # noqa: E731
+            better if a.ndim == 1 else better[:, None],
+            jnp.sum(jnp.where(one if a.ndim == 2 else one[..., None],
+                              a, 0), axis=1), cur)
+        return (jnp.where(better, k_t, best_t),
+                pick(n, best_n), pick(uv, best_uv),
+                jnp.where(better,
+                          jnp.sum(jnp.where(one, mat[None, :], 0), axis=1)
+                          .astype(jnp.int32),
+                          best_mat))
+
+    best = (best_t, best_n, best_uv, best_mat)
+
+    if prims.sph_radius.shape[0]:
+        t, n, hit = intersect_sphere(
+            o_b, d_b, prims.sph_center[None], prims.sph_radius[None],
+            tmin_c, best[0][:, None])
+        # lat-long uv from the outward normal (customs have no uv in the
+        # reference; spherical chart is the natural texture frame)
+        uv = jnp.stack([
+            0.5 + jnp.arctan2(n[..., 2], n[..., 0]) / (2.0 * jnp.pi),
+            0.5 + jnp.arcsin(jnp.clip(n[..., 1], -1, 1)) / jnp.pi,
+        ], axis=-1)
+        best = merge(t, n, uv, prims.sph_mat, hit, best)
+
+    if prims.shell_radii.shape[0]:
+        t, n, hit, _kind = intersect_sphere_shell(
+            o_b, d_b, prims.shell_center[None],
+            prims.shell_radii[None, :, 0], prims.shell_radii[None, :, 1],
+            tmin_c, best[0][:, None])
+        uv = jnp.stack([
+            0.5 + jnp.arctan2(n[..., 2], n[..., 0]) / (2.0 * jnp.pi),
+            0.5 + jnp.arcsin(jnp.clip(n[..., 1], -1, 1)) / jnp.pi,
+        ], axis=-1)
+        best = merge(t, n, uv, prims.shell_mat, hit, best)
+
+    if prims.par_anchor.shape[0]:
+        t, n, hit, (a, b) = intersect_parallelogram(
+            o_b, d_b, prims.par_anchor[None], prims.par_v1[None],
+            prims.par_v2[None], tmin_c, best[0][:, None])
+        best = merge(t, n, jnp.stack([a, b], axis=-1), prims.par_mat, hit,
+                     best)
+
+    for cs in prims.curves:
+        t, n, hit, u = intersect_curve(
+            cs.kind, cs.ctrl[None], cs.radii[None], o_b, d_b,
+            tmin_c, best[0][:, None])
+        uv = jnp.stack([u, jnp.zeros_like(u)], axis=-1)
+        best = merge(t, n, uv, cs.mat_id, hit, best)
+
+    best_t, best_n, best_uv, best_mat = best
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    return best_t, best_n, best_uv, best_mat, best_t < tmax_b
+
+
+def trace_prims_any(prims, o, d, tmin, tmax):
+    """Occlusion probe against the analytic slabs (shadow rays)."""
+    _t, _n, _uv, _m, hit = trace_prims(prims, o, d, tmin, tmax)
+    return hit

@@ -137,3 +137,49 @@ def test_multi_phase_decay_widths():
 def test_multi_phase_with_count():
     """Width decay composes with the compacted-live-ray count hint."""
     _check(_box_field(45, seed=9), n_rays=8192, seed=13, count=5000)
+
+
+def _motion_field(n_side, seed=0, shift=(0.35, 0.2, -0.25)):
+    """2-keyframe box field: key 1 = key 0 translated by `shift`."""
+    scene = _box_field(n_side, seed=seed)
+    g = scene.geom
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    sh = np.asarray(shift, np.float32)
+    v0 = np.stack([np.asarray(g.v0[0]), np.asarray(g.v0[0]) + sh])
+    geom = g._replace(
+        v0=jnp.asarray(v0),
+        e1=jnp.concatenate([g.e1, g.e1], axis=0),
+        e2=jnp.concatenate([g.e2, g.e2], axis=0),
+        n0=jnp.concatenate([g.n0, g.n0], axis=0),
+        n1=jnp.concatenate([g.n1, g.n1], axis=0),
+        n2=jnp.concatenate([g.n2, g.n2], axis=0),
+    )
+    return dataclasses.replace(scene, geom=geom, num_keys=2)
+
+
+def test_motion_two_key_matches_brute():
+    """2-key hierwalk (lerped leaf rows + union boxes) vs brute force at
+    several times, including the endpoints."""
+    import jax.numpy as jnp
+
+    from rendertoy3c_tpu.trace.hierwalk import HIER_LEAF_MOTION
+
+    scene = split_order_scene(_motion_field(16), leaf=HIER_LEAF_MOTION)
+    hc, ha = make_hierwalk_tracer(scene)
+    bc, ba = make_bruteforce_tracer(scene)
+    o, d = _rand_rays(scene, 2048, seed=21)
+    rng = np.random.default_rng(33)
+    for time in (jnp.zeros(2048), jnp.ones(2048), None,
+                 jnp.asarray(rng.random(2048).astype(np.float32))):
+        bt = jnp.zeros(2048) if time is None else time
+        h = hc(o, d, 1e-3, 1e16, time, None)
+        b = bc(o, d, 1e-3, 1e16, bt, None)
+        np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(b.prim))
+        np.testing.assert_allclose(np.asarray(h.t), np.asarray(b.t),
+                                   rtol=2e-5, atol=2e-5)
+        occ_h = np.asarray(ha(o, d, 1e-3, 5.0, time, None))
+        occ_b = np.asarray(ba(o, d, 1e-3, 5.0, bt, None))
+        np.testing.assert_array_equal(occ_h, occ_b)
