@@ -123,7 +123,9 @@ def _parity_gate(cfg_kwargs):
     sc = split_order_scene(_box_field_scene(), leaf=HIER_LEAF)
     hc, _ = make_hierwalk_tracer(sc)
     bc, _ = make_bruteforce_tracer(sc)
-    R = POOL_BLOCK_LARGE
+    # gate at >= the miscompile width so the _WALK_CHUNK guard stays
+    # covered even while production pools are narrower
+    R = max(POOL_BLOCK_LARGE, 131072)
     cam_gate = _Cam(eye=(0, 20, 45), lookat=(0, 0, 0), fov_y=50.0,
                     aspect_ratio=1.0).params()
     px = jnp.arange(R) % 768
@@ -225,9 +227,6 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     from rendertoy3c_tpu.scene.material import Material
     from rendertoy3c_tpu.scene.scene import Instance, build_scene
     from rendertoy3c_tpu.trace.instanced import make_instanced_tracer
-    from rendertoy3c_tpu.trace.pallas_instanced import (
-        make_pallas_instanced_tracer,
-    )
 
     on_tpu = jax.devices()[0].platform == "tpu"
     results = {}
@@ -307,11 +306,15 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     scene_baked = build_scene(meshes, instances=inst)
     record("multi_instance_tlas", scene_baked, ccam, cfg)
 
+    # trace-time instancing now rides the auto ladder (the instanced TLAS
+    # walk for static scenes; trace/hier_instanced.py)
     iscene = build_instanced_scene(meshes, inst)
-    tracer = (make_pallas_instanced_tracer(iscene) if on_tpu
-              else make_instanced_tracer(iscene))
-    record("multi_instance_tracetime", iscene, ccam,
-           dataclasses.replace(cfg, sort_rays=True), tracer=tracer)
+    if on_tpu:
+        record("multi_instance_tracetime", iscene, ccam, cfg)
+    else:
+        record("multi_instance_tracetime", iscene, ccam,
+               dataclasses.replace(cfg, sort_rays=True),
+               tracer=make_instanced_tracer(iscene))
 
     # 49k box field (round-1 scaling record, hierwalk path)
     from rendertoy3c_tpu.scene.camera import Camera as _Camera

@@ -48,9 +48,19 @@ def tune_config(scene, cfg, on_tpu: bool | None = None):
     BEFORE choose_tracer so the pipeline kernels bake the same config."""
     if on_tpu is None:
         on_tpu = jax.devices()[0].platform == "tpu"
-    if (on_tpu and cfg.integrator == "pool"
-            and getattr(scene, "instances", None) is None
-            and scene.num_keys <= 2
+    if not (on_tpu and cfg.integrator == "pool"):
+        return cfg
+    if _is_instanced(scene) and scene.num_keys == 1:
+        # instanced TLAS walk: sort costs more than its gather locality
+        # buys on the small shared tables (9.8 vs 7.3 Mray/s on the
+        # trace-time cornell config)
+        return dataclasses.replace(
+            cfg,
+            ray_block=min(cfg.ray_block, POOL_BLOCK_LARGE),
+            sort_rays=False,
+            flush_every=cfg.flush_every or 8,
+        )
+    if (not _is_instanced(scene) and scene.num_keys <= 2
             and scene.num_faces > LEAFWALK_MIN_FACES):
         return dataclasses.replace(
             cfg,
@@ -59,6 +69,11 @@ def tune_config(scene, cfg, on_tpu: bool | None = None):
             flush_every=cfg.flush_every or 8,
         )
     return cfg
+
+
+def _is_instanced(scene) -> bool:
+    """True for InstancedScene (trace-time two-level AS)."""
+    return hasattr(scene, "instance_mesh")
 
 
 def choose_tracer(scene, cfg, on_tpu: bool | None = None,
@@ -73,6 +88,22 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
         on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
         return scene, None
+
+    if _is_instanced(scene):
+        # trace-time two-level AS: the instanced TLAS walk for static
+        # scenes (9.8 vs 6.3 Mray/s over the unrolled pallas kernels on
+        # the trace-time cornell config), pallas kernels for matrix motion
+        if scene.num_keys == 1:
+            from .hier_instanced import (
+                make_inst_hierwalk_tracer, split_order_instanced,
+            )
+
+            scene = split_order_instanced(scene)
+            return scene, make_inst_hierwalk_tracer(scene)
+        from .pallas_instanced import make_pallas_instanced_tracer
+
+        return scene, make_pallas_instanced_tracer(scene)
+
     from .pallas_mt import make_pallas_mt_tracer
     from .pallas_shade import (
         external_shade_eligible,

@@ -1,0 +1,505 @@
+"""Instanced hierarchical gather walk — the trace-time TLAS backend.
+
+The TPU answer to optixTraverse over an IAS of motionless instances
+(src/cuda/cuda_accel.h:92-150 single-level IAS; traversal transforms rays
+into object space per instance). One flat row table extends
+trace/hierwalk.py's ordered-DFS walk with two more row types:
+
+  world directory rows : FANOUT instance/world-child AABBs (world space)
+  instance rows        : inverse transform (12 lanes) + instance id +
+                         mesh-subtree root pointer — visiting one switches
+                         the ray into that instance's OBJECT space
+  mesh directory rows  : FANOUT object-space child boxes (shared per MESH,
+                         not duplicated per instance)
+  leaf rows            : HIER_LEAF object-space triangles inline
+
+Rays carry (o_cur, d_cur) for the space they are walking in; d_cur is NOT
+renormalized after the affine transform, so MT and slab distances stay in
+world-t units and one global best_t prunes across spaces. A pop that
+selects a pending WORLD-level child restores the world ray (DFS pops
+deepest-first, so an instance's object-space pendings are always exhausted
+before the walk leaves it).
+
+Geometry memory stays one copy per MESH (the whole point of trace-time
+instancing vs. baking): instance rows reference shared mesh subtrees.
+
+Static scenes only (instance matrix motion needs per-ray inversion of the
+lerped transform; that stays on the pallas_instanced kernels).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hierwalk import (
+    _BIG,
+    _WALK_CHUNK,
+    FANOUT,
+    HIER_LEAF,
+    ROW,
+    _dir_entries,
+    _leaf_mt,
+    _prune_cut,
+    _safe_inv,
+)
+from .intersect import Hit
+
+# row lane map (extends hierwalk's)
+_L_FIRST = 120   # child pointer / leaf first-face id (f32, exact)
+_L_INST = 121    # instance row: instance id
+_L_TYPE = 127    # 0 = directory, 1 = leaf, 2 = instance
+
+
+class InstHierTable(NamedTuple):
+    table: jnp.ndarray      # [N, 128] f32
+    world_starts: tuple     # static: first row id of each WORLD dir level
+    inst_start: int         # static: first instance row id
+    mesh_starts: tuple      # static: first row id of each MESH dir level
+    leaf_start: int         # static: first leaf row id
+    num_faces: int          # padded object-space face-axis length
+
+
+def _mesh_subtree(v0, e1, e2, first_face):
+    """Leaf rows + bottom-up FANOUT levels for one mesh (object space).
+
+    Returns (levels, leaf_rows, leaf_lo, leaf_hi) where levels is a list
+    (top first) of (child_lo [n,FANOUT,3], child_hi) box groups."""
+    f = v0.shape[0]
+    n_leaf = max(1, -(-f // HIER_LEAF))
+    f_pad = n_leaf * HIER_LEAF
+    comp = np.zeros((9, f_pad), np.float32)
+    comp[0:3, :f] = v0.T
+    comp[3:6, :f] = e1.T
+    comp[6:9, :f] = e2.T
+    leaf_tris = (comp.reshape(9, n_leaf, HIER_LEAF).transpose(1, 0, 2)
+                 .reshape(n_leaf, 9 * HIER_LEAF))
+
+    p1 = v0 + e1
+    p2 = v0 + e2
+    lo_f = np.full((f_pad, 3), _BIG, np.float32)
+    hi_f = np.full((f_pad, 3), -_BIG, np.float32)
+    lo_f[:f] = np.minimum(np.minimum(v0, p1), p2)
+    hi_f[:f] = np.maximum(np.maximum(v0, p1), p2)
+    leaf_lo = lo_f.reshape(n_leaf, HIER_LEAF, 3).min(axis=1)
+    leaf_hi = hi_f.reshape(n_leaf, HIER_LEAF, 3).max(axis=1)
+
+    leaf_rows = np.zeros((n_leaf, ROW), np.float32)
+    leaf_rows[:, :9 * HIER_LEAF] = leaf_tris
+    leaf_rows[:, _L_FIRST] = (first_face
+                              + HIER_LEAF * np.arange(n_leaf,
+                                                      dtype=np.float32))
+    leaf_rows[:, _L_TYPE] = 1.0
+
+    levels = []
+    lo, hi, cnt = leaf_lo, leaf_hi, n_leaf
+    while cnt > 1:
+        n_dir = -(-cnt // FANOUT)
+        pad = n_dir * FANOUT
+        glo = np.full((pad, 3), _BIG, np.float32)
+        ghi = np.full((pad, 3), _BIG, np.float32)  # degenerate far boxes
+        glo[:cnt] = lo
+        ghi[:cnt] = hi
+        clo = glo.reshape(n_dir, FANOUT, 3)
+        chi = ghi.reshape(n_dir, FANOUT, 3)
+        levels.insert(0, (clo, chi))
+        real = (clo[:, :, 0] < _BIG)[:, :, None]
+        lo = np.where(real, clo, _BIG).min(axis=1).astype(np.float32)
+        hi = np.where(real, chi, -_BIG).max(axis=1).astype(np.float32)
+        hi = np.where(lo < _BIG, hi, _BIG)
+        cnt = n_dir
+    root_lo, root_hi = lo[0], hi[0]
+    return levels, leaf_rows, root_lo, root_hi
+
+
+def split_order_instanced(iscene):
+    """Median-split face order WITHIN each mesh range (object space) so
+    each mesh's consecutive HIER_LEAF runs cluster tightly. Returns a new
+    InstancedScene (prim ids change)."""
+    import dataclasses
+
+    g = iscene.geom
+    f_total = g.mat_id.shape[0]
+    perm = np.arange(f_total)
+    for start, cnt in iscene.mesh_ranges:
+        v0 = np.asarray(g.v0[0][start:start + cnt])
+        e1 = np.asarray(g.e1[0][start:start + cnt])
+        e2 = np.asarray(g.e2[0][start:start + cnt])
+        real = ~((np.abs(v0).sum(1) == 0) & (np.abs(e1).sum(1) == 0)
+                 & (np.abs(e2).sum(1) == 0))
+        nf = int(real.sum())
+        if nf <= HIER_LEAF:
+            continue
+        cent = (v0[:nf] + (e1[:nf] + e2[:nf]) / 3.0)
+        out = []
+        stack = [np.arange(nf)]
+        while stack:
+            idx = stack.pop()
+            if len(idx) <= HIER_LEAF:
+                out.append(idx)
+                continue
+            c = cent[idx]
+            ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            srt = idx[np.argsort(c[:, ax], kind="stable")]
+            half = min(-(-len(idx) // (2 * HIER_LEAF)) * HIER_LEAF,
+                       len(idx) - 1)
+            stack.append(srt[half:])
+            stack.append(srt[:half])
+        perm[start:start + nf] = start + np.concatenate(out)
+
+    def take(arr, per_key):
+        a = np.asarray(arr)
+        return jnp.asarray(a[:, perm] if per_key else a[perm])
+
+    geom = g._replace(
+        v0=take(g.v0, True), e1=take(g.e1, True), e2=take(g.e2, True),
+        n0=take(g.n0, True), n1=take(g.n1, True), n2=take(g.n2, True),
+        uv0=take(g.uv0, False), uv1=take(g.uv1, False),
+        uv2=take(g.uv2, False), mat_id=take(g.mat_id, False),
+    )
+    return dataclasses.replace(iscene, geom=geom)
+
+
+def build_inst_hier_table(iscene) -> InstHierTable:
+    """Host-side build: world levels over instance AABBs, instance rows,
+    shared per-mesh object-space subtrees."""
+    g = iscene.geom
+    inst = iscene.instances
+    n_inst = iscene.num_instances
+    minv = np.asarray(inst.minv)[:, 0]        # [I, 3, 4] (static: key 0)
+    ilo = np.asarray(inst.aabb_lo)
+    ihi = np.asarray(inst.aabb_hi)
+
+    # per-mesh subtrees
+    mesh_sub = []
+    for start, cnt in iscene.mesh_ranges:
+        v0 = np.asarray(g.v0[0][start:start + cnt], np.float32)
+        e1 = np.asarray(g.e1[0][start:start + cnt], np.float32)
+        e2 = np.asarray(g.e2[0][start:start + cnt], np.float32)
+        real = ~((np.abs(v0).sum(1) == 0) & (np.abs(e1).sum(1) == 0)
+                 & (np.abs(e2).sum(1) == 0))
+        nf = max(1, int(real.sum()))
+        mesh_sub.append(_mesh_subtree(v0[:nf], e1[:nf], e2[:nf], start))
+    mesh_depth = max(len(levels) for levels, *_ in mesh_sub)
+
+    # world levels over instances (bottom-up FANOUT grouping)
+    wlevels = []
+    lo, hi, cnt = ilo, ihi, n_inst
+    while cnt > 1:
+        n_dir = -(-cnt // FANOUT)
+        pad = n_dir * FANOUT
+        glo = np.full((pad, 3), _BIG, np.float32)
+        ghi = np.full((pad, 3), _BIG, np.float32)
+        glo[:cnt] = lo
+        ghi[:cnt] = hi
+        clo = glo.reshape(n_dir, FANOUT, 3)
+        chi = ghi.reshape(n_dir, FANOUT, 3)
+        wlevels.insert(0, (clo, chi))
+        real = (clo[:, :, 0] < _BIG)[:, :, None]
+        lo = np.where(real, clo, _BIG).min(axis=1).astype(np.float32)
+        hi = np.where(real, chi, -_BIG).max(axis=1).astype(np.float32)
+        hi = np.where(lo < _BIG, hi, _BIG)
+        cnt = n_dir
+    if not wlevels:  # single instance: a 1-child root directory
+        clo = np.full((1, FANOUT, 3), _BIG, np.float32)
+        chi = np.full((1, FANOUT, 3), _BIG, np.float32)
+        clo[0, 0] = ilo[0]
+        chi[0, 0] = ihi[0]
+        wlevels = [(clo, chi)]
+
+    # row layout: [world dirs by level][instance rows]
+    #             [mesh dirs by level (all meshes)][leaves (all meshes)]
+    world_starts = []
+    acc = 0
+    for clo, _ in wlevels:
+        world_starts.append(acc)
+        acc += clo.shape[0]
+    inst_start = acc
+    acc += n_inst
+    mesh_starts = []
+    mesh_level_rows = []  # per global mesh level: list of (mesh_i, clo, chi)
+    for lv in range(mesh_depth):
+        mesh_starts.append(acc)
+        rows_here = []
+        for mi, (levels, *_rest) in enumerate(mesh_sub):
+            if lv < len(levels):
+                rows_here.append((mi, levels[lv]))
+                acc += levels[lv][0].shape[0]
+        mesh_level_rows.append(rows_here)
+    leaf_start = acc
+    leaf_base = {}
+    for mi, (_levels, leaf_rows, _lo, _hi) in enumerate(mesh_sub):
+        leaf_base[mi] = acc
+        acc += leaf_rows.shape[0]
+    n_rows = acc
+
+    # per-mesh, per-level row bases (for child pointers)
+    level_base = {}
+    for lv, rows_here in enumerate(mesh_level_rows):
+        base = mesh_starts[lv]
+        for mi, (clo, _chi) in rows_here:
+            level_base[(mi, lv)] = base
+            base += clo.shape[0]
+
+    table = np.zeros((n_rows, ROW), np.float32)
+
+    def fill_dir(base, clo, chi, child_base):
+        n_dir = clo.shape[0]
+        rows = table[base:base + n_dir]
+        for c in range(3):
+            rows[:, c * FANOUT:(c + 1) * FANOUT] = clo[:, :, c]
+            rows[:, (c + 3) * FANOUT:(c + 4) * FANOUT] = chi[:, :, c]
+        rows[:, _L_FIRST] = (child_base
+                             + FANOUT * np.arange(n_dir, dtype=np.float32))
+        rows[:, _L_TYPE] = 0.0
+
+    # world dirs: children of level i are level i+1 rows (or instances)
+    for i, (clo, chi) in enumerate(wlevels):
+        child = (world_starts[i + 1] if i + 1 < len(wlevels) else inst_start)
+        fill_dir(world_starts[i], clo, chi, child)
+
+    # instance rows
+    for i in range(n_inst):
+        row = table[inst_start + i]
+        row[0:9] = minv[i, :, :3].reshape(9)
+        row[9:12] = minv[i, :, 3]
+        mi = int(np.asarray(inst.mesh_id)[i])
+        levels = mesh_sub[mi][0]
+        row[_L_FIRST] = (level_base[(mi, 0)] if levels else leaf_base[mi])
+        row[_L_INST] = float(i)
+        row[_L_TYPE] = 2.0
+
+    # mesh dirs: children at level lv+1 (or the mesh's leaves)
+    for lv, rows_here in enumerate(mesh_level_rows):
+        for mi, (clo, chi) in rows_here:
+            levels = mesh_sub[mi][0]
+            child = (level_base[(mi, lv + 1)] if lv + 1 < len(levels)
+                     else leaf_base[mi])
+            fill_dir(level_base[(mi, lv)], clo, chi, child)
+
+    # leaves
+    for mi, (_levels, leaf_rows, _lo, _hi) in enumerate(mesh_sub):
+        table[leaf_base[mi]:leaf_base[mi] + leaf_rows.shape[0]] = leaf_rows
+
+    return InstHierTable(
+        table=jnp.asarray(table),
+        world_starts=tuple(world_starts),
+        inst_start=inst_start,
+        mesh_starts=tuple(mesh_starts),
+        leaf_start=leaf_start,
+        num_faces=int(g.mat_id.shape[0]),
+    )
+
+
+def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool):
+    """Ordered-DFS walk over the instanced table (see module docstring).
+
+    Per-ray space state: (o_cur, d_cur, inv_cur, inst_cur) switch into an
+    instance's object frame at its instance row and restore to world when
+    the pop re-enters a world level."""
+    r = o.shape[0]
+    n_world = len(tab.world_starts)
+    n_mesh = len(tab.mesh_starts)
+    inv_w = _safe_inv(d)
+    tmin_c = tmin[:, None]
+    lane16 = jax.lax.iota(jnp.int32, FANOUT)[None, :]
+
+    # directory level id ranges: world levels then mesh levels
+    level_lo = list(tab.world_starts) + list(tab.mesh_starts)
+    level_hi = (list(tab.world_starts[1:]) + [tab.inst_start]
+                + list(tab.mesh_starts[1:]) + [tab.leaf_start])
+    n_levels = n_world + n_mesh
+
+    state = dict(
+        cur=jnp.where(live, 0, -1).astype(jnp.int32),
+        o_cur=o, d_cur=d, inv_cur=inv_w,
+        inst_cur=jnp.full((r,), -1, jnp.int32),
+        best_t=tmax,
+        best_prim=jnp.full((r,), -1, jnp.int32),
+        best_inst=jnp.full((r,), -1, jnp.int32),
+        best_u=jnp.zeros((r,), jnp.float32),
+        best_v=jnp.zeros((r,), jnp.float32),
+        found=jnp.zeros((r,), bool),
+        ents=[jnp.full((r, FANOUT), jnp.float32(_BIG))
+              for _ in range(n_levels)],
+        bases=[jnp.zeros((r,), jnp.int32) for _ in range(n_levels)],
+    )
+
+    def cond(s):
+        return jnp.any(s["cur"] >= 0)
+
+    def body(s):
+        cur = s["cur"]
+        valid = cur >= 0
+        rows = jnp.take(tab.table, jnp.maximum(cur, 0), axis=0)
+        typ = rows[:, _L_TYPE]
+        is_leaf = typ > 0.5
+        is_inst = typ > 1.5
+        is_leaf = is_leaf & ~is_inst
+        first = rows[:, _L_FIRST]
+        o_cur, d_cur, inv_cur = s["o_cur"], s["d_cur"], s["inv_cur"]
+
+        # --- leaf: fused MT in the current space (t in world units) ---
+        tcur = jnp.where(s["found"], 0.0, s["best_t"]) if any_mode \
+            else s["best_t"]
+        t, u, v, hit = _leaf_mt(rows, o_cur, d_cur, tmin_c, tcur[:, None])
+        hit = hit & (is_leaf & valid)[:, None]
+        if any_mode:
+            found = s["found"] | jnp.any(hit, axis=1)
+            best_t, best_prim = s["best_t"], s["best_prim"]
+            best_u, best_v = s["best_u"], s["best_v"]
+            best_inst = s["best_inst"]
+        else:
+            cap = hit.shape[1]
+            tt = jnp.where(hit, t, jnp.float32(_BIG))
+            t_leaf = jnp.min(tt, axis=1)
+            lane = jax.lax.iota(jnp.int32, cap)[None, :]
+            at_min = tt <= t_leaf[:, None]
+            lane_sel = jnp.min(jnp.where(at_min, lane, cap), axis=1)
+            one = at_min & (lane == lane_sel[:, None])
+            better = t_leaf < s["best_t"]
+            best_t = jnp.where(better, t_leaf, s["best_t"])
+            best_prim = jnp.where(
+                better, first.astype(jnp.int32) + lane_sel, s["best_prim"])
+            best_inst = jnp.where(better, s["inst_cur"], s["best_inst"])
+            best_u = jnp.where(
+                better, jnp.sum(jnp.where(one, u, 0.0), axis=1), s["best_u"])
+            best_v = jnp.where(
+                better, jnp.sum(jnp.where(one, v, 0.0), axis=1), s["best_v"])
+            found = s["found"]
+
+        # --- instance row: switch into object space, jump to subtree ---
+        lin = rows[:, 0:9].reshape(r, 3, 3)
+        o_t = jnp.einsum("rij,rj->ri", lin, o) + rows[:, 9:12]
+        d_t = jnp.einsum("rij,rj->ri", lin, d)  # NOT normalized: world t
+        sel_i = (valid & is_inst)[:, None]
+        o_cur = jnp.where(sel_i, o_t, o_cur)
+        d_cur = jnp.where(sel_i, d_t, d_cur)
+        inv_cur = jnp.where(sel_i, _safe_inv(d_t), inv_cur)
+        inst_cur = jnp.where(valid & is_inst,
+                             rows[:, _L_INST].astype(jnp.int32),
+                             s["inst_cur"])
+
+        # --- directory: slab-test children in the current space ---
+        ent = _dir_entries(rows, o_cur, inv_cur, tmin_c,
+                           _prune_cut(jnp.where(found, 0.0, best_t)
+                                      if any_mode else best_t)[:, None])
+        is_dir = valid & ~is_leaf & ~is_inst
+        ents = list(s["ents"])
+        bases = list(s["bases"])
+        for lv in range(n_levels):
+            at_lv = is_dir & (cur >= level_lo[lv]) & (cur < level_hi[lv])
+            ents[lv] = jnp.where(at_lv[:, None], ent, ents[lv])
+            bases[lv] = jnp.where(at_lv, first.astype(jnp.int32), bases[lv])
+
+        # --- pop: nearest pending at the deepest level; instance rows
+        # jump straight to their subtree root instead ---
+        nxt = jnp.full((r,), -1, jnp.int32)
+        pop_lv = jnp.full((r,), -1, jnp.int32)
+        done_now = found if any_mode else jnp.zeros((r,), bool)
+        cut = _prune_cut(jnp.where(found, 0.0, best_t)
+                         if any_mode else best_t)[:, None]
+        for lv in reversed(range(n_levels)):
+            e = ents[lv]
+            alive_e = e < cut
+            ee = jnp.where(alive_e, e, jnp.float32(_BIG))
+            e_min = jnp.min(ee, axis=1)
+            has = (e_min < _BIG) & valid & ~is_inst & (nxt < 0) & ~done_now
+            at_min = ee <= e_min[:, None]
+            j = jnp.min(jnp.where(at_min, lane16, FANOUT), axis=1)
+            nxt = jnp.where(has, bases[lv] + j, nxt)
+            pop_lv = jnp.where(has, lv, pop_lv)
+            taken = has[:, None] & (lane16 == j[:, None])
+            ents[lv] = jnp.where(taken, jnp.float32(_BIG), ents[lv])
+
+        # instance rows jump directly (their single child)
+        go_inst = valid & is_inst & ~done_now
+        nxt = jnp.where(go_inst, first.astype(jnp.int32), nxt)
+
+        # a world-level pop leaves the current instance: restore world ray
+        back = (pop_lv >= 0) & (pop_lv < n_world)
+        o_cur = jnp.where(back[:, None], o, o_cur)
+        d_cur = jnp.where(back[:, None], d, d_cur)
+        inv_cur = jnp.where(back[:, None], inv_w, inv_cur)
+        inst_cur = jnp.where(back, -1, inst_cur)
+
+        return dict(
+            cur=jnp.where(valid, nxt, cur),
+            o_cur=o_cur, d_cur=d_cur, inv_cur=inv_cur, inst_cur=inst_cur,
+            best_t=best_t, best_prim=best_prim, best_inst=best_inst,
+            best_u=best_u, best_v=best_v, found=found,
+            ents=ents, bases=bases,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    if any_mode:
+        return state["found"]
+    return (state["best_t"], state["best_prim"], state["best_inst"],
+            state["best_u"], state["best_v"])
+
+
+def _walk_inst_chunked(tab, o, d, tmin, tmax, live, any_mode):
+    r = o.shape[0]
+    if r <= _WALK_CHUNK:
+        return _walk_inst(tab, o, d, tmin, tmax, live, any_mode)
+    outs = []
+    for s in range(0, r, _WALK_CHUNK):
+        e = min(s + _WALK_CHUNK, r)
+        outs.append(_walk_inst(tab, o[s:e], d[s:e], tmin[s:e], tmax[s:e],
+                               live[s:e], any_mode))
+    if any_mode:
+        return jnp.concatenate(outs)
+    return tuple(jnp.concatenate(parts) for parts in zip(*outs))
+
+
+@jax.jit
+def trace_closest_inst_hier(tab: InstHierTable, o, d, tmin, tmax,
+                            count=None) -> Hit:
+    r = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    live = jnp.arange(r) < (r if count is None else count)
+    t, prim, inst, u, v = _walk_inst_chunked(
+        tab, o.astype(jnp.float32), d.astype(jnp.float32), tmin, tmax,
+        live, any_mode=False)
+    valid = (prim >= 0) & (prim < tab.num_faces)
+    return Hit(t=jnp.where(valid, t, tmax),
+               prim=jnp.where(valid, prim, -1),
+               u=jnp.where(valid, u, 0.0), v=jnp.where(valid, v, 0.0),
+               inst=jnp.where(valid, inst, -1))
+
+
+@jax.jit
+def trace_any_inst_hier(tab: InstHierTable, o, d, tmin, tmax, count=None):
+    r = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    live = jnp.arange(r) < (r if count is None else count)
+    return _walk_inst_chunked(tab, o.astype(jnp.float32),
+                              d.astype(jnp.float32), tmin, tmax, live,
+                              any_mode=True)
+
+
+def make_inst_hierwalk_tracer(iscene):
+    """(closest, any) over the instanced hierarchical walk.
+
+    Static scenes only; order the scene with split_order_instanced first
+    (correct either way, slower on scrambled order)."""
+    if iscene.num_keys != 1:
+        raise ValueError(
+            "instanced hierwalk supports static scenes; matrix motion "
+            "rides the pallas_instanced kernels")
+    tab = build_inst_hier_table(iscene)
+
+    def closest(o, d, tmin, tmax, time, count=None):
+        del time
+        return trace_closest_inst_hier(tab, o, d, tmin, tmax, count=count)
+
+    def any_hit(o, d, tmin, tmax, time, count=None):
+        del time
+        return trace_any_inst_hier(tab, o, d, tmin, tmax, count=count)
+
+    return closest, any_hit

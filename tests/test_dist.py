@@ -139,3 +139,13 @@ def test_mesh_shape_validation(cornell):
     mesh2 = make_mesh(n_tile=4, n_spp=2)
     with pytest.raises(ValueError):
         make_render_fn_dist(scene, _small_cfg(samples_per_launch=3), mesh2)
+
+
+def test_hierwalk_factory_bit_identical(cornell):
+    """Tile-sharded ordered-DFS hierwalk pair == single-chip, bitwise."""
+    from rendertoy3c_tpu.parallel.dist import prepare_tracer_factory
+
+    scene, camera = cornell
+    cfg = _small_cfg()
+    scene2, fac = prepare_tracer_factory(scene, cfg, kind="hierwalk")
+    _dist_vs_single(scene2, camera, cfg, fac, strict=True)

@@ -1,0 +1,145 @@
+"""Instanced hierarchical walk vs the reference instanced tracer.
+
+The TLAS walk (trace/hier_instanced.py) must agree with the unrolled
+brute-force instanced tracer (trace/instanced.py) on (t, prim, inst) and
+the occlusion mask for static scenes.
+"""
+import numpy as np
+import pytest
+
+from rendertoy3c_tpu.scene.builtin import box_mesh, cornell_box, quad
+from rendertoy3c_tpu.scene.instanced import build_instanced_scene
+from rendertoy3c_tpu.scene.material import Material
+from rendertoy3c_tpu.scene.mesh import Mesh
+from rendertoy3c_tpu.scene.scene import Instance
+from rendertoy3c_tpu.trace.hier_instanced import (
+    make_inst_hierwalk_tracer, split_order_instanced,
+)
+from rendertoy3c_tpu.trace.instanced import make_instanced_tracer
+
+
+def _instanced_cornell():
+    """The bench's trace-time config: cornell shell + a 3x3 grid of
+    scaled boxes."""
+    meshes, cam = cornell_box(with_blocks=False)
+    xs = []
+    for gx in (-0.6, 0.0, 0.6):
+        for gz in (-0.6, 0.0, 0.6):
+            t = np.zeros((3, 4), np.float32)
+            t[:, :3] = np.eye(3) * 0.25
+            t[:, 3] = (gx, 0.2, gz)
+            xs.append(t)
+    inst = [Instance(mesh_index=i) for i in range(len(meshes))]
+    inst += [Instance(mesh_index=0, transforms=t) for t in xs]
+    return build_instanced_scene(meshes, inst), cam
+
+
+def _many_boxes(n=40, seed=0):
+    """Many rotated/scaled instances of two meshes."""
+    rng = np.random.default_rng(seed)
+    red = Material(diffuse=(0.8, 0.2, 0.2))
+    blue = Material(diffuse=(0.2, 0.2, 0.8))
+    meshes = [box_mesh([-0.5, -0.5, -0.5], [0.5, 0.5, 0.5], red)]
+    lv, lf = quad([-0.5, 0, -0.5], [-0.5, 0, 0.5], [0.5, 0, 0.5],
+                  [0.5, 0, -0.5])
+    meshes.append(Mesh(vertices=lv[None], indices=lf, material=blue))
+    inst = []
+    for _ in range(n):
+        ang = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        sc = rng.uniform(0.4, 1.8)
+        t = np.asarray([[c * sc, 0, s * sc, rng.uniform(-8, 8)],
+                        [0, sc, 0, rng.uniform(0, 3)],
+                        [-s * sc, 0, c * sc, rng.uniform(-8, 8)]],
+                       np.float32)
+        inst.append(Instance(mesh_index=int(rng.integers(0, 2)),
+                             transforms=t))
+    return build_instanced_scene(meshes, inst)
+
+
+def _rand_rays(n, lo, hi, seed=1):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(lo, hi, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _check(iscene, n_rays=2048, seed=2, count=None, span=8.0):
+    import jax.numpy as jnp
+
+    iscene = split_order_instanced(iscene)
+    hc, ha = make_inst_hierwalk_tracer(iscene)
+    bc, ba = make_instanced_tracer(iscene)
+    o, d = _rand_rays(n_rays, -span, span, seed)
+    h = hc(o, d, 1e-3, 1e16, None, count)
+    b = bc(o, d, 1e-3, 1e16, None, count)
+    n_live = n_rays if count is None else count
+    np.testing.assert_array_equal(np.asarray(h.prim)[:n_live],
+                                  np.asarray(b.prim)[:n_live])
+    np.testing.assert_array_equal(np.asarray(h.inst)[:n_live],
+                                  np.asarray(b.inst)[:n_live])
+    np.testing.assert_allclose(np.asarray(h.t)[:n_live],
+                               np.asarray(b.t)[:n_live],
+                               rtol=2e-5, atol=2e-5)
+    occ_h = np.asarray(ha(o, d, 1e-3, 4.0, None, count))
+    occ_b = np.asarray(ba(o, d, 1e-3, 4.0, None, count))
+    np.testing.assert_array_equal(occ_h[:n_live], occ_b[:n_live])
+
+
+def test_instanced_cornell_matches():
+    iscene, _cam = _instanced_cornell()
+    _check(iscene, span=1.0)
+
+
+def test_many_transformed_instances_match():
+    _check(_many_boxes(40), seed=5)
+
+
+def test_single_instance():
+    _check(_many_boxes(1, seed=3), n_rays=512, seed=7)
+
+
+def test_count_gating():
+    _check(_many_boxes(20, seed=4), n_rays=1024, seed=9, count=700)
+
+
+def test_render_parity_instanced():
+    """A frame through the pool integrator over the instanced hierwalk ==
+    the same frame over the unrolled instanced tracer."""
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+
+    iscene, cam = _instanced_cornell()
+    iscene = split_order_instanced(iscene)
+    cam.aspect_ratio = 1.0
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       max_depth=4, ray_block=512, integrator="pool")
+    f_h, s_h = render_frame(iscene, cam.params(), cfg, subframes=1,
+                            tracer=make_inst_hierwalk_tracer(iscene))
+    f_b, s_b = render_frame(iscene, cam.params(), cfg, subframes=1,
+                            tracer=make_instanced_tracer(iscene))
+    np.testing.assert_allclose(np.asarray(f_h.accum), np.asarray(f_b.accum),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_auto_ladder_picks_inst_hierwalk():
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.trace.auto import choose_tracer, tune_config
+
+    iscene, _cam = _instanced_cornell()
+    cfg = RenderConfig(integrator="pool", ray_block=32768,
+                       pool_pixel_major=True)
+    cfg2 = tune_config(iscene, cfg, on_tpu=True)
+    assert cfg2.ray_block == 16384 and not cfg2.sort_rays
+    scene2, tracer = choose_tracer(iscene, cfg2, on_tpu=True)
+    assert isinstance(tracer, tuple) and len(tracer) == 2
+    # spot-check one trace through the auto-picked pair
+    import jax.numpy as jnp
+
+    o = jnp.asarray([[0.0, 1.0, 2.5]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    h = tracer[0](o, d, 1e-3, 1e16, None, None)
+    assert int(h.prim[0]) >= 0
