@@ -279,19 +279,11 @@ def reorder_scene_by_bvh(scene, perm: np.ndarray):
         uv0=take(g.uv0, False), uv1=take(g.uv1, False), uv2=take(g.uv2, False),
         mat_id=take(g.mat_id, False),
     )
-    return Scene(
-        geom=geom,
-        materials=scene.materials,
-        lights=scene.lights,
-        atlas=scene.atlas,
-        num_keys=scene.num_keys,
-        num_faces=scene.num_faces,
-        num_lights=scene.num_lights,
-        num_materials=scene.num_materials,
-        all_diffuse=scene.all_diffuse,
-        any_uv_transform=scene.any_uv_transform,
-        any_normal_map=scene.any_normal_map,
-    )
+    # only the face SoA is permuted; every other Scene field (env map,
+    # instances, light table, flags...) carries over untouched
+    import dataclasses
+
+    return dataclasses.replace(scene, geom=geom)
 
 
 def morton_order_scene(scene):

@@ -50,6 +50,12 @@ class RenderConfig:
     pool_pixel_major: bool = False
     flush_every: int = 0
 
+    # Walk-pool only (integrate/walkpool.py): traversal rounds between
+    # phase boundaries (shade/NEE + RR/refill). Lanes finishing a walk wait
+    # <= K-1 rounds; larger K amortizes the boundary, smaller K cuts the
+    # wait. Measured optimum on the 49k field (v5e): 16 (sweep 6..32).
+    walk_phase_every: int = 16
+
     # Pool-only: re-sort live lanes by direction-octant Morton keys each
     # iteration. Costs an argsort + state permutation; pays off for tracers
     # with coherence-dependent culling (the instanced TLAS kernel) — the TPU

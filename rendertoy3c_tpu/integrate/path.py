@@ -86,7 +86,7 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
     """Closest-hit program body (closehit_radiance.cu:60-160), vectorized.
 
     Returns (new_seed, emitted_gate_d0, radiance, new_org, new_dir,
-    atten_factor, shadow_count).
+    atten_factor, want_shadow [lane mask]).
     All outputs are defined on every lane; callers mask with `active & hit`.
     """
     prim = jnp.maximum(hit.prim, 0)
@@ -275,9 +275,8 @@ def _shade_and_nee(scene: Scene, cfg: RenderConfig, trace_any, hit: Hit,
         )[:, None]
         radiance = jnp.where(lit[:, None], contrib, 0.0)
 
-    shadow_count = jnp.sum(want_shadow.astype(jnp.int32))
     return (seed, emitted, radiance, new_org, new_dir, atten_factor,
-            shadow_count, is_delta, albedo, ns)
+            want_shadow, is_delta, albedo, ns)
 
 
 def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
@@ -350,7 +349,7 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
                 count=n_alive,
             )
             (seed, emitted, radiance, new_org, new_dir, atten_factor,
-             shadow_count, is_delta, sh_albedo, sh_normal) = _shade_and_nee(
+             want_shadow, is_delta, sh_albedo, sh_normal) = _shade_and_nee(
                 scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive,
                 count=n_alive,
             )
@@ -409,7 +408,7 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
                 slot=s["slot"],
                 depth=s["depth"] + 1,
                 n_rad=s["n_rad"] + n_alive,
-                n_shad=s["n_shad"] + shadow_count,
+                n_shad=s["n_shad"] + jnp.sum(want_shadow.astype(jnp.int32)),
                 **aov_out,
             )
 
@@ -734,7 +733,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             count=count_hint,
         )
         (seed, emitted, radiance, new_org2, new_dir2, atten_factor,
-         shadow_count, is_delta, sh_albedo, sh_normal) = _shade_and_nee(
+         want_shadow, is_delta, sh_albedo, sh_normal) = _shade_and_nee(
             scene, cfg, trace_any, hit, s["org"], s["dir"], seed, alive,
             count=count_hint,
         )
@@ -784,7 +783,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             prev_delta=jnp.where(alive, is_delta, s["prev_delta"]),
             alive=new_alive,
             n_rad=s["n_rad"] + n_live,
-            n_shad=s["n_shad"] + shadow_count,
+            n_shad=s["n_shad"] + jnp.sum(want_shadow.astype(jnp.int32)),
             **aov_out,
         )
 
@@ -1087,7 +1086,13 @@ def render_pixels(
     fast path — identical per-path arithmetic, float-order-different sums).
     """
     from ..trace.pallas_shade import ExternalPipeline, FusedPipeline
+    from .walkpool import WalkPoolPipeline, _render_walkpool
 
+    if isinstance(tracer, WalkPoolPipeline):
+        if cfg.integrator != "pool":
+            raise ValueError("WalkPoolPipeline requires cfg.integrator='pool'")
+        return _render_walkpool(scene, cfg, cam, tracer, pixel_idx,
+                                subframe_index)
     if isinstance(tracer, (FusedPipeline, ExternalPipeline)):
         if cfg.integrator != "pool":
             raise ValueError("FusedPipeline requires cfg.integrator='pool'")

@@ -1,0 +1,587 @@
+"""Persistent walk-pool integrator: the traversal round IS the pool step.
+
+The large-scene pool (integrate/path.py) calls a whole-walk tracer per
+iteration; the walk's while_loop pays the MAX round count over the
+wavefront while useful work scales with the MEAN (49k field: mean 5.9
+visits, p90 14, max 42 — ~13% lane utilization; ROADMAP item 1). Measured
+negatives rule out fixing that inside the tracer (straggler compaction,
+chunked loops, width decay all lose to phase-boundary costs).
+
+This integrator dissolves the tracer boundary instead: pool lanes carry
+RESUMABLE traversal state (the ordered-DFS hierwalk's per-level
+pending-children stacks, trace/hierwalk.py), every pool iteration advances
+every lane by exactly ONE walk round (a [W,128] row gather + leaf MT /
+child slab tests + ordered pop), and lanes that finish a walk wait only
+until the next PHASE BOUNDARY (every cfg.walk_phase_every rounds) where
+the masked stages run. The loop nests cond-free — outer while = one
+unconditional framebuffer flush, middle fori = _FLUSH_N boundaries, inner
+fori = K walk rounds — because a lax.cond around loop-carried buffers
+makes XLA copy them every iteration (measured ~40% of the subframe):
+
+  phase A  closest walk done -> the packed-state Pallas shade kernel
+           (trace/pallas_shade.make_external_shader: shade + NEE ray gen +
+           RR, all in one launch; the NEE term leaves as a pending column
+           gated later by the REAL occlusion verdict, so shading cannot
+           drift from the external pipeline). Scenes outside the kernel's
+           eligibility (env maps, roughness/emissive maps, physical
+           throughput) use an XLA stage with the same update semantics.
+  phase B  the lane's shadow ray starts ITS walk in the same lane
+  phase C  shadow walk done -> gate the pending NEE contribution, then
+           bounce (kernel already drew RR) or retire; idle lanes flush +
+           refill (pixel-major)
+
+Lane utilization becomes mean-visits-bound: the only waste is the <=K-round
+wait at each boundary, amortized over both walks of a path segment.
+Per-path RNG draw order matches the classic pool / fused pipeline exactly
+(phase A draws everything the reference's closest-hit draws, incl. the RR
+draw whose VALUE is independent of the occlusion outcome — raygen.cu:62-66,
+closehit_radiance.cu:91-138), so results match the external pipeline to
+float-op order.
+
+Scope: static or 2-key-motion non-instanced pool scenes on the hierwalk
+band (trace/auto.py routes >16k-face scenes here); wave/golden paths
+unaffected.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..math import rng
+from ..trace.hierwalk import (
+    _BIG,
+    _L_FIRST,
+    _L_TYPE,
+    FANOUT,
+    HierTable,
+    _dir_entries,
+    _leaf_mt,
+    _prune_cut,
+    _safe_inv,
+    build_hier_table,
+)
+from ..trace.intersect import Hit
+from .config import RenderConfig
+
+# Flush the framebuffer every Nth boundary (see the boundary comment).
+_FLUSH_N = 4
+
+# lane phases
+_IDLE = 0
+_WALK_CLOSEST = 1
+_AWAIT_SHADE = 2
+_WALK_SHADOW = 3
+_AWAIT_GATE = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkPoolPipeline:
+    """Tracer-slot marker + prebuilt shade stage for _render_walkpool.
+
+    Build with make_walkpool_pipeline over the SPLIT-ORDERED scene
+    (accel.lbvh.split_order_scene with the matching leaf cap) — always
+    render the scene returned alongside this by trace.auto.choose_tracer.
+    """
+
+    tab: HierTable
+    motion: bool          # 2-key scene: leaf rows lerped by per-ray time
+    shade: Callable       # (rays, hit8, misc, attr_t, count) -> 3 outputs
+    attr_rows: Any        # [F, H] per-face attr table (kernel path), or None
+    kernel: bool          # True = Pallas shade kernel, False = XLA stage
+    misc_w: int           # 16, or 24 with AOV accumulator columns
+    shadow_w: int         # shadow-ray column count (8, 16 for motion)
+
+
+def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
+    """Node table + shade stage for `scene` (already split-ordered)."""
+    from ..trace.pallas_shade import (
+        external_shade_eligible,
+        make_external_shader,
+    )
+
+    tab = build_hier_table(scene.geom, scene.num_faces,
+                           num_keys=scene.num_keys)
+    motion = scene.num_keys == 2
+    misc_w = 24 if cfg.aov else 16
+    shadow_w = 16 if motion else 8
+    if external_shade_eligible(scene, cfg):
+        shade, attr_rows = make_external_shader(scene, cfg, motion=motion)
+        return WalkPoolPipeline(tab=tab, motion=motion, shade=shade,
+                                attr_rows=attr_rows, kernel=True,
+                                misc_w=misc_w, shadow_w=shadow_w)
+    shade = _make_xla_shade_stage(scene, cfg, misc_w, shadow_w)
+    return WalkPoolPipeline(tab=tab, motion=motion, shade=shade,
+                            attr_rows=None, kernel=False,
+                            misc_w=misc_w, shadow_w=shadow_w)
+
+
+def _make_xla_shade_stage(scene, cfg: RenderConfig, misc_w: int,
+                          shadow_w: int):
+    """XLA fallback with the shade kernel's exact interface and update
+    semantics, for scenes outside external_shade_eligible (env maps,
+    roughness/emissive textures, physical throughput, big atlases).
+
+    Wraps integrate.path._shade_and_nee with a stub occlusion tracer that
+    captures the shadow ray; the RR draw runs here (same stream position —
+    its value never depended on the occlusion outcome) and the pending NEE
+    term leaves via misc columns misc_w..misc_w+2 like the kernel's.
+    """
+    from ..math.vec import luminance
+    from .path import _miss_radiance, _shade_and_nee
+
+    bg = jnp.asarray(cfg.bg_radiance, jnp.float32)
+
+    def shade(rays, hit8, misc, attr_t, count):
+        del attr_t, count
+        r = rays.shape[0]
+        org, d = rays[:, 0:3], rays[:, 3:6]
+        seed = jax.lax.bitcast_convert_type(misc[:, 0], jnp.uint32)
+        alive = misc[:, 9] > 0
+        depth = misc[:, 8]
+        prev_delta = misc[:, 7] > 0
+        atten = misc[:, 1:4]
+        last_atten = misc[:, 4:7]
+        hit = Hit(t=hit8[:, 0], prim=hit8[:, 1].astype(jnp.int32),
+                  u=hit8[:, 2], v=hit8[:, 3])
+        cap = {}
+
+        def stub_any(p, ldir, tmin_s, tmax_s, time_s, count=None):
+            cap["p"] = p
+            cap["ldir"] = ldir
+            cap["tmax"] = jnp.broadcast_to(
+                jnp.asarray(tmax_s, jnp.float32), (r,))
+            cap["time"] = jnp.broadcast_to(
+                jnp.asarray(time_s, jnp.float32), (r,))
+            return jnp.zeros((r,), bool)
+
+        (seed, emitted, radiance, norg, ndir, atten_factor, want_shadow,
+         is_delta, sh_albedo, sh_normal) = _shade_and_nee(
+            scene, cfg, stub_any, hit, org, d, seed, alive)
+        is_hit = hit.mask
+        adv = alive & is_hit
+
+        # pending NEE rides extra columns; in-place acc takes emission +
+        # the miss background (mirrors the kernel's external branch)
+        nee = radiance * last_atten
+        miss_rad = _miss_radiance(scene, bg, d)
+        see_emit = is_hit & ((depth == 0) | prev_delta)
+        contrib = (jnp.where(see_emit[:, None], emitted, 0.0)
+                   + jnp.where(is_hit[:, None], 0.0, miss_rad) * last_atten)
+
+        new_at = jnp.where(adv[:, None], atten * atten_factor, atten)
+        new_last = jnp.where(alive[:, None], new_at, last_atten)
+        p_rr = luminance(new_at)
+        seed, u_rr = rng.rnd_masked(seed, adv)
+        survive = adv & (u_rr <= p_rr)
+        new_at = jnp.where(survive[:, None],
+                           new_at / jnp.maximum(p_rr, 1e-12)[:, None],
+                           new_at)
+        acc_new = misc[:, 10:13] + jnp.where(alive[:, None], contrib, 0.0)
+        depth_new = depth + alive.astype(jnp.float32)
+        alive_new = survive & (depth_new < float(cfg.max_depth))
+        pdelta_new = jnp.where(alive, is_delta, prev_delta)
+
+        rays_out = jnp.concatenate(
+            [jnp.where(survive[:, None], norg, org),
+             jnp.where(survive[:, None], ndir, d),
+             rays[:, 6:8]], axis=1)
+        misc_cols = [
+            jax.lax.bitcast_convert_type(seed, jnp.float32)[:, None],
+            new_at, new_last,
+            pdelta_new.astype(jnp.float32)[:, None],
+            depth_new[:, None],
+            alive_new.astype(jnp.float32)[:, None],
+            acc_new,
+            misc[:, 13:14], misc[:, 14:15],
+            want_shadow.astype(jnp.float32)[:, None],
+        ]
+        if cfg.aov:
+            first = (adv & (depth == 0))[:, None]
+            misc_cols += [
+                misc[:, 16:19] + jnp.where(first, sh_albedo, 0.0),
+                misc[:, 19:22] + jnp.where(first, sh_normal, 0.0),
+                jnp.zeros((r, 2), jnp.float32),
+            ]
+        misc_cols += [jnp.where(want_shadow[:, None], nee, 0.0),
+                      jnp.zeros((r, 5), jnp.float32)]
+        misc_out = jnp.concatenate(misc_cols, axis=1)
+
+        tmax_s = jnp.where(want_shadow, cap["tmax"], 0.0)
+        sh_cols = [cap["p"], cap["ldir"],
+                   jnp.full((r, 1), jnp.float32(cfg.shadow_tmin)),
+                   tmax_s[:, None]]
+        if shadow_w == 16:
+            sh_cols += [cap["time"][:, None],
+                        jnp.zeros((r, 7), jnp.float32)]
+        return rays_out, misc_out, jnp.concatenate(sh_cols, axis=1)
+
+    return shade
+
+
+def _walk_round(tab: HierTable, s, motion: bool):
+    """Advance every walking lane by one traversal round (mixed modes).
+
+    Same per-round work as hierwalk._walk's body, with per-lane any/closest
+    mode: closest lanes (wmode=False) keep best (t, prim, u, v) and prune
+    by best_t; shadow lanes (wmode=True) flip wfound on any in-range hit
+    and stop. Lanes with cur < 0 are idle/awaiting and unaffected. Rays
+    (o, d, tmin) live in the packed s["rays"] [W, 8] columns.
+    """
+    n_levels = len(tab.level_starts)
+    bounds = tuple(tab.level_starts[1:]) + (tab.leaf_start,)
+    cur = s["cur"]
+    rays = s["rays"]
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    walking = cur >= 0
+    r = cur.shape[0]
+    lane16 = jax.lax.iota(jnp.int32, FANOUT)[None, :]
+    inv = _safe_inv(d)
+    tmin_c = rays[:, 6:7]
+
+    rows = jnp.take(tab.table, jnp.maximum(cur, 0), axis=0)
+    is_leaf = rows[:, _L_TYPE] > 0.5
+    first = rows[:, _L_FIRST]
+
+    # --- leaf: fused MT over the inline triangles ---
+    tcur = jnp.where(s["wfound"], 0.0, s["wb_t"])
+    t, u, v, hit = _leaf_mt(rows, o, d, tmin_c, tcur[:, None],
+                            time=s["wtime"] if motion else None)
+    hit = hit & (is_leaf & walking)[:, None]
+    wmode = s["wmode"]
+    wfound = s["wfound"] | (wmode & jnp.any(hit, axis=1))
+
+    cap = hit.shape[1]
+    tt = jnp.where(hit, t, jnp.float32(_BIG))
+    t_leaf = jnp.min(tt, axis=1)
+    lane = jax.lax.iota(jnp.int32, cap)[None, :]
+    at_min = tt <= t_leaf[:, None]
+    lane_sel = jnp.min(jnp.where(at_min, lane, cap), axis=1)
+    one = at_min & (lane == lane_sel[:, None])
+    better = (~wmode) & (t_leaf < s["wb_t"])
+    wb_t = jnp.where(better, t_leaf, s["wb_t"])
+    wb_prim = jnp.where(better, first.astype(jnp.int32) + lane_sel,
+                        s["wb_prim"])
+    wb_u = jnp.where(better, jnp.sum(jnp.where(one, u, 0.0), axis=1),
+                     s["wb_u"])
+    wb_v = jnp.where(better, jnp.sum(jnp.where(one, v, 0.0), axis=1),
+                     s["wb_v"])
+
+    # --- directory: slab-test children, record entry distances ---
+    eff_t = jnp.where(wfound, 0.0, wb_t)
+    cut = _prune_cut(eff_t)[:, None]
+    ent = _dir_entries(rows, o, inv, tmin_c, cut)
+    is_dir = walking & ~is_leaf
+    ents = list(s["ents"])
+    bases = list(s["bases"])
+    for lv in range(n_levels):
+        at_lv = is_dir & (cur >= tab.level_starts[lv]) & (cur < bounds[lv])
+        ents[lv] = jnp.where(at_lv[:, None], ent, ents[lv])
+        bases[lv] = jnp.where(at_lv, first.astype(jnp.int32), bases[lv])
+
+    # --- ordered pop: nearest pending child at the deepest level ---
+    nxt = jnp.full((r,), -1, jnp.int32)
+    done_now = wfound  # shadow lanes stop popping once occluded
+    for lv in reversed(range(n_levels)):
+        e = ents[lv]
+        alive_e = e < cut
+        ee = jnp.where(alive_e, e, jnp.float32(_BIG))
+        e_min = jnp.min(ee, axis=1)
+        has = (e_min < _BIG) & walking & (nxt < 0) & ~done_now
+        at_min2 = ee <= e_min[:, None]
+        j = jnp.min(jnp.where(at_min2, lane16, FANOUT), axis=1)
+        nxt = jnp.where(has, bases[lv] + j, nxt)
+        taken = has[:, None] & (lane16 == j[:, None])
+        ents[lv] = jnp.where(taken, jnp.float32(_BIG), ents[lv])
+
+    finished = walking & (nxt < 0)
+    return dict(
+        s,
+        cur=jnp.where(walking, nxt, cur),
+        wb_t=wb_t, wb_prim=wb_prim, wb_u=wb_u, wb_v=wb_v, wfound=wfound,
+        ents=ents, bases=bases,
+        phase=jnp.where(finished, s["phase"] + 1, s["phase"]),
+    )
+
+
+def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
+                     pixel_idx, subframe_index):
+    """Pool-compatible subframe body; returns (rgb, aov, n_rad, n_shad).
+
+    Pixel-major schedule only (a lane owns one pixel and renders all its
+    samples back-to-back; flush rides the phase boundary)."""
+    from .path import _camera_ray, _lcg_advance_table, _next_pow2
+
+    tab = pipe.tab
+    motion = pipe.motion
+    misc_w = pipe.misc_w
+    n_levels = len(tab.level_starts)
+    n_pix = pixel_idx.shape[0]
+    pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
+    # the shade kernel's grid is RAY_TILE(256)-wide; surplus lanes idle
+    pool = max(pool, 256)
+    spp = cfg.samples_per_launch
+    k_phase = cfg.walk_phase_every
+    width = jnp.float32(cfg.width)
+    height = jnp.float32(cfg.height)
+    jump = _lcg_advance_table(spp)
+    pixel_base = pixel_idx[0]
+    num_faces = tab.num_faces
+
+    state = dict(
+        # current walk ray columns (o, d, tmin, tmax): camera/bounce ray in
+        # closest mode, the NEE shadow probe during its walk
+        rays=jnp.zeros((pool, 8), jnp.float32),
+        wtime=jnp.zeros((pool,), jnp.float32),
+        cur=jnp.full((pool,), -1, jnp.int32),
+        wmode=jnp.zeros((pool,), bool),
+        wfound=jnp.zeros((pool,), bool),
+        wb_t=jnp.full((pool,), jnp.float32(cfg.primary_tmax)),
+        wb_prim=jnp.full((pool,), -1, jnp.int32),
+        wb_u=jnp.zeros((pool,), jnp.float32),
+        wb_v=jnp.zeros((pool,), jnp.float32),
+        ents=[jnp.full((pool, FANOUT), jnp.float32(_BIG))
+              for _ in range(n_levels)],
+        bases=[jnp.zeros((pool,), jnp.int32) for _ in range(n_levels)],
+        phase=jnp.zeros((pool,), jnp.int32),
+        # packed path state (the fused pool's misc layout, pallas_shade.py)
+        misc=jnp.zeros((pool, misc_w), jnp.float32).at[:, 13].set(-1.0),
+        # deferred-segment stash: next bounce ray + pending NEE term
+        nrays=jnp.zeros((pool, 8), jnp.float32),
+        nee=jnp.zeros((pool, 3), jnp.float32),
+        image=jnp.zeros((n_pix + 1, 3), jnp.float32),
+        next_work=jnp.zeros((), jnp.int32),
+        n_rad=jnp.zeros((), jnp.int32),
+        n_shad=jnp.zeros((), jnp.float32),
+    )
+    if cfg.aov:
+        state.update(
+            image_alb=jnp.zeros((n_pix + 1, 3), jnp.float32),
+            image_nrm=jnp.zeros((n_pix + 1, 3), jnp.float32),
+        )
+    _IMGS = ((("image", 10), ("image_alb", 16), ("image_nrm", 19))
+             if cfg.aov else (("image", 10),))
+
+    def cond(s):
+        m = s["misc"]
+        pending = (m[:, 13] >= 0) & (m[:, 14] < spp)
+        return ((s["next_work"] < n_pix) | jnp.any(s["phase"] != _IDLE)
+                | jnp.any(pending))
+
+    def boundary(s):
+        misc = s["misc"]
+        rays = s["rays"]
+
+        # ---- phase A: shade lanes whose closest walk finished ----
+        m_a = s["phase"] == _AWAIT_SHADE
+        valid = m_a & (s["wb_prim"] >= 0) & (s["wb_prim"] < num_faces)
+        hit_t = jnp.where(valid, s["wb_t"], rays[:, 7])
+        hit_prim = jnp.where(valid, s["wb_prim"], -1)
+        hit8 = jnp.concatenate(
+            [hit_t[:, None], hit_prim.astype(jnp.float32)[:, None],
+             jnp.where(valid, s["wb_u"], 0.0)[:, None],
+             jnp.where(valid, s["wb_v"], 0.0)[:, None],
+             jnp.zeros((pool, 4), jnp.float32)], axis=1)
+        misc_in = jnp.concatenate(
+            [misc[:, :9], m_a.astype(jnp.float32)[:, None], misc[:, 10:]],
+            axis=1)
+        if pipe.kernel:
+            attr_t = jnp.transpose(
+                jnp.take(pipe.attr_rows, jnp.maximum(hit_prim, 0), axis=0),
+                (1, 0))
+        else:
+            attr_t = None
+        rays2, misc_e, sh = pipe.shade(rays, hit8, misc_in, attr_t, pool)
+
+        m_a2 = m_a[:, None]
+        misc = jnp.where(m_a2, misc_e[:, :misc_w], misc)
+        nrays = jnp.where(m_a2, rays2, s["nrays"])
+        nee = jnp.where(m_a2, misc_e[:, misc_w:misc_w + 3], s["nee"])
+        want_shadow = m_a & (misc_e[:, 15] > 0)
+        n_shad = s["n_shad"] + jnp.sum(jnp.where(m_a, misc_e[:, 15], 0.0))
+
+        # ---- phase B: launch the shadow walk in place ----
+        ws = want_shadow
+        rays = jnp.where(ws[:, None], sh[:, 0:8], rays)
+        wtime = jnp.where(ws, sh[:, 8] if pipe.shadow_w == 16 else 0.0,
+                          s["wtime"])
+        wmode = jnp.where(m_a, ws, s["wmode"])
+        wfound = s["wfound"] & ~m_a
+        wb_t = jnp.where(ws, sh[:, 7], s["wb_t"])
+        cur = jnp.where(ws, 0, jnp.where(m_a, -1, s["cur"]))
+        phase = jnp.where(m_a,
+                          jnp.where(ws, _WALK_SHADOW, _AWAIT_GATE),
+                          s["phase"])
+        ents = [jnp.where(ws[:, None], jnp.float32(_BIG), e)
+                for e in s["ents"]]
+
+        # ---- phase C: gate the pending NEE, bounce or retire ----
+        # (includes lanes phase A just routed past the shadow walk, so a
+        # shadow-free segment pays zero extra boundary waits)
+        m_c = phase == _AWAIT_GATE
+        gated = jnp.where((m_c & ~wfound)[:, None], nee, 0.0)
+        acc = misc[:, 10:13] + gated
+        aacc = misc[:, 16:22] if cfg.aov else None
+        cont = m_c & (misc[:, 9] > 0)
+        rays = jnp.where(cont[:, None], nrays, rays)
+        phase = jnp.where(m_c, jnp.where(cont, _WALK_CLOSEST, _IDLE), phase)
+
+        # ---- refill (pixel-major; mirrors _render_pool_fused). Completed
+        # lanes PARK (pixel held, samp == spp) until the outer flush stage
+        # scatters and frees them — the framebuffer scatter lives OUTSIDE
+        # this function so no lax.cond wraps any loop-carried buffer. ----
+        pixel = misc[:, 13]
+        samp = misc[:, 14]
+        idle = phase == _IDLE
+        fresh = idle & (pixel < 0)
+        rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+        wpix = s["next_work"] + rank
+        take_px = fresh & (wpix < n_pix)
+        pixel = jnp.where(
+            take_px,
+            (pixel_base + jnp.clip(wpix, 0, n_pix - 1)).astype(jnp.float32),
+            pixel)
+        samp = jnp.where(take_px, 0.0, samp)
+        next_work = s["next_work"] + jnp.sum(take_px.astype(jnp.int32))
+
+        take = idle & (pixel >= 0) & (samp < spp)
+        samp_rng = samp.astype(jnp.int32)
+        samp = jnp.where(take, samp + 1.0, samp)
+        new_pixel = jnp.maximum(pixel, 0.0).astype(jnp.int32)
+
+        st = rng.tea(new_pixel.astype(jnp.uint32), subframe_index)
+        if cfg.seed:
+            st = rng.rot_seed(st, jnp.uint32(cfg.seed))
+        aj = jnp.full((pool,), int(jump[0, 0]), jnp.uint32)
+        cj = jnp.full((pool,), int(jump[0, 1]), jnp.uint32)
+        for si in range(1, spp):
+            sel = samp_rng == si
+            aj = jnp.where(sel, jnp.uint32(int(jump[si, 0])), aj)
+            cj = jnp.where(sel, jnp.uint32(int(jump[si, 1])), cj)
+        st = aj * st + cj
+        st, jx = rng.rnd(st)
+        st, jy = rng.rnd(st)
+        px = new_pixel % cfg.width
+        py = new_pixel // cfg.width
+        cam_org, cam_dir = _camera_ray(cam, px, py, jx, jy, width, height)
+
+        take2 = take[:, None]
+        launch = cont | take
+        seed_u = jnp.where(
+            take, st, jax.lax.bitcast_convert_type(misc[:, 0], jnp.uint32))
+        # per-radiance-ray motion-time draw (shader_common.h:64); static
+        # scenes still consume it to keep streams aligned with the pool
+        seed_u, t_draw = rng.rnd_masked(seed_u, launch)
+        one3 = jnp.ones((pool, 3), jnp.float32)
+        tail = (jnp.concatenate([misc[:, 15:16], aacc, misc[:, 22:misc_w]],
+                                axis=1)
+                if cfg.aov else misc[:, 15:16])
+        misc = jnp.concatenate([
+            jax.lax.bitcast_convert_type(seed_u, jnp.float32)[:, None],
+            jnp.where(take2, one3, misc[:, 1:4]),
+            jnp.where(take2, one3, misc[:, 4:7]),
+            jnp.where(take, 0.0, misc[:, 7])[:, None],
+            jnp.where(take, 0.0, misc[:, 8])[:, None],
+            jnp.where(take, 1.0, misc[:, 9])[:, None],
+            acc,
+            pixel[:, None],
+            samp[:, None],
+            tail,
+        ], axis=1)
+
+        # ---- launch closest walks (continuing bounces + fresh samples) ----
+        rays = jnp.concatenate([
+            jnp.where(take2, cam_org, rays[:, 0:3]),
+            jnp.where(take2, cam_dir, rays[:, 3:6]),
+            jnp.where(launch, jnp.float32(cfg.primary_tmin),
+                      rays[:, 6])[:, None],
+            jnp.where(launch, jnp.float32(cfg.primary_tmax),
+                      rays[:, 7])[:, None],
+        ], axis=1)
+        wtime = jnp.where(launch, t_draw, wtime)
+        wb_t = jnp.where(launch, jnp.float32(cfg.primary_tmax), wb_t)
+        wb_prim = jnp.where(launch, -1, s["wb_prim"])
+        wmode = wmode & ~launch
+        wfound = wfound & ~launch
+        cur = jnp.where(launch, 0, cur)
+        phase = jnp.where(launch, _WALK_CLOSEST, phase)
+        ents = [jnp.where(launch[:, None], jnp.float32(_BIG), e)
+                for e in ents]
+        n_rad = s["n_rad"] + jnp.sum(launch.astype(jnp.int32))
+
+        out = dict(
+            s,
+            rays=rays, wtime=wtime, cur=cur, wmode=wmode, wfound=wfound,
+            wb_t=wb_t, wb_prim=wb_prim, ents=ents, phase=phase,
+            misc=misc, nrays=nrays, nee=nee,
+            next_work=next_work, n_rad=n_rad, n_shad=n_shad,
+        )
+        return out
+
+    def flush_stage(s):
+        # Unconditional scatter of parked (completed) lanes + lane free.
+        # Runs once per outer iteration (= every _FLUSH_N boundaries): no
+        # lax.cond anywhere, so the framebuffer scatter updates the
+        # loop-carried image in place and no identity branch copies the
+        # [W]-wide state (measured ~650ms/subframe in the cond variants).
+        misc = s["misc"]
+        pixel = misc[:, 13]
+        samp = misc[:, 14]
+        completed = ((s["phase"] == _IDLE) & (pixel >= 0) & (samp >= spp))
+        target = jnp.where(completed, pixel.astype(jnp.int32) - pixel_base,
+                           n_pix + 1)
+        accs = ((misc[:, 10:13],)
+                + ((misc[:, 16:19], misc[:, 19:22]) if cfg.aov else ()))
+        out = {
+            k: s[k].at[target].add(a, mode="drop", unique_indices=True)
+            for (k, _c), a in zip(_IMGS, accs)
+        }
+        keep = ~completed
+        keep2 = keep[:, None].astype(jnp.float32)
+        tail = (jnp.concatenate(
+                    [misc[:, 15:16], misc[:, 16:22] * keep2,
+                     misc[:, 22:misc_w]], axis=1)
+                if cfg.aov else misc[:, 15:16])
+        misc = jnp.concatenate([
+            misc[:, :10],
+            misc[:, 10:13] * keep2,
+            jnp.where(completed, -1.0, pixel)[:, None],
+            jnp.where(completed, 0.0, samp)[:, None],
+            tail,
+        ], axis=1)
+        return dict(s, misc=misc, **out)
+
+    def super_step(i, s):
+        # boundary (drains lanes the previous rounds finished), then K
+        # unconditional walk rounds: no lax.cond around the full state, so
+        # XLA neither copies carried buffers for an identity branch nor
+        # pays per-round branch dispatch.
+        s = boundary(s)
+        return jax.lax.fori_loop(
+            0, k_phase, lambda j, st: _walk_round(tab, st, motion), s,
+            unroll=False)
+
+    def outer(s):
+        s = flush_stage(s)
+        return jax.lax.fori_loop(0, _FLUSH_N, super_step, s, unroll=False)
+
+    s = jax.lax.while_loop(cond, outer, state)
+
+    misc = s["misc"]
+    pixel = misc[:, 13]
+    flushm = pixel >= 0
+    target = jnp.where(flushm, pixel.astype(jnp.int32) - pixel_base,
+                       n_pix + 1)
+    inv_spp = 1.0 / jnp.float32(spp)
+
+    def final_img(key, c):
+        img = s[key].at[target].add(misc[:, c:c + 3], mode="drop",
+                                    unique_indices=True)
+        return img[:n_pix] * inv_spp
+
+    rgb = final_img("image", 10)
+    aov = ((final_img("image_alb", 16), final_img("image_nrm", 19))
+           if cfg.aov else None)
+    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32)

@@ -86,6 +86,9 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
       "auto"     — trace/auto.py's ladder, platform-independent (tests run
                    the same selection in interpret mode on the CPU mesh)
       "fused"    — fused megakernel pipeline (small static/motion scenes)
+      "walkpool" — walk-pool integrator marker over the hier node table
+                   (the auto pick for large pool scenes; pure XLA, so the
+                   sharded step is identical on CPU-mesh tests and TPU)
       "external" — external shade pipeline over hierwalk (large) or
                    tile-cull MT (small)
       "hierwalk" — bare ordered-DFS hierarchical walk pair
@@ -110,9 +113,13 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
     large = scene.num_keys <= 2 and scene.num_faces > LEAFWALK_MIN_FACES
     if kind == "auto":
         if large:
-            kind = ("external"
-                    if pool_ok and external_shade_eligible(scene, cfg)
-                    else "leafwalk")
+            if (cfg.integrator == "pool"
+                    and getattr(scene, "instances", None) is None):
+                kind = "walkpool"
+            else:
+                kind = ("external"
+                        if pool_ok and external_shade_eligible(scene, cfg)
+                        else "leafwalk")
         elif pool_ok and fused_shade_eligible(scene, cfg):
             kind = "fused"
         elif pool_ok and external_shade_eligible(scene, cfg):
@@ -124,6 +131,19 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
 
     if kind == "brute":
         return scene, _bruteforce_factory
+
+    if kind == "walkpool":
+        # walk-pool integrator marker (integrate/walkpool.py); the shade
+        # kernel runs interpret-mode off-TPU, so the sharded step works on
+        # CPU-mesh tests and real chips alike
+        from ..accel.lbvh import split_order_scene
+        from ..integrate.walkpool import make_walkpool_pipeline
+        from ..trace.hierwalk import HIER_LEAF, HIER_LEAF_MOTION
+
+        leaf = HIER_LEAF if scene.num_keys == 1 else HIER_LEAF_MOTION
+        scene = split_order_scene(scene, leaf=leaf)
+        tracer = make_walkpool_pipeline(scene, cfg)
+        return scene, lambda scene_rep, aux, cfg_local: tracer
 
     pair = None
     if kind == "leafwalk" and scene.num_keys == 1:

@@ -119,11 +119,18 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
     if scene.num_keys <= 2 and scene.num_faces > LEAFWALK_MIN_FACES:
         from ..accel.lbvh import split_order_scene
         from .hierwalk import (
-            HIER_LEAF, HIER_LEAF_MOTION, make_hierwalk_tracer,
+            HIER_LEAF, HIER_LEAF_MOTION, build_hier_table,
+            make_hierwalk_tracer,
         )
 
         leaf = HIER_LEAF if scene.num_keys == 1 else HIER_LEAF_MOTION
         scene = split_order_scene(scene, leaf=leaf)
+        if want_pipeline and cfg.integrator == "pool":
+            # walk-pool integrator: the traversal round is the pool step
+            # (mean-visits-bound lane utilization, integrate/walkpool.py)
+            from ..integrate.walkpool import make_walkpool_pipeline
+
+            return scene, make_walkpool_pipeline(scene, cfg)
         tracer = make_hierwalk_tracer(scene)
         if pipeline_ok and external_shade_eligible(scene, cfg):
             return scene, make_external_pipeline(scene, cfg, tracer)

@@ -149,3 +149,15 @@ def test_hierwalk_factory_bit_identical(cornell):
     cfg = _small_cfg()
     scene2, fac = prepare_tracer_factory(scene, cfg, kind="hierwalk")
     _dist_vs_single(scene2, camera, cfg, fac, strict=True)
+
+
+def test_walkpool_factory_dist(cornell):
+    """Walk-pool integrator marker under the 8-device tile mesh."""
+    from rendertoy3c_tpu.integrate.walkpool import WalkPoolPipeline
+    from rendertoy3c_tpu.parallel.dist import prepare_tracer_factory
+
+    scene, camera = cornell
+    cfg = _small_cfg(integrator="pool", ray_block=256, max_depth=3)
+    scene2, fac = prepare_tracer_factory(scene, cfg, kind="walkpool")
+    assert isinstance(fac(scene2, None, cfg), WalkPoolPipeline)
+    _dist_vs_single(scene2, camera, cfg, fac, strict=False)
