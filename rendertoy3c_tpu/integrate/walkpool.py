@@ -66,8 +66,11 @@ from ..trace.hierwalk import (
 from ..trace.intersect import Hit
 from .config import RenderConfig
 
-# Flush the framebuffer every Nth boundary (see the boundary comment).
-_FLUSH_N = 4
+# Flush the framebuffer every Nth boundary (see flush_stage): the scatter
+# serializes per lane (~1.3ms at 16k), parked completed lanes idle up to
+# N-1 boundaries. Measured on the 49k field (K=16): 2/4/8/16 ->
+# 6.82/7.86/8.16/8.11 Mray/s.
+_FLUSH_N = 8
 
 # lane phases
 _IDLE = 0

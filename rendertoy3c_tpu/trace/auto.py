@@ -62,10 +62,12 @@ def tune_config(scene, cfg, on_tpu: bool | None = None):
         )
     if (not _is_instanced(scene) and scene.num_keys <= 2
             and scene.num_faces > LEAFWALK_MIN_FACES):
+        # the walk pool ignores sort_rays (lanes never re-sort: walk state
+        # rides in place); 16k lanes is the measured optimum for the walk
+        # band (49k: 16k > 32k at every K in the round-2 sweep)
         return dataclasses.replace(
             cfg,
             ray_block=min(cfg.ray_block, POOL_BLOCK_LARGE),
-            sort_rays=True,
             flush_every=cfg.flush_every or 8,
         )
     return cfg
