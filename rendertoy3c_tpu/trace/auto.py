@@ -91,6 +91,14 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
     if not on_tpu:
         return scene, None
 
+    from .pallas_mt import make_pallas_mt_tracer
+    from .pallas_shade import (
+        external_shade_eligible,
+        fused_shade_eligible,
+        make_external_pipeline,
+        make_fused_pipeline,
+    )
+
     if _is_instanced(scene):
         # trace-time two-level AS: the instanced TLAS walk for static
         # scenes (9.8 vs 6.3 Mray/s over the unrolled pallas kernels on
@@ -101,18 +109,17 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
             )
 
             scene = split_order_instanced(scene)
-            return scene, make_inst_hierwalk_tracer(scene)
+            tracer = make_inst_hierwalk_tracer(scene)
+            inst_pipeline_ok = (want_pipeline and cfg.integrator == "pool"
+                                and cfg.ray_block % 256 == 0)
+            if inst_pipeline_ok and external_shade_eligible(scene, cfg):
+                # packed-state shade kernel with in-kernel instance
+                # normal transform (9 inverse-transpose attr rows)
+                return scene, make_external_pipeline(scene, cfg, tracer)
+            return scene, tracer
         from .pallas_instanced import make_pallas_instanced_tracer
 
         return scene, make_pallas_instanced_tracer(scene)
-
-    from .pallas_mt import make_pallas_mt_tracer
-    from .pallas_shade import (
-        external_shade_eligible,
-        fused_shade_eligible,
-        make_external_pipeline,
-        make_fused_pipeline,
-    )
 
     pipeline_ok = (want_pipeline and cfg.integrator == "pool"
                    and cfg.ray_block % 256 == 0

@@ -272,7 +272,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        dispatch=False, params_base=16, power_cdf=None,
                        motion=False, closest_in_kernel=False, aov=False,
                        uv_xform=False, nmap_base=0, normal_maps=False,
-                       external=False):
+                       external=False, inst_base=0):
     """power_cdf: static tuple of per-light CDF values enables the power
     light sampler (in-kernel searchsorted as an unrolled compare-sum);
     None = uniform pick. dispatch: full 4-type material dispatch
@@ -420,6 +420,18 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         ngy = w0 * row(a, 1) + bu * row(a, 4) + bv * row(a, 7)
         ngz = w0 * row(a, 2) + bu * row(a, 5) + bv * row(a, 8)
         ngx, ngy, ngz, _ = _normalize3(ngx, ngy, ngz)
+        if inst_base:
+            # two-level AS: object-space normal -> world via the instance
+            # inverse-transpose (9 extra pre-gathered attr rows; identity
+            # substituted XLA-side for missing instances). Same op order as
+            # path.py:103-107: normalize-interp, transform, re-normalize.
+            nx2 = (row(a, inst_base + 0) * ngx + row(a, inst_base + 1) * ngy
+                   + row(a, inst_base + 2) * ngz)
+            ny2 = (row(a, inst_base + 3) * ngx + row(a, inst_base + 4) * ngy
+                   + row(a, inst_base + 5) * ngz)
+            nz2 = (row(a, inst_base + 6) * ngx + row(a, inst_base + 7) * ngy
+                   + row(a, inst_base + 8) * ngz)
+            ngx, ngy, ngz, _ = _normalize3(nx2, ny2, nz2)
         if textured:
             tu = w0 * row(a, 16) + bu * row(a, 18) + bv * row(a, 20)
             tv = w0 * row(a, 17) + bu * row(a, 19) + bv * row(a, 21)
@@ -1093,7 +1105,12 @@ def external_shade_eligible(scene, cfg) -> bool:
         and getattr(scene, "env", None) is None
         and cfg.light_sampler in ("uniform", "power")
         and cfg.throughput_model == "reference"
-        and getattr(scene, "instances", None) is None
+        # trace-time instanced scenes shade in-kernel too (9 extra
+        # inverse-transpose attr rows transform the normal); instanced
+        # normal maps would also need the tangent transform -> XLA path
+        and (getattr(scene, "instances", None) is None
+             or (scene.num_keys == 1
+                 and not getattr(scene, "any_normal_map", False)))
     )
 
 
@@ -1119,6 +1136,7 @@ def make_external_shader(scene, cfg, motion: bool,
     uv_xform = textured and bool(getattr(scene, "any_uv_transform", False))
     normal_maps = (textured
                    and bool(getattr(scene, "any_normal_map", False)))
+    instanced = getattr(scene, "instances", None) is not None
     attr_t, lights = build_shade_tables(scene, textured=textured,
                                         dispatch=dispatch, f_limit=None,
                                         uv_xform=uv_xform,
@@ -1146,11 +1164,14 @@ def make_external_shader(scene, cfg, motion: bool,
         aov=cfg.aov, uv_xform=uv_xform,
         nmap_base=(29 if uv_xform else 23), normal_maps=normal_maps,
         external=True,
+        inst_base=attr_t.shape[0] if instanced else 0,
     )
     misc_w = 24 if cfg.aov else 16
     misc_out_w = misc_w + 8  # +3 pending-NEE columns, 8-aligned
     shadow_w = 16 if motion else 8
-    h = attr_t.shape[0]
+    # instanced scenes append 9 inverse-transpose rows per ray (gathered
+    # by hit instance id alongside the per-face attrs)
+    h = attr_t.shape[0] + (9 if instanced else 0)
 
     @jax.jit
     def shade(rays, hit8, misc, attr_g_t, count):
@@ -1226,6 +1247,11 @@ class ExternalPipeline:
             scene, cfg, motion=self.motion, interpret=interpret
         )
         self._misc_w = 24 if cfg.aov else 16
+        # trace-time instanced scenes: per-hit inverse-transpose rows ride
+        # the attr block (kernel transforms the object-space normal)
+        inst = getattr(scene, "instances", None)
+        self._inst_it = (None if inst is None
+                         else inst.inv_t[:, 0].reshape(-1, 9))
 
     def trace_shade(self, rays, misc, count, time8=None):
         time_col = time8[:, 0] if time8 is not None else None
@@ -1241,10 +1267,15 @@ class ExternalPipeline:
             ],
             axis=1,
         )
-        attr_t = jnp.transpose(
-            jnp.take(self._attr_rows, jnp.maximum(hit.prim, 0), axis=0),
-            (1, 0),
-        )
+        attr_g = jnp.take(self._attr_rows, jnp.maximum(hit.prim, 0), axis=0)
+        if self._inst_it is not None:
+            it9 = jnp.take(self._inst_it,
+                           jnp.maximum(hit.inst, 0), axis=0)
+            eye9 = jnp.asarray(
+                [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)[None, :]
+            it9 = jnp.where((hit.inst >= 0)[:, None], it9, eye9)
+            attr_g = jnp.concatenate([attr_g, it9], axis=1)
+        attr_t = jnp.transpose(attr_g, (1, 0))
         rays2, misc_e, sh = self._shade(rays, hit8, misc, attr_t, count)
         occ = self._any(sh[:, 0:3], sh[:, 3:6], sh[:, 6], sh[:, 7],
                         sh[:, 8] if self.motion else None, count)

@@ -169,3 +169,39 @@ def test_external_over_onehot_budget():
     assert external_shade_eligible(scene, cfg)
     camera = Camera(eye=(0, 8, 18), lookat=(0, 0, 0), fov_y=45.0)
     _match(scene, camera, cfg, make_leafwalk_tracer(scene))
+
+
+def test_external_instanced_matches_pool():
+    """Trace-time instanced scenes shade in-kernel: the 9 inverse-transpose
+    attr rows transform the object-space normal (path.py:103-107 order)."""
+    from rendertoy3c_tpu.scene.instanced import build_instanced_scene
+    from rendertoy3c_tpu.scene.scene import Instance
+    from rendertoy3c_tpu.trace.instanced import make_instanced_tracer
+
+    meshes, camera = cornell_box(with_blocks=False)
+    inst = [Instance(mesh_index=i) for i in range(len(meshes))]
+    for k, (gx, gz) in enumerate(((-0.5, 0.0), (0.4, -0.3), (0.1, 0.5))):
+        t = np.zeros((3, 4), np.float32)
+        t[0, 0] = 0.3
+        t[1, 1] = 0.2 + 0.1 * k
+        t[2, 2] = 0.25
+        # a little shear so the inverse-transpose is non-trivial
+        t[0, 1] = 0.1
+        t[:, 3] = (gx, 0.15, gz)
+        inst.append(Instance(mesh_index=0, transforms=t))
+    iscene = build_instanced_scene(meshes, inst)
+    cfg = _cfg(samples_per_launch=2)
+    tracer = make_instanced_tracer(iscene)
+    cam = camera.params()
+    f_ref, s_ref = render_frame(iscene, cam, cfg, subframes=1, tracer=tracer)
+    pipe = make_external_pipeline(iscene, cfg, tracer, interpret=True)
+    f_ext, s_ext = render_frame(iscene, cam, cfg, subframes=1, tracer=pipe)
+    a = np.asarray(f_ext.accum)
+    b = np.asarray(f_ref.accum)
+    close = np.isclose(a, b, rtol=3e-5, atol=3e-5)
+    assert close.mean() > 0.98, f"only {close.mean():.4f} matched"
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=5e-3)
+    assert abs(int(s_ext.radiance_rays) - int(s_ref.radiance_rays)) \
+        <= 0.02 * int(s_ref.radiance_rays) + 16
+    assert abs(int(s_ext.shadow_rays) - int(s_ref.shadow_rays)) \
+        <= 0.02 * int(s_ref.shadow_rays) + 16

@@ -135,11 +135,17 @@ def test_auto_ladder_picks_inst_hierwalk():
     cfg2 = tune_config(iscene, cfg, on_tpu=True)
     assert cfg2.ray_block == 16384 and not cfg2.sort_rays
     scene2, tracer = choose_tracer(iscene, cfg2, on_tpu=True)
-    assert isinstance(tracer, tuple) and len(tracer) == 2
-    # spot-check one trace through the auto-picked pair
+    # static instanced scenes now ride the external shade pipeline over
+    # the inst hierwalk pair (in-kernel instance normal transform)
+    from rendertoy3c_tpu.trace.pallas_shade import ExternalPipeline
+
+    assert isinstance(tracer, ExternalPipeline)
+    # spot-check one trace through the wrapped closest backend
     import jax.numpy as jnp
 
     o = jnp.asarray([[0.0, 1.0, 2.5]], jnp.float32)
     d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
-    h = tracer[0](o, d, 1e-3, 1e16, None, None)
+    h = tracer._closest(o, d, 1e-3, 1e16, None, None)
     assert int(h.prim[0]) >= 0
+    # the wrapped pair must be the instanced TLAS walk (carries inst ids)
+    assert h.inst is not None
