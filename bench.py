@@ -143,6 +143,36 @@ def _parity_gate(cfg_kwargs):
     print(f"hierwalk gate ok at width {R} "
           f"({int((hp >= 0).sum())}/{R} hits)", file=sys.stderr)
 
+    # walkpool gate: one small frame through the walk-pool integrator
+    # (resumable-walk rounds + Mosaic shade kernel) vs the classic pool
+    # over the same hierwalk tracer — catches compiled-kernel/layout
+    # regressions on hardware before any timing runs
+    import dataclasses as _dc
+
+    from rendertoy3c_tpu.film.film import film_create as _fc
+    from rendertoy3c_tpu.integrate.path import make_render_fn as _mrf
+    from rendertoy3c_tpu.integrate.walkpool import make_walkpool_pipeline
+
+    wp_cfg = RenderConfig(width=96, height=96, samples_per_launch=2,
+                          max_depth=5, ray_block=4096, integrator="pool",
+                          pool_pixel_major=True)
+
+    def _render_small(tracer):
+        step = _mrf(sc, wp_cfg, tracer=tracer)
+        film, _ = step(cam_gate, _fc(wp_cfg.height, wp_cfg.width))
+        return np.asarray(film.accum[..., :3])
+
+    img_wp = _render_small(make_walkpool_pipeline(sc, wp_cfg))
+    img_cl = _render_small(make_hierwalk_tracer(sc))
+    dwp = np.abs(img_wp - img_cl)
+    if dwp.mean() > 5e-3 or dwp.max() > 0.35:
+        raise RuntimeError(
+            f"walkpool parity gate FAILED: mean|d|={dwp.mean():.4g} "
+            f"max|d|={dwp.max():.4g} — the walk-pool integrator disagrees "
+            "with the classic pool on hardware")
+    print(f"walkpool gate ok: mean|d|={dwp.mean():.2e} "
+          f"max|d|={dwp.max():.2e}", file=sys.stderr)
+
 
 def _box_field_scene():
     """The 64x64 box field (49k faces) shared by the hierwalk parity gate
