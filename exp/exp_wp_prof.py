@@ -24,6 +24,7 @@ from bench_tracers import box_field
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+    res = int(sys.argv[3]) if len(sys.argv) > 3 else 768
 
     from rendertoy3c_tpu.accel.lbvh import split_order_scene
     from rendertoy3c_tpu.film.film import film_create
@@ -37,14 +38,14 @@ def main():
     scene = split_order_scene(box_field(64), leaf=HIER_LEAF)
     cam = Camera(eye=(0.0, 20.0, 45.0), lookat=(0.0, 0.0, 0.0),
                  up=(0.0, 1.0, 0.0), fov_y=50.0, aspect_ratio=1.0)
-    cfg = RenderConfig(width=768, height=768, samples_per_launch=8,
+    cfg = RenderConfig(width=res, height=res, samples_per_launch=8,
                        max_depth=16, ray_block=w, integrator="pool",
                        pool_pixel_major=True, walk_phase_every=k)
     wp = make_walkpool_pipeline(scene, cfg)
     step = make_render_fn(scene, cfg, tracer=wp)
     cp = cam.params()
     rows = profile_step(
-        lambda f: step(cp, f), top=30,
+        lambda f: step(cp, f), top=55,
         rearm=lambda: (film_create(cfg.height, cfg.width),))
     for r in rows:
         print(r, flush=True)

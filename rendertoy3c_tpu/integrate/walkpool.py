@@ -566,9 +566,17 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             0, k_phase, lambda j, st: _walk_round(tab, st, motion), s,
             unroll=False)
 
+    # the framebuffer(s) live ONLY in the outer while carry (they are
+    # untouched between flushes; keeping them out of the middle/inner fori
+    # carries is free and measured perf-neutral — XLA already aliased them)
+    _IMG_KEYS = tuple(k for k, _c in _IMGS)
+
     def outer(s):
         s = flush_stage(s)
-        return jax.lax.fori_loop(0, _FLUSH_N, super_step, s, unroll=False)
+        lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
+        lanes = jax.lax.fori_loop(0, _FLUSH_N, super_step, lanes,
+                                  unroll=False)
+        return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
 
     s = jax.lax.while_loop(cond, outer, state)
 
