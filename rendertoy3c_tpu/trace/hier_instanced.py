@@ -48,9 +48,9 @@ from .hierwalk import (
 )
 from .intersect import Hit
 
-# row lane map (extends hierwalk's)
-_L_FIRST = 120   # child pointer / leaf first-face id (f32, exact)
-_L_INST = 121    # instance row: instance id
+# row lane map (extends hierwalk's; tri lanes fill 0..125 at HIER_LEAF=14)
+_L_FIRST = 126   # child pointer / leaf first-face id (f32, exact)
+_L_INST = 12     # instance row only: instance id (lanes 0-11 = transform)
 _L_TYPE = 127    # 0 = directory, 1 = leaf, 2 = instance
 
 

@@ -12,7 +12,7 @@ scripts/micro_rounds.py, v5e):
   * XLA scatters are banned (~10 ns/element serialized), so all per-ray
     traversal state is dense [R] arrays updated with selects.
 
-Structure: a 16-ary tree over 13-triangle leaves, one 128-float row per
+Structure: a 16-ary tree over 14-triangle leaves, one 128-float row per
 node, walked ORDERED DFS with per-ray, per-level pending-children entry
 distances (a vectorized stackless traversal — the "stack" is D [16]-float
 rows in lanes). One global while_loop round gathers each live ray's
@@ -23,7 +23,7 @@ and prunes every pending entry >= the ray's current best_t, so closest
 rays terminate in ~2·depth rounds instead of exhausting the full cut
 (the straggler fix over the round-1 unordered bitmask walk). Faces must
 be pre-ordered spatially (accel.lbvh.split_order_scene with
-leaf=HIER_LEAF) so consecutive 13-face leaves and 16-leaf directories get
+leaf=HIER_LEAF) so consecutive 14-face leaves and 16-leaf directories get
 tight boxes.
 
 Per-ray rows gathered = nodes visited (~10-16 on the 49k box field) vs the
@@ -48,15 +48,15 @@ import numpy as np
 
 from .intersect import Hit
 
-HIER_LEAF = 13    # triangles inline per leaf row (9*13 = 117 <= 128 lanes)
-HIER_LEAF_MOTION = 6  # 2-key leaves: both keys inline (2*9*6 = 108 lanes)
+HIER_LEAF = 14    # triangles inline per leaf row (9*14 = 126 lanes)
+HIER_LEAF_MOTION = 7  # 2-key leaves: both keys inline (2*9*7 = 126 lanes)
 FANOUT = 16       # children per directory row (6*16 = 96 lanes of boxes)
 ROW = 128
 _BIG = 1e30
 _DET_EPS = 1e-10
 
-# row lane map
-_L_FIRST = 120    # leaf: first face id / dir: first child id (f32, exact)
+# row lane map (tri lanes fill 0..125, so the pointer pair sits at the top)
+_L_FIRST = 126    # leaf: first face id / dir: first child id (f32, exact)
 _L_TYPE = 127     # 1.0 = leaf, 0.0 = directory
 
 
