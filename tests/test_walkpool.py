@@ -260,3 +260,45 @@ def test_walkpool_motion_2key():
     out, nr2, ns2 = _render(scene, camera, None, max_depth=2, walkpool=True)
     assert nr1 == nr2 and abs(ns1 - ns2) <= 2
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_auto_ladder_picks_walkpool():
+    """The auto ladder routes >16k-face pool scenes to the walk pool (and
+    the walk pool's shade stage picks the kernel for eligible scenes)."""
+    import numpy as np
+
+    from rendertoy3c_tpu.integrate.walkpool import WalkPoolPipeline
+    from rendertoy3c_tpu.scene.builtin import box_mesh, quad
+    from rendertoy3c_tpu.scene.material import Material
+    from rendertoy3c_tpu.scene.mesh import Mesh
+    from rendertoy3c_tpu.trace.auto import choose_tracer, tune_config
+
+    rng = np.random.default_rng(0)
+    white = Material(diffuse=(0.7, 0.7, 0.7))
+    v_all, f_all, off = [], [], 0
+    for gx in range(40):
+        for gz in range(40):
+            m = box_mesh([gx, 0, gz], [gx + 0.8, rng.uniform(0.3, 2.0),
+                                       gz + 0.8], white)
+            v_all.append(m.vertices[0])
+            f_all.append(m.indices + off)
+            off += m.vertices.shape[1]
+    big = Mesh(vertices=np.concatenate(v_all)[None],
+               indices=np.concatenate(f_all), material=white)
+    lv, lf = quad([-6, 25, -6], [-6, 25, 6], [6, 25, 6], [6, 25, -6])
+    lamp = Mesh(vertices=lv[None], indices=lf,
+                material=Material(emissive=(40.0, 40.0, 40.0)))
+    scene = build_scene([big, lamp])
+    assert scene.num_faces > 16384
+
+    cfg = RenderConfig(integrator="pool", ray_block=32768,
+                       pool_pixel_major=True)
+    cfg = tune_config(scene, cfg, on_tpu=True)
+    assert cfg.ray_block == 16384
+    scene2, tracer = choose_tracer(scene, cfg, on_tpu=True)
+    assert isinstance(tracer, WalkPoolPipeline)
+    assert tracer.kernel  # all-diffuse untextured scene -> shade kernel
+    # wave integrator callers still get a bare tracer pair
+    cfg_w = RenderConfig(integrator="wave")
+    _s, pair = choose_tracer(scene, cfg_w, on_tpu=True)
+    assert isinstance(pair, tuple) and len(pair) == 2
