@@ -45,6 +45,7 @@ unaffected.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -89,13 +90,17 @@ class WalkPoolPipeline:
     render the scene returned alongside this by trace.auto.choose_tracer.
     """
 
-    tab: HierTable
+    walk_round: Callable  # (state dict) -> state dict, one traversal round
+    n_levels: int         # pending-children stack depth (ents slots)
+    num_faces: int        # real face count (hit prim validity bound)
     motion: bool          # 2-key scene: leaf rows lerped by per-ray time
     shade: Callable       # (rays, hit8, misc, attr_t, count) -> 3 outputs
     attr_rows: Any        # [F, H] per-face attr table (kernel path), or None
     kernel: bool          # True = Pallas shade kernel, False = XLA stage
     misc_w: int           # 16, or 24 with AOV accumulator columns
     shadow_w: int         # shadow-ray column count (8, 16 for motion)
+    instanced: bool = False   # trace-time two-level AS (inst TLAS walk)
+    inst_it: Any = None       # [I, 9] inverse-transpose rows (instanced)
 
 
 def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
@@ -110,15 +115,49 @@ def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
     motion = scene.num_keys == 2
     misc_w = 24 if cfg.aov else 16
     shadow_w = 16 if motion else 8
+    walk_round = functools.partial(_walk_round, tab, motion=motion)
+    common = dict(walk_round=walk_round,
+                  n_levels=len(tab.level_starts),
+                  num_faces=tab.num_faces, motion=motion,
+                  misc_w=misc_w, shadow_w=shadow_w)
     if external_shade_eligible(scene, cfg):
         shade, attr_rows = make_external_shader(scene, cfg, motion=motion)
-        return WalkPoolPipeline(tab=tab, motion=motion, shade=shade,
-                                attr_rows=attr_rows, kernel=True,
-                                misc_w=misc_w, shadow_w=shadow_w)
+        return WalkPoolPipeline(shade=shade, attr_rows=attr_rows,
+                                kernel=True, **common)
     shade = _make_xla_shade_stage(scene, cfg, misc_w, shadow_w)
-    return WalkPoolPipeline(tab=tab, motion=motion, shade=shade,
-                            attr_rows=None, kernel=False,
-                            misc_w=misc_w, shadow_w=shadow_w)
+    return WalkPoolPipeline(shade=shade, attr_rows=None, kernel=False,
+                            **common)
+
+
+def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
+    """Walk-pool pipeline over the instanced TLAS gather walk
+    (trace/hier_instanced.py): resumable world->instance->mesh walks in
+    pool lanes; the shade stage transforms object-space normals through
+    per-hit inverse-transpose attr rows (static scenes only)."""
+    from ..trace.hier_instanced import build_inst_hier_table
+    from ..trace.pallas_shade import (
+        external_shade_eligible,
+        make_external_shader,
+    )
+
+    if iscene.num_keys != 1:
+        raise ValueError("instanced walk pool is static-only; matrix "
+                         "motion rides the pallas_instanced kernels")
+    itab = build_inst_hier_table(iscene)
+    n_levels = len(itab.world_starts) + len(itab.mesh_starts)
+    misc_w = 24 if cfg.aov else 16
+    inst_it = iscene.instances.inv_t[:, 0].reshape(-1, 9)
+    common = dict(walk_round=functools.partial(_walk_round_inst, itab),
+                  n_levels=n_levels, num_faces=itab.num_faces,
+                  motion=False, misc_w=misc_w, shadow_w=8,
+                  instanced=True, inst_it=inst_it)
+    if external_shade_eligible(iscene, cfg):
+        shade, attr_rows = make_external_shader(iscene, cfg, motion=False)
+        return WalkPoolPipeline(shade=shade, attr_rows=attr_rows,
+                                kernel=True, **common)
+    shade = _make_xla_shade_stage(iscene, cfg, misc_w, 8)
+    return WalkPoolPipeline(shade=shade, attr_rows=None, kernel=False,
+                            **common)
 
 
 def _make_xla_shade_stage(scene, cfg: RenderConfig, misc_w: int,
@@ -136,6 +175,7 @@ def _make_xla_shade_stage(scene, cfg: RenderConfig, misc_w: int,
     from .path import _miss_radiance, _shade_and_nee
 
     bg = jnp.asarray(cfg.bg_radiance, jnp.float32)
+    instanced = getattr(scene, "instances", None) is not None
 
     def shade(rays, hit8, misc, attr_t, count):
         del attr_t, count
@@ -148,7 +188,8 @@ def _make_xla_shade_stage(scene, cfg: RenderConfig, misc_w: int,
         atten = misc[:, 1:4]
         last_atten = misc[:, 4:7]
         hit = Hit(t=hit8[:, 0], prim=hit8[:, 1].astype(jnp.int32),
-                  u=hit8[:, 2], v=hit8[:, 3])
+                  u=hit8[:, 2], v=hit8[:, 3],
+                  inst=hit8[:, 4].astype(jnp.int32) if instanced else None)
         cap = {}
 
         def stub_any(p, ldir, tmin_s, tmax_s, time_s, count=None):
@@ -309,6 +350,126 @@ def _walk_round(tab: HierTable, s, motion: bool):
     )
 
 
+def _walk_round_inst(tab, s):
+    """Instanced-table variant of _walk_round (trace/hier_instanced.py
+    semantics): rows are world directories, instance rows (switch the lane
+    into that instance's object space), shared mesh directories, or leaf
+    rows; a pop that re-enters a world level restores the world ray. Extra
+    lane state vs the static round: o_cur/d_cur (current-space ray),
+    inst_cur, wb_inst. Static scenes only (no per-ray time).
+    """
+    from ..trace.hier_instanced import _L_INST
+    from ..trace.hier_instanced import _L_FIRST as _LI_FIRST
+    from ..trace.hier_instanced import _L_TYPE as _LI_TYPE
+
+    n_world = len(tab.world_starts)
+    n_mesh = len(tab.mesh_starts)
+    n_levels = n_world + n_mesh
+    level_lo = list(tab.world_starts) + list(tab.mesh_starts)
+    level_hi = (list(tab.world_starts[1:]) + [tab.inst_start]
+                + list(tab.mesh_starts[1:]) + [tab.leaf_start])
+    cur = s["cur"]
+    rays = s["rays"]
+    o_w, d_w = rays[:, 0:3], rays[:, 3:6]
+    o_cur, d_cur = s["o_cur"], s["d_cur"]
+    walking = cur >= 0
+    r = cur.shape[0]
+    lane16 = jax.lax.iota(jnp.int32, FANOUT)[None, :]
+    inv_w = _safe_inv(d_w)
+    inv_cur = _safe_inv(d_cur)
+    tmin_c = rays[:, 6:7]
+
+    rows = jnp.take(tab.table, jnp.maximum(cur, 0), axis=0)
+    typ = rows[:, _LI_TYPE]
+    is_inst = typ > 1.5
+    is_leaf = (typ > 0.5) & ~is_inst
+    first = rows[:, _LI_FIRST]
+
+    # --- leaf: fused MT in the current space (t stays in world units) ---
+    tcur = jnp.where(s["wfound"], 0.0, s["wb_t"])
+    t, u, v, hit = _leaf_mt(rows, o_cur, d_cur, tmin_c, tcur[:, None])
+    hit = hit & (is_leaf & walking)[:, None]
+    wmode = s["wmode"]
+    wfound = s["wfound"] | (wmode & jnp.any(hit, axis=1))
+
+    cap = hit.shape[1]
+    tt = jnp.where(hit, t, jnp.float32(_BIG))
+    t_leaf = jnp.min(tt, axis=1)
+    lane = jax.lax.iota(jnp.int32, cap)[None, :]
+    at_min = tt <= t_leaf[:, None]
+    lane_sel = jnp.min(jnp.where(at_min, lane, cap), axis=1)
+    one = at_min & (lane == lane_sel[:, None])
+    better = (~wmode) & (t_leaf < s["wb_t"])
+    wb_t = jnp.where(better, t_leaf, s["wb_t"])
+    wb_prim = jnp.where(better, first.astype(jnp.int32) + lane_sel,
+                        s["wb_prim"])
+    wb_inst = jnp.where(better, s["inst_cur"], s["wb_inst"])
+    wb_u = jnp.where(better, jnp.sum(jnp.where(one, u, 0.0), axis=1),
+                     s["wb_u"])
+    wb_v = jnp.where(better, jnp.sum(jnp.where(one, v, 0.0), axis=1),
+                     s["wb_v"])
+
+    # --- instance row: switch into object space, jump to subtree ---
+    lin = rows[:, 0:9].reshape(r, 3, 3)
+    o_t = jnp.einsum("rij,rj->ri", lin, o_w) + rows[:, 9:12]
+    d_t = jnp.einsum("rij,rj->ri", lin, d_w)  # NOT normalized: world t
+    sel_i = (walking & is_inst)[:, None]
+    o_cur = jnp.where(sel_i, o_t, o_cur)
+    d_cur = jnp.where(sel_i, d_t, d_cur)
+    inv_cur = jnp.where(sel_i, _safe_inv(d_t), inv_cur)
+    inst_cur = jnp.where(walking & is_inst,
+                         rows[:, _L_INST].astype(jnp.int32), s["inst_cur"])
+
+    # --- directory: slab-test children in the current space ---
+    eff_t = jnp.where(wfound, 0.0, wb_t)
+    cut = _prune_cut(eff_t)[:, None]
+    ent = _dir_entries(rows, o_cur, inv_cur, tmin_c, cut)
+    is_dir = walking & ~is_leaf & ~is_inst
+    ents = list(s["ents"])
+    bases = list(s["bases"])
+    for lv in range(n_levels):
+        at_lv = is_dir & (cur >= level_lo[lv]) & (cur < level_hi[lv])
+        ents[lv] = jnp.where(at_lv[:, None], ent, ents[lv])
+        bases[lv] = jnp.where(at_lv, first.astype(jnp.int32), bases[lv])
+
+    # --- pop: nearest pending at the deepest level; instance rows jump
+    # straight to their subtree root instead ---
+    nxt = jnp.full((r,), -1, jnp.int32)
+    pop_lv = jnp.full((r,), -1, jnp.int32)
+    done_now = wfound
+    for lv in reversed(range(n_levels)):
+        e = ents[lv]
+        alive_e = e < cut
+        ee = jnp.where(alive_e, e, jnp.float32(_BIG))
+        e_min = jnp.min(ee, axis=1)
+        has = (e_min < _BIG) & walking & ~is_inst & (nxt < 0) & ~done_now
+        at2 = ee <= e_min[:, None]
+        j = jnp.min(jnp.where(at2, lane16, FANOUT), axis=1)
+        nxt = jnp.where(has, bases[lv] + j, nxt)
+        pop_lv = jnp.where(has, lv, pop_lv)
+        taken = has[:, None] & (lane16 == j[:, None])
+        ents[lv] = jnp.where(taken, jnp.float32(_BIG), ents[lv])
+
+    go_inst = walking & is_inst & ~done_now
+    nxt = jnp.where(go_inst, first.astype(jnp.int32), nxt)
+
+    # a world-level pop leaves the current instance: restore the world ray
+    back = (pop_lv >= 0) & (pop_lv < n_world)
+    o_cur = jnp.where(back[:, None], o_w, o_cur)
+    d_cur = jnp.where(back[:, None], d_w, d_cur)
+    inst_cur = jnp.where(back, -1, inst_cur)
+
+    finished = walking & (nxt < 0)
+    return dict(
+        s,
+        cur=jnp.where(walking, nxt, cur),
+        o_cur=o_cur, d_cur=d_cur, inst_cur=inst_cur,
+        wb_t=wb_t, wb_prim=wb_prim, wb_inst=wb_inst, wb_u=wb_u, wb_v=wb_v,
+        wfound=wfound, ents=ents, bases=bases,
+        phase=jnp.where(finished, s["phase"] + 1, s["phase"]),
+    )
+
+
 def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                      pixel_idx, subframe_index):
     """Pool-compatible subframe body; returns (rgb, aov, n_rad, n_shad).
@@ -317,10 +478,10 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     samples back-to-back; flush rides the phase boundary)."""
     from .path import _camera_ray, _lcg_advance_table, _next_pow2
 
-    tab = pipe.tab
     motion = pipe.motion
     misc_w = pipe.misc_w
-    n_levels = len(tab.level_starts)
+    n_levels = pipe.n_levels
+    num_faces = pipe.num_faces
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
     # the shade kernel's grid is RAY_TILE(256)-wide; surplus lanes idle
@@ -331,7 +492,6 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)
     pixel_base = pixel_idx[0]
-    num_faces = tab.num_faces
 
     state = dict(
         # current walk ray columns (o, d, tmin, tmax): camera/bounce ray in
@@ -347,6 +507,14 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         wb_v=jnp.zeros((pool,), jnp.float32),
         ents=[jnp.full((pool, FANOUT), jnp.float32(_BIG))
               for _ in range(n_levels)],
+        **({} if not pipe.instanced else dict(
+            # instanced TLAS walk: the current-space ray (object space
+            # inside an instance subtree) + the owning instance ids
+            o_cur=jnp.zeros((pool, 3), jnp.float32),
+            d_cur=jnp.zeros((pool, 3), jnp.float32),
+            inst_cur=jnp.full((pool,), -1, jnp.int32),
+            wb_inst=jnp.full((pool,), -1, jnp.int32),
+        )),
         bases=[jnp.zeros((pool,), jnp.int32) for _ in range(n_levels)],
         phase=jnp.zeros((pool,), jnp.int32),
         # packed path state (the fused pool's misc layout, pallas_shade.py)
@@ -382,18 +550,30 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         valid = m_a & (s["wb_prim"] >= 0) & (s["wb_prim"] < num_faces)
         hit_t = jnp.where(valid, s["wb_t"], rays[:, 7])
         hit_prim = jnp.where(valid, s["wb_prim"], -1)
+        hit_inst = (jnp.where(valid, s["wb_inst"], -1)
+                    if pipe.instanced else jnp.full((pool,), -1, jnp.int32))
         hit8 = jnp.concatenate(
             [hit_t[:, None], hit_prim.astype(jnp.float32)[:, None],
              jnp.where(valid, s["wb_u"], 0.0)[:, None],
              jnp.where(valid, s["wb_v"], 0.0)[:, None],
-             jnp.zeros((pool, 4), jnp.float32)], axis=1)
+             hit_inst.astype(jnp.float32)[:, None],
+             jnp.zeros((pool, 3), jnp.float32)], axis=1)
         misc_in = jnp.concatenate(
             [misc[:, :9], m_a.astype(jnp.float32)[:, None], misc[:, 10:]],
             axis=1)
         if pipe.kernel:
-            attr_t = jnp.transpose(
-                jnp.take(pipe.attr_rows, jnp.maximum(hit_prim, 0), axis=0),
-                (1, 0))
+            attr_g = jnp.take(pipe.attr_rows, jnp.maximum(hit_prim, 0),
+                              axis=0)
+            if pipe.instanced:
+                # per-hit inverse-transpose rows (identity for misses) for
+                # the kernel's in-kernel instance normal transform
+                it9 = jnp.take(pipe.inst_it, jnp.maximum(hit_inst, 0),
+                               axis=0)
+                eye9 = jnp.asarray(
+                    [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)[None, :]
+                it9 = jnp.where((hit_inst >= 0)[:, None], it9, eye9)
+                attr_g = jnp.concatenate([attr_g, it9], axis=1)
+            attr_t = jnp.transpose(attr_g, (1, 0))
         else:
             attr_t = None
         rays2, misc_e, sh = pipe.shade(rays, hit8, misc_in, attr_t, pool)
@@ -414,6 +594,14 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         wfound = s["wfound"] & ~m_a
         wb_t = jnp.where(ws, sh[:, 7], s["wb_t"])
         cur = jnp.where(ws, 0, jnp.where(m_a, -1, s["cur"]))
+        inst_extra = {}
+        if pipe.instanced:
+            # shadow walks start in world space
+            inst_extra = dict(
+                o_cur=jnp.where(ws[:, None], sh[:, 0:3], s["o_cur"]),
+                d_cur=jnp.where(ws[:, None], sh[:, 3:6], s["d_cur"]),
+                inst_cur=jnp.where(ws, -1, s["inst_cur"]),
+            )
         phase = jnp.where(m_a,
                           jnp.where(ws, _WALK_SHADOW, _AWAIT_GATE),
                           s["phase"])
@@ -513,6 +701,16 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         ents = [jnp.where(launch[:, None], jnp.float32(_BIG), e)
                 for e in ents]
         n_rad = s["n_rad"] + jnp.sum(launch.astype(jnp.int32))
+        if pipe.instanced:
+            # closest walks start at the world root in world space
+            inst_extra = dict(
+                o_cur=jnp.where(launch[:, None], rays[:, 0:3],
+                                inst_extra["o_cur"]),
+                d_cur=jnp.where(launch[:, None], rays[:, 3:6],
+                                inst_extra["d_cur"]),
+                inst_cur=jnp.where(launch, -1, inst_extra["inst_cur"]),
+                wb_inst=jnp.where(launch, -1, s["wb_inst"]),
+            )
 
         out = dict(
             s,
@@ -520,6 +718,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             wb_t=wb_t, wb_prim=wb_prim, ents=ents, phase=phase,
             misc=misc, nrays=nrays, nee=nee,
             next_work=next_work, n_rad=n_rad, n_shad=n_shad,
+            **inst_extra,
         )
         return out
 
@@ -563,7 +762,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         # pays per-round branch dispatch.
         s = boundary(s)
         return jax.lax.fori_loop(
-            0, k_phase, lambda j, st: _walk_round(tab, st, motion), s,
+            0, k_phase, lambda j, st: pipe.walk_round(st), s,
             unroll=False)
 
     # the framebuffer(s) live ONLY in the outer while carry (they are

@@ -109,9 +109,20 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
             )
 
             scene = split_order_instanced(scene)
-            tracer = make_inst_hierwalk_tracer(scene)
             inst_pipeline_ok = (want_pipeline and cfg.integrator == "pool"
                                 and cfg.ray_block % 256 == 0)
+            # effective workload = every instance's mesh footprint: the
+            # walk pool wins once walks get long (measured 560k-effective
+            # instance field: 3.0 -> 6.6 Mray/s), while short walks favor
+            # one shade boundary per whole segment (cornell-scale
+            # trace-time config: 27.6 classic vs 12.3 walk pool)
+            eff_faces = sum(scene.mesh_ranges[m][1]
+                            for m in scene.instance_mesh)
+            if inst_pipeline_ok and eff_faces > LEAFWALK_MIN_FACES:
+                from ..integrate.walkpool import make_inst_walkpool_pipeline
+
+                return scene, make_inst_walkpool_pipeline(scene, cfg)
+            tracer = make_inst_hierwalk_tracer(scene)
             if inst_pipeline_ok and external_shade_eligible(scene, cfg):
                 # packed-state shade kernel with in-kernel instance
                 # normal transform (9 inverse-transpose attr rows)

@@ -302,3 +302,45 @@ def test_auto_ladder_picks_walkpool():
     cfg_w = RenderConfig(integrator="wave")
     _s, pair = choose_tracer(scene, cfg_w, on_tpu=True)
     assert isinstance(pair, tuple) and len(pair) == 2
+
+
+def test_walkpool_instanced_matches_pool():
+    """Instanced walk pool (resumable TLAS walks + in-kernel instance
+    normal transform) vs the classic pool over the inst hierwalk pair."""
+    import numpy as np
+
+    from rendertoy3c_tpu.integrate.walkpool import make_inst_walkpool_pipeline
+    from rendertoy3c_tpu.scene.instanced import build_instanced_scene
+    from rendertoy3c_tpu.scene.scene import Instance
+    from rendertoy3c_tpu.trace.hier_instanced import (
+        make_inst_hierwalk_tracer,
+        split_order_instanced,
+    )
+
+    meshes, camera = cornell_box(with_blocks=False)
+    camera.aspect_ratio = 1.0
+    inst = [Instance(mesh_index=i) for i in range(len(meshes))]
+    for k, (gx, gz) in enumerate(((-0.5, 0.0), (0.4, -0.3), (0.1, 0.5))):
+        t = np.zeros((3, 4), np.float32)
+        t[0, 0] = 0.3
+        t[1, 1] = 0.2 + 0.1 * k
+        t[2, 2] = 0.25
+        t[0, 1] = 0.1  # shear: non-trivial inverse-transpose
+        t[:, 3] = (gx, 0.15, gz)
+        inst.append(Instance(mesh_index=0, transforms=t))
+    iscene = split_order_instanced(build_instanced_scene(meshes, inst))
+
+    tracer = make_inst_hierwalk_tracer(iscene)
+    ref, nr1, ns1 = _render(iscene, camera, tracer, max_depth=3)
+    cfg = RenderConfig(width=24, height=24, integrator="pool",
+                       pool_pixel_major=True, samples_per_launch=2,
+                       ray_block=1024, max_depth=3)
+    wp = make_inst_walkpool_pipeline(iscene, cfg)
+    assert wp.instanced and wp.kernel
+    pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+    out, _aov, nr2, ns2 = jax.jit(
+        lambda c: render_pixels(iscene, cfg, c, wp, pix, jnp.uint32(0))
+    )(camera.params())
+    out = np.asarray(out)
+    assert nr1 == int(nr2) and abs(ns1 - int(ns2)) <= 2
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
