@@ -550,30 +550,38 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         valid = m_a & (s["wb_prim"] >= 0) & (s["wb_prim"] < num_faces)
         hit_t = jnp.where(valid, s["wb_t"], rays[:, 7])
         hit_prim = jnp.where(valid, s["wb_prim"], -1)
-        hit_inst = (jnp.where(valid, s["wb_inst"], -1)
-                    if pipe.instanced else jnp.full((pool,), -1, jnp.int32))
-        hit8 = jnp.concatenate(
-            [hit_t[:, None], hit_prim.astype(jnp.float32)[:, None],
-             jnp.where(valid, s["wb_u"], 0.0)[:, None],
-             jnp.where(valid, s["wb_v"], 0.0)[:, None],
-             hit_inst.astype(jnp.float32)[:, None],
-             jnp.zeros((pool, 3), jnp.float32)], axis=1)
+        if pipe.instanced:
+            hit_inst = jnp.where(valid, s["wb_inst"], -1)
+            hit8 = jnp.concatenate(
+                [hit_t[:, None], hit_prim.astype(jnp.float32)[:, None],
+                 jnp.where(valid, s["wb_u"], 0.0)[:, None],
+                 jnp.where(valid, s["wb_v"], 0.0)[:, None],
+                 hit_inst.astype(jnp.float32)[:, None],
+                 jnp.zeros((pool, 3), jnp.float32)], axis=1)
+        else:
+            hit8 = jnp.concatenate(
+                [hit_t[:, None], hit_prim.astype(jnp.float32)[:, None],
+                 jnp.where(valid, s["wb_u"], 0.0)[:, None],
+                 jnp.where(valid, s["wb_v"], 0.0)[:, None],
+                 jnp.zeros((pool, 4), jnp.float32)], axis=1)
         misc_in = jnp.concatenate(
             [misc[:, :9], m_a.astype(jnp.float32)[:, None], misc[:, 10:]],
             axis=1)
-        if pipe.kernel:
+        if pipe.kernel and pipe.instanced:
+            # per-hit inverse-transpose rows (identity for misses) for
+            # the kernel's in-kernel instance normal transform
             attr_g = jnp.take(pipe.attr_rows, jnp.maximum(hit_prim, 0),
                               axis=0)
-            if pipe.instanced:
-                # per-hit inverse-transpose rows (identity for misses) for
-                # the kernel's in-kernel instance normal transform
-                it9 = jnp.take(pipe.inst_it, jnp.maximum(hit_inst, 0),
-                               axis=0)
-                eye9 = jnp.asarray(
-                    [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)[None, :]
-                it9 = jnp.where((hit_inst >= 0)[:, None], it9, eye9)
-                attr_g = jnp.concatenate([attr_g, it9], axis=1)
-            attr_t = jnp.transpose(attr_g, (1, 0))
+            it9 = jnp.take(pipe.inst_it, jnp.maximum(hit_inst, 0), axis=0)
+            eye9 = jnp.asarray(
+                [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)[None, :]
+            it9 = jnp.where((hit_inst >= 0)[:, None], it9, eye9)
+            attr_t = jnp.transpose(jnp.concatenate([attr_g, it9], axis=1),
+                                   (1, 0))
+        elif pipe.kernel:
+            attr_t = jnp.transpose(
+                jnp.take(pipe.attr_rows, jnp.maximum(hit_prim, 0), axis=0),
+                (1, 0))
         else:
             attr_t = None
         rays2, misc_e, sh = pipe.shade(rays, hit8, misc_in, attr_t, pool)
