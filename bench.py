@@ -203,6 +203,48 @@ def _box_field_scene():
     return build_scene([big, lamp])
 
 
+def _instance_field_scene():
+    """578 instances of one 81-box tower mesh on a floor under a lamp —
+    562k effective faces from 1.3k stored ones (trace-time two-level AS
+    at scale)."""
+    import numpy as np
+
+    from rendertoy3c_tpu.scene.builtin import box_mesh, quad
+    from rendertoy3c_tpu.scene.camera import Camera
+    from rendertoy3c_tpu.scene.instanced import build_instanced_scene
+    from rendertoy3c_tpu.scene.material import Material
+    from rendertoy3c_tpu.scene.mesh import Mesh
+    from rendertoy3c_tpu.scene.scene import Instance
+
+    rng = np.random.default_rng(0)
+    white = Material(diffuse=(0.7, 0.7, 0.7))
+    v_all, f_all, off = [], [], 0
+    for _ in range(81):
+        x, y, z = rng.uniform(0, 0.8, 3)
+        m = box_mesh([x, y * 2, z], [x + 0.15, y * 2 + 0.3, z + 0.15],
+                     white)
+        v_all.append(m.vertices[0])
+        f_all.append(m.indices + off)
+        off += m.vertices.shape[1]
+    tower = Mesh(vertices=np.concatenate(v_all)[None],
+                 indices=np.concatenate(f_all), material=white)
+    lv, lf = quad([-8, 20, -8], [-8, 20, 8], [8, 20, 8], [8, 20, -8])
+    lamp = Mesh(vertices=lv[None], indices=lf,
+                material=Material(emissive=(40.0, 40.0, 40.0)))
+    fv, ff = quad([-30, 0, -30], [30, 0, -30], [30, 0, 30], [-30, 0, 30])
+    floor = Mesh(vertices=fv[None], indices=ff, material=white)
+    inst = [Instance(mesh_index=1), Instance(mesh_index=2)]
+    for gx in range(24):
+        for gz in range(24):
+            t = np.zeros((3, 4), np.float32)
+            t[:, :3] = np.eye(3)
+            t[:, 3] = (gx - 12, 0, gz - 12)
+            inst.append(Instance(mesh_index=0, transforms=t))
+    cam = Camera(eye=(0.0, 16.0, 34.0), lookat=(0.0, 0.5, 0.0),
+                 fov_y=50.0)
+    return build_instanced_scene([tower, lamp, floor], inst), cam
+
+
 def _town_scene(faces, two_key=False, untextured=False, principled=False):
     """Load the generated town .obj through the real asset path."""
     import numpy as np
@@ -312,6 +354,17 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     # scale sweep: 200k-face static .obj
     scene, cam = _town_scene(200000, untextured=True)
     record("large_scene_200k", scene, cam, cfg_sorted, timed_c=2)
+
+    # scale sweep: 1M-face static .obj (the OptiX flat-cost story —
+    # traversal degrades sub-linearly while brute force would be ~20x)
+    scene, cam = _town_scene(1000000, untextured=True)
+    record("large_scene_1M", scene, cam, cfg_sorted, timed_c=2)
+
+    # scale sweep: trace-time instancing at scale — 578 instances sharing
+    # one 972-face mesh (562k effective faces, geometry stored once; the
+    # instanced walk pool's band, cuda_accel.h:92-150 IAS semantics)
+    iscene_big, icam_big = _instance_field_scene()
+    record("multi_instance_large", iscene_big, icam_big, cfg, timed_c=2)
 
     # legacy continuity configs (round-1 records): builtin Cornell shapes
     meshes, ccam = cornell_box()
