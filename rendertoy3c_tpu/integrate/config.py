@@ -53,8 +53,10 @@ class RenderConfig:
     # Walk-pool only (integrate/walkpool.py): traversal rounds between
     # phase boundaries (shade/NEE + RR/refill). Lanes finishing a walk wait
     # <= K-1 rounds; larger K amortizes the boundary, smaller K cuts the
-    # wait. Measured optimum on the 49k field (v5e): 16 (sweep 6..32).
-    walk_phase_every: int = 16
+    # wait. 0 = auto (4 x tree levels, clamped to [8, 16]): deeper tables
+    # mean longer walks, which tolerate more rounds per boundary (measured
+    # v5e: 3-level scenes peak at K~10-12; 4- and 5-level at K~16).
+    walk_phase_every: int = 0
 
     # Pool-only: re-sort live lanes by direction-octant Morton keys each
     # iteration. Costs an argsort + state permutation; pays off for tracers

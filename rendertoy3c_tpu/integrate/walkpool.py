@@ -487,7 +487,8 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     # the shade kernel's grid is RAY_TILE(256)-wide; surplus lanes idle
     pool = max(pool, 256)
     spp = cfg.samples_per_launch
-    k_phase = cfg.walk_phase_every
+    # 0 = auto cadence: scale with walk length (~ tree depth), see config
+    k_phase = cfg.walk_phase_every or max(8, min(16, 4 * n_levels))
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)
