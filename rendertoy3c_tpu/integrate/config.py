@@ -53,9 +53,9 @@ class RenderConfig:
     # Walk-pool only (integrate/walkpool.py): traversal rounds between
     # phase boundaries (shade/NEE + RR/refill). Lanes finishing a walk wait
     # <= K-1 rounds; larger K amortizes the boundary, smaller K cuts the
-    # wait. 0 = auto (4 x tree levels, clamped to [8, 16]): deeper tables
-    # mean longer walks, which tolerate more rounds per boundary (measured
-    # v5e: 3-level scenes peak at K~10-12; 4- and 5-level at K~16).
+    # wait. 0 = auto: 12 below 100k faces, else 16 (measured v5e optima —
+    # 49k field 8.43@12 vs 8.35@16, 1080p town +8% at 12; 197k field
+    # 6.34@16 vs 5.63@12; 200k town flat; instanced tables peak at 16).
     walk_phase_every: int = 0
 
     # Pool-only: re-sort live lanes by direction-octant Morton keys each

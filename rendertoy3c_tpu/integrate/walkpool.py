@@ -487,8 +487,10 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     # the shade kernel's grid is RAY_TILE(256)-wide; surplus lanes idle
     pool = max(pool, 256)
     spp = cfg.samples_per_launch
-    # 0 = auto cadence: scale with walk length (~ tree depth), see config
-    k_phase = cfg.walk_phase_every or max(8, min(16, 4 * n_levels))
+    # 0 = auto cadence: longer walks (bigger scenes, instanced tables)
+    # tolerate more rounds per boundary; measured optima in config.py
+    k_phase = cfg.walk_phase_every or (
+        12 if (not pipe.instanced and num_faces < 100_000) else 16)
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)
