@@ -766,6 +766,13 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         ], axis=1)
         return dict(s, misc=misc, **out)
 
+    # Unrolling the walk rounds lets XLA fuse across round boundaries and
+    # shave launch gaps — measured (v5e, quick suite): unroll=4 lifts
+    # 49k 8.43->8.53, 200k 5.27->5.39, inst field 6.61->6.66, but LOSES on
+    # the 5-level 1M table (4.13->3.95; full unroll also lost at 49k,
+    # 8.34), so deep tables keep the rolled loop.
+    round_unroll = 4 if n_levels <= 4 else False
+
     def super_step(i, s):
         # boundary (drains lanes the previous rounds finished), then K
         # unconditional walk rounds: no lax.cond around the full state, so
@@ -774,7 +781,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         s = boundary(s)
         return jax.lax.fori_loop(
             0, k_phase, lambda j, st: pipe.walk_round(st), s,
-            unroll=False)
+            unroll=round_unroll)
 
     # the framebuffer(s) live ONLY in the outer while carry (they are
     # untouched between flushes; keeping them out of the middle/inner fori
