@@ -95,12 +95,14 @@ class WalkPoolPipeline:
     num_faces: int        # real face count (hit prim validity bound)
     motion: bool          # 2-key scene: leaf rows lerped by per-ray time
     shade: Callable       # (rays, hit8, misc, attr_t, count) -> 3 outputs
-    attr_rows: Any        # [F, H] per-face attr table (kernel path), or None
+    attr_rows: Any        # [F/k, 128] pack_rows128 attr table (kernel
+    #                       path), or None; attr_w real columns per face
     kernel: bool          # True = Pallas shade kernel, False = XLA stage
     misc_w: int           # 16, or 24 with AOV accumulator columns
     shadow_w: int         # shadow-ray column count (8, 16 for motion)
     instanced: bool = False   # trace-time two-level AS (inst TLAS walk)
-    inst_it: Any = None       # [I, 9] inverse-transpose rows (instanced)
+    inst_it: Any = None       # [I/k, 128] packed inverse-transpose rows
+    attr_w: int = 0           # real attr column count before the packing
 
 
 def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
@@ -108,6 +110,7 @@ def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
     from ..trace.pallas_shade import (
         external_shade_eligible,
         make_external_shader,
+        pack_rows128,
     )
 
     tab = build_hier_table(scene.geom, scene.num_faces,
@@ -122,7 +125,9 @@ def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
                   misc_w=misc_w, shadow_w=shadow_w)
     if external_shade_eligible(scene, cfg):
         shade, attr_rows = make_external_shader(scene, cfg, motion=motion)
-        return WalkPoolPipeline(shade=shade, attr_rows=attr_rows,
+        return WalkPoolPipeline(shade=shade,
+                                attr_rows=pack_rows128(attr_rows)[0],
+                                attr_w=attr_rows.shape[1],
                                 kernel=True, **common)
     shade = _make_xla_shade_stage(scene, cfg, misc_w, shadow_w)
     return WalkPoolPipeline(shade=shade, attr_rows=None, kernel=False,
@@ -138,6 +143,7 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
     from ..trace.pallas_shade import (
         external_shade_eligible,
         make_external_shader,
+        pack_rows128,
     )
 
     if iscene.num_keys != 1:
@@ -146,14 +152,16 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
     itab = build_inst_hier_table(iscene)
     n_levels = len(itab.world_starts) + len(itab.mesh_starts)
     misc_w = 24 if cfg.aov else 16
-    inst_it = iscene.instances.inv_t[:, 0].reshape(-1, 9)
+    inst_it = pack_rows128(iscene.instances.inv_t[:, 0].reshape(-1, 9))[0]
     common = dict(walk_round=functools.partial(_walk_round_inst, itab),
                   n_levels=n_levels, num_faces=itab.num_faces,
                   motion=False, misc_w=misc_w, shadow_w=8,
                   instanced=True, inst_it=inst_it)
     if external_shade_eligible(iscene, cfg):
         shade, attr_rows = make_external_shader(iscene, cfg, motion=False)
-        return WalkPoolPipeline(shade=shade, attr_rows=attr_rows,
+        return WalkPoolPipeline(shade=shade,
+                                attr_rows=pack_rows128(attr_rows)[0],
+                                attr_w=attr_rows.shape[1],
                                 kernel=True, **common)
     shade = _make_xla_shade_stage(iscene, cfg, misc_w, 8)
     return WalkPoolPipeline(shade=shade, attr_rows=None, kernel=False,
@@ -476,6 +484,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
 
     Pixel-major schedule only (a lane owns one pixel and renders all its
     samples back-to-back; flush rides the phase boundary)."""
+    from ..trace.pallas_shade import take_packed
     from .path import _camera_ray, _lcg_advance_table, _next_pow2
 
     motion = pipe.motion
@@ -573,9 +582,9 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         if pipe.kernel and pipe.instanced:
             # per-hit inverse-transpose rows (identity for misses) for
             # the kernel's in-kernel instance normal transform
-            attr_g = jnp.take(pipe.attr_rows, jnp.maximum(hit_prim, 0),
-                              axis=0)
-            it9 = jnp.take(pipe.inst_it, jnp.maximum(hit_inst, 0), axis=0)
+            attr_g = take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
+                                 pipe.attr_w)
+            it9 = take_packed(pipe.inst_it, jnp.maximum(hit_inst, 0), 9)
             eye9 = jnp.asarray(
                 [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)[None, :]
             it9 = jnp.where((hit_inst >= 0)[:, None], it9, eye9)
@@ -583,7 +592,8 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                                    (1, 0))
         elif pipe.kernel:
             attr_t = jnp.transpose(
-                jnp.take(pipe.attr_rows, jnp.maximum(hit_prim, 0), axis=0),
+                take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
+                            pipe.attr_w),
                 (1, 0))
         else:
             attr_t = None

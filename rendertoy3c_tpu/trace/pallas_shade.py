@@ -1114,6 +1114,45 @@ def external_shade_eligible(scene, cfg) -> bool:
     )
 
 
+def pack_rows128(tab):
+    """Pack a narrow [F, H] row table into [F/k, 128] rows of k consecutive
+    source rows (k = 128 // H', H' = H zero-padded to a divisor of 128).
+
+    Measured on v5e inside the walk-pool loop (384^2 profile): a 16k-row
+    gather from the [F,16] attr table cost 209us per boundary while the
+    [N,128] node-row gather in the same loop cost 25us — narrow-row
+    gathers fall off XLA's fast wide-row fetch path, and zero-padding the
+    minor dim is undone by the gather simplifier (it shrinks slice_sizes
+    back to the consumed prefix). Packing k rows per 128-lane row is not
+    simplifiable: gather row id // k on the wide path, then take_packed
+    selects the id %% k sub-block in registers."""
+    f, h = tab.shape
+    if h >= 128:
+        return tab, h
+    hp = h
+    while 128 % hp:
+        hp += 1
+    k = 128 // hp
+    fp = -(-f // k) * k
+    buf = jnp.zeros((fp, hp), tab.dtype)
+    buf = buf.at[:f, :h].set(tab)
+    return buf.reshape(fp // k, 128), hp
+
+
+def take_packed(packed, idx, h):
+    """Row fetch from a pack_rows128 table: [R] ids -> [R, h] rows."""
+    r = idx.shape[0]
+    # recover the padded row width the packer chose
+    hp = h
+    while 128 % hp:
+        hp += 1
+    k = 128 // hp
+    g = jnp.take(packed, idx // k, axis=0).reshape(r, k, hp)
+    lane = jax.lax.iota(jnp.int32, k)[None, :, None]
+    sel = lane == (idx % k)[:, None, None]
+    return jnp.sum(jnp.where(sel, g, 0.0), axis=1)[:, :h]
+
+
 def make_external_shader(scene, cfg, motion: bool,
                          interpret: bool | None = None):
     """The packed-state shade kernel WITHOUT an in-kernel trace stage.
@@ -1243,15 +1282,17 @@ class ExternalPipeline:
         self.motion = scene.num_keys == 2
         self.merged = True  # pool loop contract: one trace_shade per iter
         self._closest, self._any = tracer
-        self._shade, self._attr_rows = make_external_shader(
+        self._shade, attr_rows = make_external_shader(
             scene, cfg, motion=self.motion, interpret=interpret
         )
+        self._attr_w = attr_rows.shape[1]
+        self._attr_rows, _ = pack_rows128(attr_rows)  # fast-gather layout
         self._misc_w = 24 if cfg.aov else 16
         # trace-time instanced scenes: per-hit inverse-transpose rows ride
         # the attr block (kernel transforms the object-space normal)
         inst = getattr(scene, "instances", None)
         self._inst_it = (None if inst is None
-                         else inst.inv_t[:, 0].reshape(-1, 9))
+                         else pack_rows128(inst.inv_t[:, 0].reshape(-1, 9))[0])
 
     def trace_shade(self, rays, misc, count, time8=None):
         time_col = time8[:, 0] if time8 is not None else None
@@ -1267,10 +1308,11 @@ class ExternalPipeline:
             ],
             axis=1,
         )
-        attr_g = jnp.take(self._attr_rows, jnp.maximum(hit.prim, 0), axis=0)
+        attr_g = take_packed(self._attr_rows, jnp.maximum(hit.prim, 0),
+                             self._attr_w)
         if self._inst_it is not None:
-            it9 = jnp.take(self._inst_it,
-                           jnp.maximum(hit.inst, 0), axis=0)
+            it9 = take_packed(self._inst_it,
+                              jnp.maximum(hit.inst, 0), 9)
             eye9 = jnp.asarray(
                 [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)[None, :]
             it9 = jnp.where((hit.inst >= 0)[:, None], it9, eye9)
