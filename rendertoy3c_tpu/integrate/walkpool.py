@@ -68,9 +68,12 @@ from ..trace.intersect import Hit
 from .config import RenderConfig
 
 # Flush the framebuffer every Nth boundary (see flush_stage): the scatter
-# serializes per lane (~1.3ms at 16k), parked completed lanes idle up to
-# N-1 boundaries. Measured on the 49k field (K=16): 2/4/8/16 ->
-# 6.82/7.86/8.16/8.11 Mray/s.
+# serializes per lane (~1.3ms at 16k). With the retire stash, lanes free
+# at boundaries, so the only flush-cadence pressure is a full stash (a
+# lane completing TWO pixels in one window parks). Measured with the
+# stash on v5e (W=4096): 8/16/32 -> 9.53+7.63 / 9.72+6.91 / 9.20+5.20
+# (49k+200k Mray/s) — short-path scenes complete pixels faster than 16
+# boundaries, so 8 stays the default.
 _FLUSH_N = 8
 
 # lane phases
@@ -534,6 +537,14 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         # deferred-segment stash: next bounce ray + pending NEE term
         nrays=jnp.zeros((pool, 8), jnp.float32),
         nee=jnp.zeros((pool, 3), jnp.float32),
+        # retire stash: completed lanes park (pixel, acc) HERE (a dense
+        # per-lane slot, no scatter) and take new work at the same
+        # boundary; the flush scatters + clears the stash. Capacity 1 is
+        # enough: a pixel takes ~spp*depth*visits rounds >> one flush
+        # window, so a second completion before the flush is rare — it
+        # falls back to parking for one window.
+        stash_px=jnp.full((pool,), -1.0, jnp.float32),
+        stash_rgb=jnp.zeros((pool, 3), jnp.float32),
         image=jnp.zeros((n_pix + 1, 3), jnp.float32),
         next_work=jnp.zeros((), jnp.int32),
         n_rad=jnp.zeros((), jnp.int32),
@@ -543,6 +554,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         state.update(
             image_alb=jnp.zeros((n_pix + 1, 3), jnp.float32),
             image_nrm=jnp.zeros((n_pix + 1, 3), jnp.float32),
+            stash_aov=jnp.zeros((pool, 6), jnp.float32),
         )
     _IMGS = ((("image", 10), ("image_alb", 16), ("image_nrm", 19))
              if cfg.aov else (("image", 10),))
@@ -640,13 +652,27 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         rays = jnp.where(cont[:, None], nrays, rays)
         phase = jnp.where(m_c, jnp.where(cont, _WALK_CLOSEST, _IDLE), phase)
 
-        # ---- refill (pixel-major; mirrors _render_pool_fused). Completed
-        # lanes PARK (pixel held, samp == spp) until the outer flush stage
-        # scatters and frees them — the framebuffer scatter lives OUTSIDE
-        # this function so no lax.cond wraps any loop-carried buffer. ----
+        # ---- retire + refill (pixel-major; mirrors _render_pool_fused).
+        # Completed lanes move (pixel, acc) into their dense stash slot and
+        # free IMMEDIATELY (no waiting for the flush — parking cost a
+        # measured ~2.2x round inflation at W=4096); a lane whose stash is
+        # still occupied (rare: needs two completions in one flush window)
+        # parks until the flush clears it, as before. The framebuffer
+        # scatter lives in flush_stage OUTSIDE this function so no
+        # lax.cond wraps any loop-carried buffer. ----
         pixel = misc[:, 13]
         samp = misc[:, 14]
         idle = phase == _IDLE
+        completed = idle & (pixel >= 0) & (samp >= spp)
+        can_stash = completed & (s["stash_px"] < 0)
+        stash_px = jnp.where(can_stash, pixel, s["stash_px"])
+        stash_rgb = jnp.where(can_stash[:, None], acc, s["stash_rgb"])
+        acc = jnp.where(can_stash[:, None], 0.0, acc)
+        if cfg.aov:
+            stash_aov = jnp.where(can_stash[:, None], aacc, s["stash_aov"])
+            aacc = jnp.where(can_stash[:, None], 0.0, aacc)
+        pixel = jnp.where(can_stash, -1.0, pixel)
+        samp = jnp.where(can_stash, 0.0, samp)
         fresh = idle & (pixel < 0)
         rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
         wpix = s["next_work"] + rank
@@ -738,43 +764,37 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             rays=rays, wtime=wtime, cur=cur, wmode=wmode, wfound=wfound,
             wb_t=wb_t, wb_prim=wb_prim, ents=ents, phase=phase,
             misc=misc, nrays=nrays, nee=nee,
+            stash_px=stash_px, stash_rgb=stash_rgb,
             next_work=next_work, n_rad=n_rad, n_shad=n_shad,
             **inst_extra,
         )
+        if cfg.aov:
+            out["stash_aov"] = stash_aov
         return out
 
     def flush_stage(s):
-        # Unconditional scatter of parked (completed) lanes + lane free.
-        # Runs once per outer iteration (= every _FLUSH_N boundaries): no
-        # lax.cond anywhere, so the framebuffer scatter updates the
-        # loop-carried image in place and no identity branch copies the
-        # [W]-wide state (measured ~650ms/subframe in the cond variants).
-        misc = s["misc"]
-        pixel = misc[:, 13]
-        samp = misc[:, 14]
-        completed = ((s["phase"] == _IDLE) & (pixel >= 0) & (samp >= spp))
-        target = jnp.where(completed, pixel.astype(jnp.int32) - pixel_base,
+        # Unconditional scatter + clear of the retire stash. Runs once per
+        # outer iteration (= every _FLUSH_N boundaries): no lax.cond
+        # anywhere, so the framebuffer scatter updates the loop-carried
+        # image in place and no identity branch copies the [W]-wide state
+        # (measured ~650ms/subframe in the cond variants). Lane freeing
+        # happens at the boundaries (retire stash), not here.
+        stash_px = s["stash_px"]
+        have = stash_px >= 0
+        target = jnp.where(have, stash_px.astype(jnp.int32) - pixel_base,
                            n_pix + 1)
-        accs = ((misc[:, 10:13],)
-                + ((misc[:, 16:19], misc[:, 19:22]) if cfg.aov else ()))
+        accs = ((s["stash_rgb"],)
+                + ((s["stash_aov"][:, :3], s["stash_aov"][:, 3:])
+                   if cfg.aov else ()))
         out = {
             k: s[k].at[target].add(a, mode="drop", unique_indices=True)
             for (k, _c), a in zip(_IMGS, accs)
         }
-        keep = ~completed
-        keep2 = keep[:, None].astype(jnp.float32)
-        tail = (jnp.concatenate(
-                    [misc[:, 15:16], misc[:, 16:22] * keep2,
-                     misc[:, 22:misc_w]], axis=1)
-                if cfg.aov else misc[:, 15:16])
-        misc = jnp.concatenate([
-            misc[:, :10],
-            misc[:, 10:13] * keep2,
-            jnp.where(completed, -1.0, pixel)[:, None],
-            jnp.where(completed, 0.0, samp)[:, None],
-            tail,
-        ], axis=1)
-        return dict(s, misc=misc, **out)
+        out["stash_px"] = jnp.full((pool,), -1.0, jnp.float32)
+        out["stash_rgb"] = jnp.zeros((pool, 3), jnp.float32)
+        if cfg.aov:
+            out["stash_aov"] = jnp.zeros((pool, 6), jnp.float32)
+        return dict(s, **out)
 
     # Unrolling the walk rounds lets XLA fuse across round boundaries and
     # shave launch gaps — measured (v5e, quick suite): unroll=4 lifts
@@ -807,19 +827,27 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
 
     s = jax.lax.while_loop(cond, outer, state)
 
+    # drain both retire paths: the stash and any lane still parked with a
+    # completed pixel in its misc accumulator
     misc = s["misc"]
     pixel = misc[:, 13]
     flushm = pixel >= 0
     target = jnp.where(flushm, pixel.astype(jnp.int32) - pixel_base,
                        n_pix + 1)
+    sp = s["stash_px"]
+    starget = jnp.where(sp >= 0, sp.astype(jnp.int32) - pixel_base,
+                        n_pix + 1)
     inv_spp = 1.0 / jnp.float32(spp)
 
-    def final_img(key, c):
-        img = s[key].at[target].add(misc[:, c:c + 3], mode="drop",
-                                    unique_indices=True)
+    def final_img(key, c, stash_vals):
+        img = s[key].at[starget].add(stash_vals, mode="drop",
+                                     unique_indices=True)
+        img = img.at[target].add(misc[:, c:c + 3], mode="drop",
+                                 unique_indices=True)
         return img[:n_pix] * inv_spp
 
-    rgb = final_img("image", 10)
-    aov = ((final_img("image_alb", 16), final_img("image_nrm", 19))
+    rgb = final_img("image", 10, s["stash_rgb"])
+    aov = ((final_img("image_alb", 16, s["stash_aov"][:, :3]),
+            final_img("image_nrm", 19, s["stash_aov"][:, 3:]))
            if cfg.aov else None)
     return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32)

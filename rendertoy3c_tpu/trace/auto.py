@@ -31,13 +31,16 @@ LEAFWALK_MIN_FACES = 16384
 # round count over the wavefront while useful work scales with the MEAN,
 # and max round count grows with width — so NARROW pools run at better
 # straggler efficiency until per-iteration fixed costs dominate. Measured
-# on v5e (hierwalk, sort on, flush 8): 49k box field 16k/32k/64k pools ->
-# 4.27 / 3.75 / 2.77 Mray/s; 200k town 16k/32k -> 2.21 / 2.00; 1080p town
-# 16k ~= 32k. (A 128k pool once measured 5-10x faster — that was the
-# >=98304-lane while_loop miscompile producing all-miss renders; see
+# on v5e with the retire-stash walk pool (sort on, flush 8), best Mray/s
+# by width 4096/8192/16384: 49k field 9.53/9.48/8.57; 200k town
+# 7.63/7.76/6.03; 1M town 2.54/5.77/4.46 (the 39MB table needs >=8k rows
+# in flight to cover HBM gather latency); 562k instance field
+# 7.87/7.67/6.62. 8192 is the single best default across the band. (A
+# 128k pool once measured 5-10x faster — that was the >=98304-lane
+# while_loop miscompile producing all-miss renders; see
 # hierwalk._WALK_CHUNK. Chunked-correct 128k pools LOSE: the chunks pay
 # max-rounds per chunk while pool glue grows.)
-POOL_BLOCK_LARGE = 16384
+POOL_BLOCK_LARGE = 8192
 
 
 def tune_config(scene, cfg, on_tpu: bool | None = None):

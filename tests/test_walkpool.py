@@ -294,7 +294,8 @@ def test_auto_ladder_picks_walkpool():
     cfg = RenderConfig(integrator="pool", ray_block=32768,
                        pool_pixel_major=True)
     cfg = tune_config(scene, cfg, on_tpu=True)
-    assert cfg.ray_block == 16384
+    from rendertoy3c_tpu.trace.auto import POOL_BLOCK_LARGE
+    assert cfg.ray_block == POOL_BLOCK_LARGE
     scene2, tracer = choose_tracer(scene, cfg, on_tpu=True)
     assert isinstance(tracer, WalkPoolPipeline)
     assert tracer.kernel  # all-diffuse untextured scene -> shade kernel
