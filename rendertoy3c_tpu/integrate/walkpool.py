@@ -533,10 +533,16 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         bases=[jnp.zeros((pool,), jnp.int32) for _ in range(n_levels)],
         phase=jnp.zeros((pool,), jnp.int32),
         # packed path state (the fused pool's misc layout, pallas_shade.py)
-        misc=jnp.zeros((pool, misc_w), jnp.float32).at[:, 13].set(-1.0),
+        # held as 1-D COLUMNS: a [W, 16] f32 array is physically padded to
+        # [W, 128] by the T(8,128) tiling (8x traffic on every select),
+        # while [W] 1-D arrays tile dense — the boundary's ~30 masked
+        # column updates cost ~100x less as 1-D ops. The 2-D misc view is
+        # materialized once per boundary for the shade kernel only.
+        mc=[jnp.full((pool,), -1.0, jnp.float32) if c == 13
+            else jnp.zeros((pool,), jnp.float32) for c in range(misc_w)],
         # deferred-segment stash: next bounce ray + pending NEE term
         nrays=jnp.zeros((pool, 8), jnp.float32),
-        nee=jnp.zeros((pool, 3), jnp.float32),
+        nee=[jnp.zeros((pool,), jnp.float32) for _ in range(3)],
         # retire stash: completed lanes park (pixel, acc) HERE (a dense
         # per-lane slot, no scatter) and take new work at the same
         # boundary; the flush scatters + clears the stash. Capacity 1 is
@@ -544,7 +550,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         # window, so a second completion before the flush is rare — it
         # falls back to parking for one window.
         stash_px=jnp.full((pool,), -1.0, jnp.float32),
-        stash_rgb=jnp.zeros((pool, 3), jnp.float32),
+        stash_rgb=[jnp.zeros((pool,), jnp.float32) for _ in range(3)],
         image=jnp.zeros((n_pix + 1, 3), jnp.float32),
         next_work=jnp.zeros((), jnp.int32),
         n_rad=jnp.zeros((), jnp.int32),
@@ -554,19 +560,19 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         state.update(
             image_alb=jnp.zeros((n_pix + 1, 3), jnp.float32),
             image_nrm=jnp.zeros((n_pix + 1, 3), jnp.float32),
-            stash_aov=jnp.zeros((pool, 6), jnp.float32),
+            stash_aov=[jnp.zeros((pool,), jnp.float32) for _ in range(6)],
         )
     _IMGS = ((("image", 10), ("image_alb", 16), ("image_nrm", 19))
              if cfg.aov else (("image", 10),))
 
     def cond(s):
-        m = s["misc"]
-        pending = (m[:, 13] >= 0) & (m[:, 14] < spp)
+        mc = s["mc"]
+        pending = (mc[13] >= 0) & (mc[14] < spp)
         return ((s["next_work"] < n_pix) | jnp.any(s["phase"] != _IDLE)
                 | jnp.any(pending))
 
     def boundary(s):
-        misc = s["misc"]
+        mc = list(s["mc"])
         rays = s["rays"]
 
         # ---- phase A: shade lanes whose closest walk finished ----
@@ -588,9 +594,8 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                  jnp.where(valid, s["wb_u"], 0.0)[:, None],
                  jnp.where(valid, s["wb_v"], 0.0)[:, None],
                  jnp.zeros((pool, 4), jnp.float32)], axis=1)
-        misc_in = jnp.concatenate(
-            [misc[:, :9], m_a.astype(jnp.float32)[:, None], misc[:, 10:]],
-            axis=1)
+        misc_in = jnp.stack(
+            mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=1)
         if pipe.kernel and pipe.instanced:
             # per-hit inverse-transpose rows (identity for misses) for
             # the kernel's in-kernel instance normal transform
@@ -611,12 +616,13 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             attr_t = None
         rays2, misc_e, sh = pipe.shade(rays, hit8, misc_in, attr_t, pool)
 
-        m_a2 = m_a[:, None]
-        misc = jnp.where(m_a2, misc_e[:, :misc_w], misc)
-        nrays = jnp.where(m_a2, rays2, s["nrays"])
-        nee = jnp.where(m_a2, misc_e[:, misc_w:misc_w + 3], s["nee"])
-        want_shadow = m_a & (misc_e[:, 15] > 0)
-        n_shad = s["n_shad"] + jnp.sum(jnp.where(m_a, misc_e[:, 15], 0.0))
+        me = [misc_e[:, c] for c in range(misc_w + 3)]
+        mc = [jnp.where(m_a, me[c], mc[c]) for c in range(misc_w)]
+        nrays = jnp.where(m_a[:, None], rays2, s["nrays"])
+        nee = [jnp.where(m_a, me[misc_w + j], s["nee"][j])
+               for j in range(3)]
+        want_shadow = m_a & (me[15] > 0)
+        n_shad = s["n_shad"] + jnp.sum(jnp.where(m_a, me[15], 0.0))
 
         # ---- phase B: launch the shadow walk in place ----
         ws = want_shadow
@@ -645,10 +651,10 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         # (includes lanes phase A just routed past the shadow walk, so a
         # shadow-free segment pays zero extra boundary waits)
         m_c = phase == _AWAIT_GATE
-        gated = jnp.where((m_c & ~wfound)[:, None], nee, 0.0)
-        acc = misc[:, 10:13] + gated
-        aacc = misc[:, 16:22] if cfg.aov else None
-        cont = m_c & (misc[:, 9] > 0)
+        gate = m_c & ~wfound
+        acc = [mc[10 + j] + jnp.where(gate, nee[j], 0.0) for j in range(3)]
+        aacc = mc[16:22] if cfg.aov else None
+        cont = m_c & (mc[9] > 0)
         rays = jnp.where(cont[:, None], nrays, rays)
         phase = jnp.where(m_c, jnp.where(cont, _WALK_CLOSEST, _IDLE), phase)
 
@@ -660,17 +666,19 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         # parks until the flush clears it, as before. The framebuffer
         # scatter lives in flush_stage OUTSIDE this function so no
         # lax.cond wraps any loop-carried buffer. ----
-        pixel = misc[:, 13]
-        samp = misc[:, 14]
+        pixel = mc[13]
+        samp = mc[14]
         idle = phase == _IDLE
         completed = idle & (pixel >= 0) & (samp >= spp)
         can_stash = completed & (s["stash_px"] < 0)
         stash_px = jnp.where(can_stash, pixel, s["stash_px"])
-        stash_rgb = jnp.where(can_stash[:, None], acc, s["stash_rgb"])
-        acc = jnp.where(can_stash[:, None], 0.0, acc)
+        stash_rgb = [jnp.where(can_stash, acc[j], s["stash_rgb"][j])
+                     for j in range(3)]
+        acc = [jnp.where(can_stash, 0.0, acc[j]) for j in range(3)]
         if cfg.aov:
-            stash_aov = jnp.where(can_stash[:, None], aacc, s["stash_aov"])
-            aacc = jnp.where(can_stash[:, None], 0.0, aacc)
+            stash_aov = [jnp.where(can_stash, aacc[j], s["stash_aov"][j])
+                         for j in range(6)]
+            aacc = [jnp.where(can_stash, 0.0, aacc[j]) for j in range(6)]
         pixel = jnp.where(can_stash, -1.0, pixel)
         samp = jnp.where(can_stash, 0.0, samp)
         fresh = idle & (pixel < 0)
@@ -708,26 +716,18 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         take2 = take[:, None]
         launch = cont | take
         seed_u = jnp.where(
-            take, st, jax.lax.bitcast_convert_type(misc[:, 0], jnp.uint32))
+            take, st, jax.lax.bitcast_convert_type(mc[0], jnp.uint32))
         # per-radiance-ray motion-time draw (shader_common.h:64); static
         # scenes still consume it to keep streams aligned with the pool
         seed_u, t_draw = rng.rnd_masked(seed_u, launch)
-        one3 = jnp.ones((pool, 3), jnp.float32)
-        tail = (jnp.concatenate([misc[:, 15:16], aacc, misc[:, 22:misc_w]],
-                                axis=1)
-                if cfg.aov else misc[:, 15:16])
-        misc = jnp.concatenate([
-            jax.lax.bitcast_convert_type(seed_u, jnp.float32)[:, None],
-            jnp.where(take2, one3, misc[:, 1:4]),
-            jnp.where(take2, one3, misc[:, 4:7]),
-            jnp.where(take, 0.0, misc[:, 7])[:, None],
-            jnp.where(take, 0.0, misc[:, 8])[:, None],
-            jnp.where(take, 1.0, misc[:, 9])[:, None],
-            acc,
-            pixel[:, None],
-            samp[:, None],
-            tail,
-        ], axis=1)
+        mc = ([jax.lax.bitcast_convert_type(seed_u, jnp.float32)]
+              + [jnp.where(take, 1.0, mc[c]) for c in (1, 2, 3, 4, 5, 6)]
+              + [jnp.where(take, 0.0, mc[7]),
+                 jnp.where(take, 0.0, mc[8]),
+                 jnp.where(take, 1.0, mc[9])]
+              + acc
+              + [pixel, samp, mc[15]]
+              + (aacc + mc[22:misc_w] if cfg.aov else []))
 
         # ---- launch closest walks (continuing bounces + fresh samples) ----
         rays = jnp.concatenate([
@@ -763,7 +763,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             s,
             rays=rays, wtime=wtime, cur=cur, wmode=wmode, wfound=wfound,
             wb_t=wb_t, wb_prim=wb_prim, ents=ents, phase=phase,
-            misc=misc, nrays=nrays, nee=nee,
+            mc=mc, nrays=nrays, nee=nee,
             stash_px=stash_px, stash_rgb=stash_rgb,
             next_work=next_work, n_rad=n_rad, n_shad=n_shad,
             **inst_extra,
@@ -783,17 +783,20 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         have = stash_px >= 0
         target = jnp.where(have, stash_px.astype(jnp.int32) - pixel_base,
                            n_pix + 1)
-        accs = ((s["stash_rgb"],)
-                + ((s["stash_aov"][:, :3], s["stash_aov"][:, 3:])
+        accs = ((jnp.stack(s["stash_rgb"], axis=1),)
+                + ((jnp.stack(s["stash_aov"][:3], axis=1),
+                    jnp.stack(s["stash_aov"][3:], axis=1))
                    if cfg.aov else ()))
         out = {
             k: s[k].at[target].add(a, mode="drop", unique_indices=True)
             for (k, _c), a in zip(_IMGS, accs)
         }
         out["stash_px"] = jnp.full((pool,), -1.0, jnp.float32)
-        out["stash_rgb"] = jnp.zeros((pool, 3), jnp.float32)
+        out["stash_rgb"] = [jnp.zeros((pool,), jnp.float32)
+                            for _ in range(3)]
         if cfg.aov:
-            out["stash_aov"] = jnp.zeros((pool, 6), jnp.float32)
+            out["stash_aov"] = [jnp.zeros((pool,), jnp.float32)
+                                for _ in range(6)]
         return dict(s, **out)
 
     # Unrolling the walk rounds lets XLA fuse across round boundaries and
@@ -829,8 +832,8 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
 
     # drain both retire paths: the stash and any lane still parked with a
     # completed pixel in its misc accumulator
-    misc = s["misc"]
-    pixel = misc[:, 13]
+    mc = s["mc"]
+    pixel = mc[13]
     flushm = pixel >= 0
     target = jnp.where(flushm, pixel.astype(jnp.int32) - pixel_base,
                        n_pix + 1)
@@ -840,14 +843,14 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     inv_spp = 1.0 / jnp.float32(spp)
 
     def final_img(key, c, stash_vals):
-        img = s[key].at[starget].add(stash_vals, mode="drop",
-                                     unique_indices=True)
-        img = img.at[target].add(misc[:, c:c + 3], mode="drop",
-                                 unique_indices=True)
+        img = s[key].at[starget].add(jnp.stack(stash_vals, axis=1),
+                                     mode="drop", unique_indices=True)
+        img = img.at[target].add(jnp.stack(mc[c:c + 3], axis=1),
+                                 mode="drop", unique_indices=True)
         return img[:n_pix] * inv_spp
 
     rgb = final_img("image", 10, s["stash_rgb"])
-    aov = ((final_img("image_alb", 16, s["stash_aov"][:, :3]),
-            final_img("image_nrm", 19, s["stash_aov"][:, 3:]))
+    aov = ((final_img("image_alb", 16, s["stash_aov"][:3]),
+            final_img("image_nrm", 19, s["stash_aov"][3:]))
            if cfg.aov else None)
     return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32)
