@@ -74,7 +74,9 @@ from .config import RenderConfig
 # stash on v5e (W=4096): 8/16/32 -> 9.53+7.63 / 9.72+6.91 / 9.20+5.20
 # (49k+200k Mray/s) — short-path scenes complete pixels faster than 16
 # boundaries, so 8 stays the default.
-_FLUSH_N = 8
+import os as _os
+
+_FLUSH_N = int(_os.environ.get("RT3C_FLUSH_N", "8"))
 
 # lane phases
 _IDLE = 0
@@ -127,7 +129,8 @@ def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
                   num_faces=tab.num_faces, motion=motion,
                   misc_w=misc_w, shadow_w=shadow_w)
     if external_shade_eligible(scene, cfg):
-        shade, attr_rows = make_external_shader(scene, cfg, motion=motion)
+        shade, attr_rows = make_external_shader(scene, cfg, motion=motion,
+                                                transposed=True)
         return WalkPoolPipeline(shade=shade,
                                 attr_rows=pack_rows128(attr_rows)[0],
                                 attr_w=attr_rows.shape[1],
@@ -161,7 +164,8 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
                   motion=False, misc_w=misc_w, shadow_w=8,
                   instanced=True, inst_it=inst_it)
     if external_shade_eligible(iscene, cfg):
-        shade, attr_rows = make_external_shader(iscene, cfg, motion=False)
+        shade, attr_rows = make_external_shader(iscene, cfg, motion=False,
+                                                transposed=True)
         return WalkPoolPipeline(shade=shade,
                                 attr_rows=pack_rows128(attr_rows)[0],
                                 attr_w=attr_rows.shape[1],
@@ -190,6 +194,9 @@ def _make_xla_shade_stage(scene, cfg: RenderConfig, misc_w: int,
 
     def shade(rays, hit8, misc, attr_t, count):
         del attr_t, count
+        # walk-pool protocol: misc rides C-major [C, W]; this stage is the
+        # ineligible-scene fallback, so a pair of transposes is fine
+        misc = jnp.transpose(misc, (1, 0))
         r = rays.shape[0]
         org, d = rays[:, 0:3], rays[:, 3:6]
         seed = jax.lax.bitcast_convert_type(misc[:, 0], jnp.uint32)
@@ -262,7 +269,7 @@ def _make_xla_shade_stage(scene, cfg: RenderConfig, misc_w: int,
             ]
         misc_cols += [jnp.where(want_shadow[:, None], nee, 0.0),
                       jnp.zeros((r, 5), jnp.float32)]
-        misc_out = jnp.concatenate(misc_cols, axis=1)
+        misc_out = jnp.transpose(jnp.concatenate(misc_cols, axis=1), (1, 0))
 
         tmax_s = jnp.where(want_shadow, cap["tmax"], 0.0)
         sh_cols = [cap["p"], cap["ldir"],
@@ -499,10 +506,11 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     # the shade kernel's grid is RAY_TILE(256)-wide; surplus lanes idle
     pool = max(pool, 256)
     spp = cfg.samples_per_launch
-    # 0 = auto cadence: longer walks (bigger scenes, instanced tables)
-    # tolerate more rounds per boundary; measured optima in config.py
-    k_phase = cfg.walk_phase_every or (
-        12 if (not pipe.instanced and num_faces < 100_000) else 16)
+    # 0 = auto cadence. 16 is the measured optimum across the band with
+    # the columnized boundary (v5e, W=8192, K 8/12/16/24: 49k field
+    # 8.73/9.85/10.00/8.74, 200k town 7.08/7.91/8.01/7.59 Mray/s; the
+    # pre-columnization boundary preferred 12 under 100k faces).
+    k_phase = cfg.walk_phase_every or 16
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)
@@ -594,8 +602,11 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                  jnp.where(valid, s["wb_u"], 0.0)[:, None],
                  jnp.where(valid, s["wb_v"], 0.0)[:, None],
                  jnp.zeros((pool, 4), jnp.float32)], axis=1)
+        # C-major misc for the shade stage: a stack of 1-D columns along
+        # axis 0 is a dense sublane concat (the [W, C] form would shred
+        # back into lane-strided column slices on the way out)
         misc_in = jnp.stack(
-            mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=1)
+            mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=0)
         if pipe.kernel and pipe.instanced:
             # per-hit inverse-transpose rows (identity for misses) for
             # the kernel's in-kernel instance normal transform
@@ -616,7 +627,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             attr_t = None
         rays2, misc_e, sh = pipe.shade(rays, hit8, misc_in, attr_t, pool)
 
-        me = [misc_e[:, c] for c in range(misc_w + 3)]
+        me = [misc_e[c] for c in range(misc_w + 3)]
         mc = [jnp.where(m_a, me[c], mc[c]) for c in range(misc_w)]
         nrays = jnp.where(m_a[:, None], rays2, s["nrays"])
         nee = [jnp.where(m_a, me[misc_w + j], s["nee"][j])

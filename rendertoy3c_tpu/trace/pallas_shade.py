@@ -272,7 +272,7 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        dispatch=False, params_base=16, power_cdf=None,
                        motion=False, closest_in_kernel=False, aov=False,
                        uv_xform=False, nmap_base=0, normal_maps=False,
-                       external=False, inst_base=0):
+                       external=False, inst_base=0, t_misc=False):
     """power_cdf: static tuple of per-light CDF values enables the power
     light sampler (in-kernel searchsorted as an unrolled compare-sum);
     None = uniform pick. dispatch: full 4-type material dispatch
@@ -388,7 +388,12 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
             hit_t = jnp.transpose(hit4_cols, (1, 0))  # [4, RT]
         else:
             hit_t = jnp.transpose(hit_ref[:], (1, 0))
-        misc_t = jnp.transpose(misc_ref[:], (1, 0))   # [16, RT]
+        # t_misc (external only): misc arrives/leaves C-major [C, RT] so
+        # the walk-pool boundary's per-column reads/writes are dense
+        # sublane slices instead of lane-strided [W, C] column extracts
+        # (measured 70us per boundary at W=8192 for the 19-column shred)
+        misc_t = (misc_ref[:] if t_misc
+                  else jnp.transpose(misc_ref[:], (1, 0)))  # [16, RT]
 
         def row(m, c):
             return m[c:c + 1, :]
@@ -866,12 +871,13 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
             # (misc_w..misc_w+2), zero-padded to the 8-aligned out width
             misc_rows += nee_out
         misc_o = jnp.concatenate(misc_rows, axis=0)  # [16|24(+3), RT]
-        if external and misc_o.shape[0] < misc_out.shape[1]:
+        out_w = misc_out.shape[0] if t_misc else misc_out.shape[1]
+        if external and misc_o.shape[0] < out_w:
             misc_o = jnp.concatenate(
                 [misc_o, jnp.zeros(
-                    (misc_out.shape[1] - misc_o.shape[0], rt),
+                    (out_w - misc_o.shape[0], rt),
                     jnp.float32)], axis=0)
-        misc_out[:, :] = jnp.transpose(misc_o, (1, 0))
+        misc_out[:, :] = misc_o if t_misc else jnp.transpose(misc_o, (1, 0))
 
     return kernel
 
@@ -1154,12 +1160,18 @@ def take_packed(packed, idx, h):
 
 
 def make_external_shader(scene, cfg, motion: bool,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         transposed: bool = False):
     """The packed-state shade kernel WITHOUT an in-kernel trace stage.
 
     Returns (shade, attr_rows) where
       shade(rays, hit8, misc, attr_t, count) ->
           (rays_out [R,8], misc_out [R, misc_w+8], shadow_out [R, 8|16])
+
+    transposed: misc input/output are C-major ([misc_w, R] in,
+    [misc_w+8, R] out) so per-column access outside the kernel is a dense
+    sublane slice — the walk-pool boundary protocol (integrate/walkpool.py
+    keeps lane state as 1-D columns; the 2-D shred cost 70us/boundary).
     and attr_rows is the UNtransposed [F, H] attribute table the caller
     row-gathers by hit prim id (attr_t = gathered[H-major]). The closest
     hit arrives as hit8 [R, 8] (t, prim, u, v, 0...), the shadow rays
@@ -1204,6 +1216,7 @@ def make_external_shader(scene, cfg, motion: bool,
         nmap_base=(29 if uv_xform else 23), normal_maps=normal_maps,
         external=True,
         inst_base=attr_t.shape[0] if instanced else 0,
+        t_misc=transposed,
     )
     misc_w = 24 if cfg.aov else 16
     misc_out_w = misc_w + 8  # +3 pending-NEE columns, 8-aligned
@@ -1211,6 +1224,19 @@ def make_external_shader(scene, cfg, motion: bool,
     # instanced scenes append 9 inverse-transpose rows per ray (gathered
     # by hit instance id alongside the per-face attrs)
     h = attr_t.shape[0] + (9 if instanced else 0)
+
+    misc_in_spec = (
+        pl.BlockSpec((misc_w, RAY_TILE), lambda i, *_: (0, i),
+                     memory_space=pltpu.VMEM)
+        if transposed else
+        pl.BlockSpec((RAY_TILE, misc_w), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM))
+    misc_out_spec = (
+        pl.BlockSpec((misc_out_w, RAY_TILE), lambda i, *_: (0, i),
+                     memory_space=pltpu.VMEM)
+        if transposed else
+        pl.BlockSpec((RAY_TILE, misc_out_w), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM))
 
     @jax.jit
     def shade(rays, hit8, misc, attr_g_t, count):
@@ -1226,8 +1252,7 @@ def make_external_shader(scene, cfg, motion: bool,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((RAY_TILE, misc_w), lambda i, *_: (i, 0),
-                                 memory_space=pltpu.VMEM),
+                    misc_in_spec,
                     # per-ray pre-gathered attrs, params-major
                     pl.BlockSpec((h, RAY_TILE), lambda i, *_: (0, i),
                                  memory_space=pltpu.VMEM),
@@ -1241,16 +1266,16 @@ def make_external_shader(scene, cfg, motion: bool,
                 out_specs=(
                     pl.BlockSpec((RAY_TILE, 8), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((RAY_TILE, misc_out_w),
-                                 lambda i, *_: (i, 0),
-                                 memory_space=pltpu.VMEM),
+                    misc_out_spec,
                     pl.BlockSpec((RAY_TILE, shadow_w), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
-                jax.ShapeDtypeStruct((r_pad, misc_out_w), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (misc_out_w, r_pad) if transposed
+                    else (r_pad, misc_out_w), jnp.float32),
                 jax.ShapeDtypeStruct((r_pad, shadow_w), jnp.float32),
             ),
             interpret=interpret,
