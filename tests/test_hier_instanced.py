@@ -133,7 +133,8 @@ def test_auto_ladder_picks_inst_hierwalk():
     cfg = RenderConfig(integrator="pool", ray_block=32768,
                        pool_pixel_major=True)
     cfg2 = tune_config(iscene, cfg, on_tpu=True)
-    assert cfg2.ray_block == 16384 and not cfg2.sort_rays
+    from rendertoy3c_tpu.trace.auto import POOL_BLOCK_LARGE
+    assert cfg2.ray_block == POOL_BLOCK_LARGE and not cfg2.sort_rays
     scene2, tracer = choose_tracer(iscene, cfg2, on_tpu=True)
     # static instanced scenes now ride the external shade pipeline over
     # the inst hierwalk pair (in-kernel instance normal transform)
