@@ -58,6 +58,15 @@ class RenderConfig:
     # 6.34@16 vs 5.63@12; 200k town flat; instanced tables peak at 16).
     walk_phase_every: int = 0
 
+    # Walk-pool only: paths per lane. 2 = software-pipelined pool (each
+    # lane time-shares its walk scratch between two independent paths, so
+    # a finished walk hands the scratch to the sibling instead of idling
+    # until the boundary; integrate/walkpool._render_pipepool). 1 = the
+    # classic walk pool. 0 = auto (2 for non-instanced scenes, which is
+    # bit-identical to 1 per pixel and ~1.4x faster; instanced scenes ride
+    # the classic pool).
+    pool_paths: int = 0
+
     # Pool-only: re-sort live lanes by direction-octant Morton keys each
     # iteration. Costs an argsort + state permutation; pays off for tracers
     # with coherence-dependent culling (the instanced TLAS kernel) — the TPU

@@ -1086,11 +1086,15 @@ def render_pixels(
     fast path — identical per-path arithmetic, float-order-different sums).
     """
     from ..trace.pallas_shade import ExternalPipeline, FusedPipeline
-    from .walkpool import WalkPoolPipeline, _render_walkpool
+    from .walkpool import WalkPoolPipeline, _render_pipepool, _render_walkpool
 
     if isinstance(tracer, WalkPoolPipeline):
         if cfg.integrator != "pool":
             raise ValueError("WalkPoolPipeline requires cfg.integrator='pool'")
+        paths = cfg.pool_paths or (1 if tracer.instanced else 2)
+        if paths == 2 and not tracer.instanced:
+            return _render_pipepool(scene, cfg, cam, tracer, pixel_idx,
+                                    subframe_index)
         return _render_walkpool(scene, cfg, cam, tracer, pixel_idx,
                                 subframe_index)
     if isinstance(tracer, (FusedPipeline, ExternalPipeline)):

@@ -343,7 +343,12 @@ def _walk_round(tab: HierTable, s, motion: bool):
         ents[lv] = jnp.where(at_lv[:, None], ent, ents[lv])
         bases[lv] = jnp.where(at_lv, first.astype(jnp.int32), bases[lv])
 
-    # --- ordered pop: nearest pending child at the deepest level ---
+    # --- ordered pop: nearest pending child at the deepest level. The
+    # write-back PERSISTS the pruning (dead entries become _BIG instead of
+    # being re-skipped every round): best_t only decreases, so a pruned
+    # entry can never revive, and a FINISHED walk (no alive entry at any
+    # level) leaves its ents all-_BIG — the pipelined pool relaunches into
+    # the scratch with no per-level reset. ---
     nxt = jnp.full((r,), -1, jnp.int32)
     done_now = wfound  # shadow lanes stop popping once occluded
     for lv in reversed(range(n_levels)):
@@ -356,16 +361,18 @@ def _walk_round(tab: HierTable, s, motion: bool):
         j = jnp.min(jnp.where(at_min2, lane16, FANOUT), axis=1)
         nxt = jnp.where(has, bases[lv] + j, nxt)
         taken = has[:, None] & (lane16 == j[:, None])
-        ents[lv] = jnp.where(taken, jnp.float32(_BIG), ents[lv])
+        ents[lv] = jnp.where(taken, jnp.float32(_BIG), ee)
 
-    finished = walking & (nxt < 0)
-    return dict(
+    out = dict(
         s,
         cur=jnp.where(walking, nxt, cur),
         wb_t=wb_t, wb_prim=wb_prim, wb_u=wb_u, wb_v=wb_v, wfound=wfound,
         ents=ents, bases=bases,
-        phase=jnp.where(finished, s["phase"] + 1, s["phase"]),
     )
+    if "phase" in s:  # classic pool; the pipelined pool tracks wslot instead
+        finished = walking & (nxt < 0)
+        out["phase"] = jnp.where(finished, s["phase"] + 1, s["phase"])
+    return out
 
 
 def _walk_round_inst(tab, s):
@@ -858,6 +865,385 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                                      mode="drop", unique_indices=True)
         img = img.at[target].add(jnp.stack(mc[c:c + 3], axis=1),
                                  mode="drop", unique_indices=True)
+        return img[:n_pix] * inv_spp
+
+    rgb = final_img("image", 10, s["stash_rgb"])
+    aov = ((final_img("image_alb", 16, s["stash_aov"][:3]),
+            final_img("image_nrm", 19, s["stash_aov"][3:]))
+           if cfg.aov else None)
+    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32)
+
+
+def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
+                     pixel_idx, subframe_index):
+    """Software-pipelined walk pool: P=2 paths per lane, one walk scratch.
+
+    The classic walk pool's lanes idle between finishing a walk and the
+    next phase boundary (mean ~6 visits vs K=16 rounds -> ~50% of the
+    gather-floor-bound rounds are wasted; ROADMAP item 1). Here each lane
+    time-shares its walk scratch between TWO independent paths: when a
+    walk finishes (its pop comes up empty), the round's end STASHES the
+    result into the owning path's columns and the next round's start
+    LAUNCHES the sibling path's pending ray — zero idle rounds between
+    walks as long as either path has work. The boundary shades/gates each
+    path separately (same kernel, same RNG stream per path as the classic
+    pool, so per-pixel results are bit-identical to _render_walkpool).
+
+    Measured add-on cost of the in-round stash+launch is ~1 us/round at
+    W=8192 (exp/exp_pipecost.py); the win is utilization: lane-rounds per
+    walk drop from ~12 toward the ~6-visit mean.
+
+    Non-instanced scenes only (static or 2-key motion); trace-time
+    instanced scenes keep the classic walk pool."""
+    from ..trace.pallas_shade import take_packed
+    from .path import _camera_ray, _lcg_advance_table, _next_pow2
+
+    assert not pipe.instanced
+    motion = pipe.motion
+    misc_w = pipe.misc_w
+    n_levels = pipe.n_levels
+    num_faces = pipe.num_faces
+    n_pix = pixel_idx.shape[0]
+    pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
+    pool = max(pool, 256)
+    spp = cfg.samples_per_launch
+    # auto cadence: deep tables walk longer per node, so the doubled
+    # boundary amortizes over more rounds (v5e, W=8192, K 16/32: 49k field
+    # 13.04/12.12, 200k town 9.39/9.13, 1M town 6.71/7.34 Mray/s)
+    k_phase = cfg.walk_phase_every or (32 if num_faces > 512 * 1024 else 16)
+    width = jnp.float32(cfg.width)
+    height = jnp.float32(cfg.height)
+    jump = _lcg_advance_table(spp)
+    pixel_base = pixel_idx[0]
+    P = 2
+
+    def _mc0():
+        return [jnp.full((pool,), -1.0, jnp.float32) if c == 13
+                else jnp.zeros((pool,), jnp.float32) for c in range(misc_w)]
+
+    state = dict(
+        # shared walk scratch (one in-flight walk per lane)
+        rays=jnp.zeros((pool, 8), jnp.float32),
+        wtime=jnp.zeros((pool,), jnp.float32),
+        cur=jnp.full((pool,), -1, jnp.int32),
+        wslot=jnp.full((pool,), -1, jnp.int32),   # owning path, -1 = idle
+        wmode=jnp.zeros((pool,), bool),
+        wfound=jnp.zeros((pool,), bool),
+        wb_t=jnp.full((pool,), jnp.float32(cfg.primary_tmax)),
+        wb_prim=jnp.full((pool,), -1, jnp.int32),
+        wb_u=jnp.zeros((pool,), jnp.float32),
+        wb_v=jnp.zeros((pool,), jnp.float32),
+        ents=[jnp.full((pool, FANOUT), jnp.float32(_BIG))
+              for _ in range(n_levels)],
+        bases=[jnp.zeros((pool,), jnp.int32) for _ in range(n_levels)],
+        # per-path packed state (same column layout as the classic pool)
+        mc=[_mc0() for _ in range(P)],
+        nrays=[jnp.zeros((pool, 8), jnp.float32) for _ in range(P)],
+        nee=[[jnp.zeros((pool,), jnp.float32) for _ in range(3)]
+             for _ in range(P)],
+        # pending walk per path (ready to take the scratch)
+        pray=[jnp.zeros((pool, 8), jnp.float32) for _ in range(P)],
+        ptime=[jnp.zeros((pool,), jnp.float32) for _ in range(P)],
+        pmode=[jnp.zeros((pool,), bool) for _ in range(P)],
+        pvalid=[jnp.zeros((pool,), bool) for _ in range(P)],
+        # finished-walk stash per path (awaits the boundary)
+        hray=[jnp.zeros((pool, 8), jnp.float32) for _ in range(P)],
+        ht=[jnp.full((pool,), jnp.float32(cfg.primary_tmax))
+            for _ in range(P)],
+        hprim=[jnp.full((pool,), -1, jnp.int32) for _ in range(P)],
+        hu=[jnp.zeros((pool,), jnp.float32) for _ in range(P)],
+        hv=[jnp.zeros((pool,), jnp.float32) for _ in range(P)],
+        hfound=[jnp.zeros((pool,), bool) for _ in range(P)],
+        hmode=[jnp.zeros((pool,), bool) for _ in range(P)],
+        hvalid=[jnp.zeros((pool,), bool) for _ in range(P)],
+        # shared retire stash + framebuffer(s)
+        stash_px=jnp.full((pool,), -1.0, jnp.float32),
+        stash_rgb=[jnp.zeros((pool,), jnp.float32) for _ in range(3)],
+        image=jnp.zeros((n_pix + 1, 3), jnp.float32),
+        next_work=jnp.zeros((), jnp.int32),
+        n_rad=jnp.zeros((), jnp.int32),
+        n_shad=jnp.zeros((), jnp.float32),
+    )
+    if cfg.aov:
+        state.update(
+            image_alb=jnp.zeros((n_pix + 1, 3), jnp.float32),
+            image_nrm=jnp.zeros((n_pix + 1, 3), jnp.float32),
+            stash_aov=[jnp.zeros((pool,), jnp.float32) for _ in range(6)],
+        )
+    _IMGS = ((("image", 10), ("image_alb", 16), ("image_nrm", 19))
+             if cfg.aov else (("image", 10),))
+
+    def cond(s):
+        pend = s["cur"] >= 0
+        for p in range(P):
+            mc = s["mc"][p]
+            pend = (pend | s["pvalid"][p] | s["hvalid"][p]
+                    | ((mc[13] >= 0) & (mc[14] < spp)))
+        return (s["next_work"] < n_pix) | jnp.any(pend)
+
+    def pipe_round(s):
+        # ---- launch: fill free scratch lanes from pending paths ----
+        free = s["cur"] < 0
+        l0 = free & s["pvalid"][0]
+        l1 = free & s["pvalid"][1] & ~l0
+        start = l0 | l1
+        pray_sel = jnp.where(l1[:, None], s["pray"][1], s["pray"][0])
+        rays = jnp.where(start[:, None], pray_sel, s["rays"])
+        s2 = dict(
+            s,
+            rays=rays,
+            wtime=jnp.where(start,
+                            jnp.where(l1, s["ptime"][1], s["ptime"][0]),
+                            s["wtime"]),
+            wmode=jnp.where(start,
+                            jnp.where(l1, s["pmode"][1], s["pmode"][0]),
+                            s["wmode"]),
+            wslot=jnp.where(l1, 1, jnp.where(l0, 0, s["wslot"])),
+            wfound=s["wfound"] & ~start,
+            wb_t=jnp.where(start, rays[:, 7], s["wb_t"]),
+            wb_prim=jnp.where(start, -1, s["wb_prim"]),
+            cur=jnp.where(start, 0, s["cur"]),
+            # no ents reset: the walk round's pop write-back persists its
+            # pruning, so a finished walk leaves its ents all-_BIG
+            pvalid=[s["pvalid"][0] & ~l0, s["pvalid"][1] & ~l1],
+        )
+
+        # ---- one traversal round ----
+        s2 = pipe.walk_round(s2)
+
+        # ---- stash: finished walks park in the owning path's columns ----
+        fin = (s2["cur"] < 0) & (s2["wslot"] >= 0)
+        f = [fin & (s2["wslot"] == p) for p in range(P)]
+        out = dict(
+            s2,
+            wslot=jnp.where(fin, -1, s2["wslot"]),
+            hray=[jnp.where(f[p][:, None], s2["rays"], s2["hray"][p])
+                  for p in range(P)],
+            ht=[jnp.where(f[p], s2["wb_t"], s2["ht"][p]) for p in range(P)],
+            hprim=[jnp.where(f[p], s2["wb_prim"], s2["hprim"][p])
+                   for p in range(P)],
+            hu=[jnp.where(f[p], s2["wb_u"], s2["hu"][p]) for p in range(P)],
+            hv=[jnp.where(f[p], s2["wb_v"], s2["hv"][p]) for p in range(P)],
+            hfound=[jnp.where(f[p], s2["wfound"], s2["hfound"][p])
+                    for p in range(P)],
+            hmode=[jnp.where(f[p], s2["wmode"], s2["hmode"][p])
+                   for p in range(P)],
+            hvalid=[s2["hvalid"][p] | f[p] for p in range(P)],
+        )
+        return out
+
+    def boundary(s):
+        s = dict(s)
+        for p in range(P):
+            s = _boundary_path(s, p)
+        return s
+
+    def _boundary_path(s, p):
+        mc = list(s["mc"][p])
+
+        # ---- phase A: shade this path if its closest walk finished ----
+        m_a = s["hvalid"][p] & ~s["hmode"][p]
+        valid = m_a & (s["hprim"][p] >= 0) & (s["hprim"][p] < num_faces)
+        hit_t = jnp.where(valid, s["ht"][p], s["hray"][p][:, 7])
+        hit_prim = jnp.where(valid, s["hprim"][p], -1)
+        hit8 = jnp.concatenate(
+            [hit_t[:, None], hit_prim.astype(jnp.float32)[:, None],
+             jnp.where(valid, s["hu"][p], 0.0)[:, None],
+             jnp.where(valid, s["hv"][p], 0.0)[:, None],
+             jnp.zeros((pool, 4), jnp.float32)], axis=1)
+        misc_in = jnp.stack(
+            mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=0)
+        if pipe.kernel:
+            attr_t = jnp.transpose(
+                take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
+                            pipe.attr_w),
+                (1, 0))
+        else:
+            attr_t = None
+        rays2, misc_e, sh = pipe.shade(s["hray"][p], hit8, misc_in, attr_t,
+                                       pool)
+
+        me = [misc_e[c] for c in range(misc_w + 3)]
+        mc = [jnp.where(m_a, me[c], mc[c]) for c in range(misc_w)]
+        nrays = jnp.where(m_a[:, None], rays2, s["nrays"][p])
+        nee = [jnp.where(m_a, me[misc_w + j], s["nee"][p][j])
+               for j in range(3)]
+        want_shadow = m_a & (me[15] > 0)
+        n_shad = s["n_shad"] + jnp.sum(jnp.where(m_a, me[15], 0.0))
+
+        # ---- pend the shadow walk ----
+        pray = jnp.where(want_shadow[:, None], sh[:, 0:8], s["pray"][p])
+        ptime = jnp.where(
+            want_shadow, sh[:, 8] if pipe.shadow_w == 16 else 0.0,
+            s["ptime"][p])
+        pmode = jnp.where(m_a, want_shadow, s["pmode"][p])
+        pvalid = s["pvalid"][p] | want_shadow
+
+        # ---- phase C: gate the pending NEE, bounce or retire ----
+        sh_done = s["hvalid"][p] & s["hmode"][p]
+        m_c = sh_done | (m_a & ~want_shadow)
+        gate = m_c & ~(s["hfound"][p] & sh_done)
+        acc = [mc[10 + j] + jnp.where(gate, nee[j], 0.0) for j in range(3)]
+        aacc = mc[16:22] if cfg.aov else None
+        cont = m_c & (mc[9] > 0)
+        pray = jnp.where(cont[:, None], nrays, pray)
+        pmode = pmode & ~cont
+        pvalid = pvalid | cont
+        hvalid = s["hvalid"][p] & ~(m_a | sh_done)
+
+        # ---- retire + refill (shared stash/work counter) ----
+        pixel = mc[13]
+        samp = mc[14]
+        walking_p = (s["cur"] >= 0) & (s["wslot"] == p)
+        idle = ~pvalid & ~hvalid & ~walking_p
+        completed = idle & (pixel >= 0) & (samp >= spp)
+        can_stash = completed & (s["stash_px"] < 0)
+        stash_px = jnp.where(can_stash, pixel, s["stash_px"])
+        stash_rgb = [jnp.where(can_stash, acc[j], s["stash_rgb"][j])
+                     for j in range(3)]
+        acc = [jnp.where(can_stash, 0.0, acc[j]) for j in range(3)]
+        if cfg.aov:
+            stash_aov = [jnp.where(can_stash, aacc[j], s["stash_aov"][j])
+                         for j in range(6)]
+            aacc = [jnp.where(can_stash, 0.0, aacc[j]) for j in range(6)]
+        pixel = jnp.where(can_stash, -1.0, pixel)
+        samp = jnp.where(can_stash, 0.0, samp)
+        fresh = idle & (pixel < 0)
+        rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+        wpix = s["next_work"] + rank
+        take_px = fresh & (wpix < n_pix)
+        pixel = jnp.where(
+            take_px,
+            (pixel_base + jnp.clip(wpix, 0, n_pix - 1)).astype(jnp.float32),
+            pixel)
+        samp = jnp.where(take_px, 0.0, samp)
+        next_work = s["next_work"] + jnp.sum(take_px.astype(jnp.int32))
+
+        take = idle & (pixel >= 0) & (samp < spp)
+        samp_rng = samp.astype(jnp.int32)
+        samp = jnp.where(take, samp + 1.0, samp)
+        new_pixel = jnp.maximum(pixel, 0.0).astype(jnp.int32)
+
+        st = rng.tea(new_pixel.astype(jnp.uint32), subframe_index)
+        if cfg.seed:
+            st = rng.rot_seed(st, jnp.uint32(cfg.seed))
+        aj = jnp.full((pool,), int(jump[0, 0]), jnp.uint32)
+        cj = jnp.full((pool,), int(jump[0, 1]), jnp.uint32)
+        for si in range(1, spp):
+            sel = samp_rng == si
+            aj = jnp.where(sel, jnp.uint32(int(jump[si, 0])), aj)
+            cj = jnp.where(sel, jnp.uint32(int(jump[si, 1])), cj)
+        st = aj * st + cj
+        st, jx = rng.rnd(st)
+        st, jy = rng.rnd(st)
+        px = new_pixel % cfg.width
+        py = new_pixel // cfg.width
+        cam_org, cam_dir = _camera_ray(cam, px, py, jx, jy, width, height)
+
+        take2 = take[:, None]
+        launch = cont | take
+        seed_u = jnp.where(
+            take, st, jax.lax.bitcast_convert_type(mc[0], jnp.uint32))
+        seed_u, t_draw = rng.rnd_masked(seed_u, launch)
+        mc = ([jax.lax.bitcast_convert_type(seed_u, jnp.float32)]
+              + [jnp.where(take, 1.0, mc[c]) for c in (1, 2, 3, 4, 5, 6)]
+              + [jnp.where(take, 0.0, mc[7]),
+                 jnp.where(take, 0.0, mc[8]),
+                 jnp.where(take, 1.0, mc[9])]
+              + acc
+              + [pixel, samp, mc[15]]
+              + (aacc + mc[22:misc_w] if cfg.aov else []))
+
+        cam8 = jnp.concatenate([
+            cam_org, cam_dir,
+            jnp.full((pool, 1), jnp.float32(cfg.primary_tmin)),
+            jnp.full((pool, 1), jnp.float32(cfg.primary_tmax)),
+        ], axis=1)
+        pray = jnp.where(take2, cam8, pray)
+        ptime = jnp.where(launch, t_draw, ptime)
+        pmode = pmode & ~take
+        pvalid = pvalid | take
+        n_rad = s["n_rad"] + jnp.sum(launch.astype(jnp.int32))
+
+        def _set(key, val):
+            lst = list(s[key])
+            lst[p] = val
+            return lst
+
+        out = dict(
+            s,
+            mc=_set("mc", mc), nrays=_set("nrays", nrays),
+            nee=_set("nee", nee),
+            pray=_set("pray", pray), ptime=_set("ptime", ptime),
+            pmode=_set("pmode", pmode), pvalid=_set("pvalid", pvalid),
+            hvalid=_set("hvalid", hvalid),
+            stash_px=stash_px, stash_rgb=stash_rgb,
+            next_work=next_work, n_rad=n_rad, n_shad=n_shad,
+        )
+        if cfg.aov:
+            out["stash_aov"] = stash_aov
+        return out
+
+    def flush_stage(s):
+        stash_px = s["stash_px"]
+        have = stash_px >= 0
+        target = jnp.where(have, stash_px.astype(jnp.int32) - pixel_base,
+                           n_pix + 1)
+        accs = ((jnp.stack(s["stash_rgb"], axis=1),)
+                + ((jnp.stack(s["stash_aov"][:3], axis=1),
+                    jnp.stack(s["stash_aov"][3:], axis=1))
+                   if cfg.aov else ()))
+        out = {
+            k: s[k].at[target].add(a, mode="drop", unique_indices=True)
+            for (k, _c), a in zip(_IMGS, accs)
+        }
+        out["stash_px"] = jnp.full((pool,), -1.0, jnp.float32)
+        out["stash_rgb"] = [jnp.zeros((pool,), jnp.float32)
+                            for _ in range(3)]
+        if cfg.aov:
+            out["stash_aov"] = [jnp.zeros((pool,), jnp.float32)
+                                for _ in range(6)]
+        return dict(s, **out)
+
+    round_unroll = 4 if n_levels <= 4 else False
+
+    def super_step(i, s):
+        s = boundary(s)
+        return jax.lax.fori_loop(
+            0, k_phase, lambda j, st: pipe_round(st), s,
+            unroll=round_unroll)
+
+    _IMG_KEYS = tuple(k for k, _c in _IMGS)
+
+    def outer(s):
+        s = flush_stage(s)
+        lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
+        lanes = jax.lax.fori_loop(0, _FLUSH_N, super_step, lanes,
+                                  unroll=False)
+        return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
+
+    s = jax.lax.while_loop(cond, outer, state)
+
+    # drain: the retire stash + every path still parked with a completed
+    # pixel in its misc accumulator
+    sp = s["stash_px"]
+    starget = jnp.where(sp >= 0, sp.astype(jnp.int32) - pixel_base,
+                        n_pix + 1)
+    ptargets = []
+    for p in range(P):
+        pixel = s["mc"][p][13]
+        ptargets.append(jnp.where(pixel >= 0,
+                                  pixel.astype(jnp.int32) - pixel_base,
+                                  n_pix + 1))
+    inv_spp = 1.0 / jnp.float32(spp)
+
+    def final_img(key, c, stash_vals):
+        img = s[key].at[starget].add(jnp.stack(stash_vals, axis=1),
+                                     mode="drop", unique_indices=True)
+        for p in range(P):
+            img = img.at[ptargets[p]].add(
+                jnp.stack(s["mc"][p][c:c + 3], axis=1),
+                mode="drop", unique_indices=True)
         return img[:n_pix] * inv_spp
 
     rgb = final_img("image", 10, s["stash_rgb"])

@@ -345,3 +345,39 @@ def test_walkpool_instanced_matches_pool():
     out = np.asarray(out)
     assert nr1 == int(nr2) and abs(ns1 - int(ns2)) <= 2
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pipepool_bitexact_vs_classic(cornell_split):
+    """The P=2 pipelined pool reorders WHEN walks run, not what they
+    compute: per-path RNG streams, shade inputs, and per-pixel sample
+    order are identical to the classic walk pool, so ray/shadow counts
+    match exactly and images match to the ulp (the two graphs fuse
+    differently, so XLA may contract a different FMA here and there —
+    observed 3/1728 elements off by 1 ulp under the 8-device conftest).
+    """
+    scene, camera, _tab = cornell_split
+    a, nr1, ns1 = _render(scene, camera, None, max_depth=6,
+                          walk_phase_every=4, walkpool=True, pool_paths=1)
+    b, nr2, ns2 = _render(scene, camera, None, max_depth=6,
+                          walk_phase_every=4, walkpool=True, pool_paths=2)
+    assert (nr1, ns1) == (nr2, ns2)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_pipepool_bitexact_motion_aov():
+    """Pipelined pool parity on the 2-key-motion + AOV variant."""
+    from rendertoy3c_tpu.scene.builtin import cornell_box as _cb
+    from rendertoy3c_tpu.trace.hierwalk import HIER_LEAF_MOTION
+
+    meshes, camera = _cb()
+    camera.aspect_ratio = 1.0
+    for m in meshes:
+        v0 = m.vertices[0]
+        m.vertices = np.stack([v0, v0 + np.float32([0.05, 0, 0])])
+    scene = split_order_scene(build_scene(meshes), leaf=HIER_LEAF_MOTION)
+    a, nr1, ns1 = _render(scene, camera, None, max_depth=3, aov=True,
+                          walk_phase_every=5, walkpool=True, pool_paths=1)
+    b, nr2, ns2 = _render(scene, camera, None, max_depth=3, aov=True,
+                          walk_phase_every=5, walkpool=True, pool_paths=2)
+    assert (nr1, ns1) == (nr2, ns2)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
