@@ -78,6 +78,11 @@ import os as _os
 
 _FLUSH_N = int(_os.environ.get("RT3C_FLUSH_N", "8"))
 
+# RT3C_WP_STATS=1: count lane-rounds spent walking vs total, shades per
+# boundary, etc., and debug-print them once per subframe (pipepool only).
+# Zero-cost when off; the counters are jit-carried scalars.
+_WP_STATS = _os.environ.get("RT3C_WP_STATS", "") == "1"
+
 # lane phases
 _IDLE = 0
 _WALK_CLOSEST = 1
@@ -970,6 +975,13 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             image_nrm=jnp.zeros((n_pix + 1, 3), jnp.float32),
             stash_aov=[jnp.zeros((pool,), jnp.float32) for _ in range(6)],
         )
+    if _WP_STATS:
+        state.update(
+            zn_round=jnp.zeros((), jnp.float32),   # walk rounds run
+            zn_walk=jnp.zeros((), jnp.float32),    # lane-rounds walking
+            zn_shade=jnp.zeros((), jnp.float32),   # lanes shaded (m_a)
+            zn_bnd=jnp.zeros((), jnp.float32),     # boundary-path passes
+        )
     _IMGS = ((("image", 10), ("image_alb", 16), ("image_nrm", 19))
              if cfg.aov else (("image", 10),))
 
@@ -1007,6 +1019,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             # pruning, so a finished walk leaves its ents all-_BIG
             pvalid=[s["pvalid"][0] & ~l0, s["pvalid"][1] & ~l1],
         )
+        if _WP_STATS:
+            s2["zn_round"] = s2["zn_round"] + 1.0
+            s2["zn_walk"] = s2["zn_walk"] + jnp.sum(
+                (s2["cur"] >= 0).astype(jnp.float32))
 
         # ---- one traversal round ----
         s2 = pipe.walk_round(s2)
@@ -1182,6 +1198,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         )
         if cfg.aov:
             out["stash_aov"] = stash_aov
+        if _WP_STATS:
+            out["zn_shade"] = s["zn_shade"] + jnp.sum(
+                m_a.astype(jnp.float32))
+            out["zn_bnd"] = s["zn_bnd"] + 1.0
         return out
 
     def flush_stage(s):
@@ -1223,6 +1243,17 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
 
     s = jax.lax.while_loop(cond, outer, state)
+    if _WP_STATS:
+        jax.debug.print(
+            "WPSTATS W={w} rounds={r} walk_util={u:.3f} walks={k} "
+            "visits/walk={v:.2f} shades={sh} shade/bnd-pass={sb:.3f}",
+            w=pool, r=s["zn_round"],
+            u=s["zn_walk"] / jnp.maximum(s["zn_round"] * pool, 1.0),
+            k=s["n_rad"] + s["n_shad"].astype(jnp.int32),
+            v=s["zn_walk"] / jnp.maximum(
+                s["n_rad"].astype(jnp.float32) + s["n_shad"], 1.0),
+            sh=s["zn_shade"],
+            sb=s["zn_shade"] / jnp.maximum(s["zn_bnd"] * pool, 1.0))
 
     # drain: the retire stash + every path still parked with a completed
     # pixel in its misc accumulator
