@@ -310,35 +310,82 @@ def morton_order_scene(scene):
     return reorder_scene_by_bvh(scene, perm)
 
 
-def split_order_scene(scene, leaf: int = 256):
-    """Reorder a Scene's faces by recursive longest-axis median split.
+_SAH_BINS = 32
+_BIG_F = np.float32(1e30)
 
-    Like morton_order_scene, but clusters are balanced spatial partitions
-    in leaf-sized multiples, so consecutive `leaf`-face runs (the leafwalk
-    tracer's leaves, trace/leafwalk.py) get tighter AABBs than raw Morton
-    runs — measured ~30% fewer ray-leaf overlaps on the 49k box field
-    (mean 4.18 -> 2.96 per incoherent ray). Host-side numpy; returns the
-    reordered Scene (prim ids change)."""
+
+def split_order_scene(scene, leaf: int = 256):
+    """Reorder a Scene's faces by recursive binned-SAH split.
+
+    Like morton_order_scene, but clusters are spatial partitions in
+    leaf-sized multiples, so consecutive `leaf`-face runs (the leafwalk /
+    hierwalk tracers' leaves) get tight AABBs. The split axis AND position
+    are chosen by minimal binned surface-area cost (32 centroid bins,
+    prefix/suffix box areas), snapped to a leaf multiple so every cluster
+    boundary stays run-aligned; degenerate nodes (all centroids equal on
+    every axis) fall back to the balanced longest-axis median split.
+
+    vs the previous pure median split (exp/exp_sah.py, 16k sorted bounce
+    rays, leaf=14 hier table): 49k box field mean visits 9.55 -> 7.27
+    (leaf visits 2.73 -> 1.43), worst-ray rounds 39 -> 26, identical hits.
+    Host-side numpy; returns the reordered Scene (prim ids change)."""
     g = scene.geom
     f = scene.num_faces
     v0 = np.asarray(g.v0[0][:f])
     e1 = np.asarray(g.e1[0][:f])
     e2 = np.asarray(g.e2[0][:f])
-    cent = v0 + (e1 + e2) / 3.0
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    cent = (lo + hi) * 0.5
+    nb = _SAH_BINS
+
+    def half_area(blo, bhi):
+        d = np.maximum(bhi - blo, 0.0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] \
+            + d[..., 2] * d[..., 0]
 
     out = []
     stack = [np.arange(f)]
     while stack:
         idx = stack.pop()
-        if len(idx) <= leaf:
+        n = len(idx)
+        if n <= leaf:
             out.append(idx)
             continue
         c = cent[idx]
-        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        cmin = c.min(axis=0)
+        ext = c.max(axis=0) - cmin
+        best = None  # (cost, axis, snapped split count)
+        for ax in range(3):
+            if ext[ax] <= 0:
+                continue
+            b = np.minimum((c[:, ax] - cmin[ax]) * (nb / ext[ax]),
+                           nb - 1).astype(np.int32)
+            cnt = np.bincount(b, minlength=nb)
+            blo = np.full((nb, 3), _BIG_F, np.float32)
+            bhi = np.full((nb, 3), -_BIG_F, np.float32)
+            np.minimum.at(blo, b, lo[idx])
+            np.maximum.at(bhi, b, hi[idx])
+            pre_lo = np.minimum.accumulate(blo, 0)
+            pre_hi = np.maximum.accumulate(bhi, 0)
+            suf_lo = np.minimum.accumulate(blo[::-1], 0)[::-1]
+            suf_hi = np.maximum.accumulate(bhi[::-1], 0)[::-1]
+            nl = np.cumsum(cnt)[:-1]
+            cost = (half_area(pre_lo[:-1], pre_hi[:-1]) * nl
+                    + half_area(suf_lo[1:], suf_hi[1:]) * (n - nl))
+            cost = np.where((nl > 0) & (nl < n), cost, np.inf)
+            k = int(np.argmin(cost))
+            if np.isfinite(cost[k]) and (best is None or cost[k] < best[0]):
+                half = int(round(nl[k] / leaf)) * leaf
+                half = min(max(half, leaf), ((n - 1) // leaf) * leaf)
+                if 0 < half < n:
+                    best = (cost[k], ax, half)
+        if best is None:
+            ax = int(np.argmax(ext))
+            half = min(-(-n // (2 * leaf)) * leaf, n - 1)
+        else:
+            _, ax, half = best
         srt = idx[np.argsort(c[:, ax], kind="stable")]
-        # left child gets a leaf-multiple so every cluster boundary stays
-        # run-aligned after concatenation
-        half = min(-(-len(idx) // (2 * leaf)) * leaf, len(idx) - 1)
         stack.append(srt[half:])
         stack.append(srt[:half])
     perm = np.concatenate(out).astype(np.int32)

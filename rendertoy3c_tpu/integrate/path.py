@@ -1092,9 +1092,9 @@ def render_pixels(
         if cfg.integrator != "pool":
             raise ValueError("WalkPoolPipeline requires cfg.integrator='pool'")
         paths = cfg.pool_paths or (1 if tracer.instanced else 2)
-        if paths == 2 and not tracer.instanced:
+        if paths >= 2 and not tracer.instanced:
             return _render_pipepool(scene, cfg, cam, tracer, pixel_idx,
-                                    subframe_index)
+                                    subframe_index, paths=paths)
         return _render_walkpool(scene, cfg, cam, tracer, pixel_idx,
                                 subframe_index)
     if isinstance(tracer, (FusedPipeline, ExternalPipeline)):

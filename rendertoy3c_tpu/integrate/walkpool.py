@@ -880,8 +880,8 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
 
 
 def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
-                     pixel_idx, subframe_index):
-    """Software-pipelined walk pool: P=2 paths per lane, one walk scratch.
+                     pixel_idx, subframe_index, paths: int = 2):
+    """Software-pipelined walk pool: P paths per lane, one walk scratch.
 
     The classic walk pool's lanes idle between finishing a walk and the
     next phase boundary (mean ~6 visits vs K=16 rounds -> ~50% of the
@@ -920,7 +920,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)
     pixel_base = pixel_idx[0]
-    P = 2
+    P = paths
 
     def _mc0():
         return [jnp.full((pool,), -1.0, jnp.float32) if c == 13
@@ -996,28 +996,38 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     def pipe_round(s):
         # ---- launch: fill free scratch lanes from pending paths ----
         free = s["cur"] < 0
-        l0 = free & s["pvalid"][0]
-        l1 = free & s["pvalid"][1] & ~l0
-        start = l0 | l1
-        pray_sel = jnp.where(l1[:, None], s["pray"][1], s["pray"][0])
+        ls = []
+        taken = None
+        for p in range(P):
+            lp = free & s["pvalid"][p]
+            if taken is not None:
+                lp = lp & ~taken
+            taken = lp if taken is None else taken | lp
+            ls.append(lp)
+        start = taken
+        pray_sel = s["pray"][0]
+        ptime_sel = s["ptime"][0]
+        pmode_sel = s["pmode"][0]
+        wslot = jnp.where(ls[0], 0, s["wslot"])
+        for p in range(1, P):
+            pray_sel = jnp.where(ls[p][:, None], s["pray"][p], pray_sel)
+            ptime_sel = jnp.where(ls[p], s["ptime"][p], ptime_sel)
+            pmode_sel = jnp.where(ls[p], s["pmode"][p], pmode_sel)
+            wslot = jnp.where(ls[p], p, wslot)
         rays = jnp.where(start[:, None], pray_sel, s["rays"])
         s2 = dict(
             s,
             rays=rays,
-            wtime=jnp.where(start,
-                            jnp.where(l1, s["ptime"][1], s["ptime"][0]),
-                            s["wtime"]),
-            wmode=jnp.where(start,
-                            jnp.where(l1, s["pmode"][1], s["pmode"][0]),
-                            s["wmode"]),
-            wslot=jnp.where(l1, 1, jnp.where(l0, 0, s["wslot"])),
+            wtime=jnp.where(start, ptime_sel, s["wtime"]),
+            wmode=jnp.where(start, pmode_sel, s["wmode"]),
+            wslot=wslot,
             wfound=s["wfound"] & ~start,
             wb_t=jnp.where(start, rays[:, 7], s["wb_t"]),
             wb_prim=jnp.where(start, -1, s["wb_prim"]),
             cur=jnp.where(start, 0, s["cur"]),
             # no ents reset: the walk round's pop write-back persists its
             # pruning, so a finished walk leaves its ents all-_BIG
-            pvalid=[s["pvalid"][0] & ~l0, s["pvalid"][1] & ~l1],
+            pvalid=[s["pvalid"][p] & ~ls[p] for p in range(P)],
         )
         if _WP_STATS:
             s2["zn_round"] = s2["zn_round"] + 1.0
