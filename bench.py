@@ -203,10 +203,12 @@ def _box_field_scene():
     return build_scene([big, lamp])
 
 
-def _instance_field_scene():
+def _instance_field_scene(motion=False):
     """578 instances of one 81-box tower mesh on a floor under a lamp —
     562k effective faces from 1.3k stored ones (trace-time two-level AS
-    at scale)."""
+    at scale). motion=True gives every tower a second transform key
+    (small per-instance drift + yaw: the matrix-motion TLAS walk,
+    cuda_accel.h motion IAS)."""
     import numpy as np
 
     from rendertoy3c_tpu.scene.builtin import box_mesh, quad
@@ -239,7 +241,17 @@ def _instance_field_scene():
             t = np.zeros((3, 4), np.float32)
             t[:, :3] = np.eye(3)
             t[:, 3] = (gx - 12, 0, gz - 12)
-            inst.append(Instance(mesh_index=0, transforms=t))
+            if motion:
+                ang = rng.uniform(-0.35, 0.35)
+                c, s = np.cos(ang), np.sin(ang)
+                t1 = np.zeros((3, 4), np.float32)
+                t1[:, :3] = np.asarray(
+                    [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+                t1[:, 3] = t[:, 3] + rng.uniform(-0.3, 0.3, 3)
+                inst.append(Instance(mesh_index=0,
+                                     transforms=np.stack([t, t1])))
+            else:
+                inst.append(Instance(mesh_index=0, transforms=t))
     cam = Camera(eye=(0.0, 16.0, 34.0), lookat=(0.0, 0.5, 0.0),
                  fov_y=50.0)
     return build_instanced_scene([tower, lamp, floor], inst), cam
@@ -365,6 +377,12 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     # instanced walk pool's band, cuda_accel.h:92-150 IAS semantics)
     iscene_big, icam_big = _instance_field_scene()
     record("multi_instance_large", iscene_big, icam_big, cfg, timed_c=2)
+
+    # matrix-motion variant: every tower gets a second transform key; the
+    # motion instanced TLAS walk inverts the time-lerped transform per
+    # lane (trace/hier_instanced.py, cuda_accel.h motion IAS)
+    iscene_mot, icam_mot = _instance_field_scene(motion=True)
+    record("multi_instance_motion", iscene_mot, icam_mot, cfg, timed_c=2)
 
     # legacy continuity configs (round-1 records): builtin Cornell shapes
     meshes, ccam = cornell_box()

@@ -314,28 +314,17 @@ _SAH_BINS = 32
 _BIG_F = np.float32(1e30)
 
 
-def split_order_scene(scene, leaf: int = 256):
-    """Reorder a Scene's faces by recursive binned-SAH split.
+def sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int) -> np.ndarray:
+    """Recursive binned-SAH split permutation over primitive AABBs.
 
-    Like morton_order_scene, but clusters are spatial partitions in
-    leaf-sized multiples, so consecutive `leaf`-face runs (the leafwalk /
-    hierwalk tracers' leaves) get tight AABBs. The split axis AND position
-    are chosen by minimal binned surface-area cost (32 centroid bins,
-    prefix/suffix box areas), snapped to a leaf multiple so every cluster
-    boundary stays run-aligned; degenerate nodes (all centroids equal on
-    every axis) fall back to the balanced longest-axis median split.
-
-    vs the previous pure median split (exp/exp_sah.py, 16k sorted bounce
-    rays, leaf=14 hier table): 49k box field mean visits 9.55 -> 7.27
-    (leaf visits 2.73 -> 1.43), worst-ray rounds 39 -> 26, identical hits.
-    Host-side numpy; returns the reordered Scene (prim ids change)."""
-    g = scene.geom
-    f = scene.num_faces
-    v0 = np.asarray(g.v0[0][:f])
-    e1 = np.asarray(g.e1[0][:f])
-    e2 = np.asarray(g.e2[0][:f])
-    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
-    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    Clusters are spatial partitions in leaf-sized multiples, so
+    consecutive `leaf`-prim runs get tight AABBs. The split axis AND
+    position are chosen by minimal binned surface-area cost (32 centroid
+    bins, prefix/suffix box areas), snapped to a leaf multiple so every
+    cluster boundary stays run-aligned; degenerate nodes (all centroids
+    equal on every axis) fall back to the balanced longest-axis median
+    split. Host-side numpy; returns the [N] permutation."""
+    f = lo.shape[0]
     cent = (lo + hi) * 0.5
     nb = _SAH_BINS
 
@@ -388,5 +377,24 @@ def split_order_scene(scene, leaf: int = 256):
         srt = idx[np.argsort(c[:, ax], kind="stable")]
         stack.append(srt[half:])
         stack.append(srt[:half])
-    perm = np.concatenate(out).astype(np.int32)
-    return reorder_scene_by_bvh(scene, perm)
+    return np.concatenate(out).astype(np.int32)
+
+
+def split_order_scene(scene, leaf: int = 256):
+    """Reorder a Scene's faces by recursive binned-SAH split
+    (sah_split_perm), so the leafwalk / hierwalk tracers' consecutive
+    `leaf`-face runs get tight AABBs.
+
+    vs the previous pure median split (exp/exp_sah.py, 16k sorted bounce
+    rays, leaf=14 hier table): 49k box field mean visits 9.55 -> 7.27
+    (leaf visits 2.73 -> 1.43), worst-ray rounds 39 -> 26, identical hits;
+    on-chip 49k 13.0 -> 16.6, 200k town 8.8 -> 11.7 Mray/s. Host-side
+    numpy; returns the reordered Scene (prim ids change)."""
+    g = scene.geom
+    f = scene.num_faces
+    v0 = np.asarray(g.v0[0][:f])
+    e1 = np.asarray(g.e1[0][:f])
+    e2 = np.asarray(g.e2[0][:f])
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    return reorder_scene_by_bvh(scene, sah_split_perm(lo, hi, leaf))

@@ -149,7 +149,9 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
     """Walk-pool pipeline over the instanced TLAS gather walk
     (trace/hier_instanced.py): resumable world->instance->mesh walks in
     pool lanes; the shade stage transforms object-space normals through
-    per-hit inverse-transpose attr rows (static scenes only)."""
+    per-hit inverse-transpose attr rows (key 0, matching _shade_and_nee).
+    Static or 2-key matrix motion (instance rows invert the time-lerped
+    forward transform per lane); >2 keys ride the pallas kernels."""
     from ..trace.hier_instanced import build_inst_hier_table
     from ..trace.pallas_shade import (
         external_shade_eligible,
@@ -157,25 +159,28 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
         pack_rows128,
     )
 
-    if iscene.num_keys != 1:
-        raise ValueError("instanced walk pool is static-only; matrix "
-                         "motion rides the pallas_instanced kernels")
+    if iscene.num_keys > 2:
+        raise ValueError("instanced walk pool supports <= 2 transform "
+                         "keys; more ride the pallas_instanced kernels")
     itab = build_inst_hier_table(iscene)
+    motion = bool(itab.motion)
     n_levels = len(itab.world_starts) + len(itab.mesh_starts)
     misc_w = 24 if cfg.aov else 16
+    shadow_w = 16 if motion else 8
     inst_it = pack_rows128(iscene.instances.inv_t[:, 0].reshape(-1, 9))[0]
-    common = dict(walk_round=functools.partial(_walk_round_inst, itab),
+    common = dict(walk_round=functools.partial(_walk_round_inst, itab,
+                                               motion=motion),
                   n_levels=n_levels, num_faces=itab.num_faces,
-                  motion=False, misc_w=misc_w, shadow_w=8,
+                  motion=motion, misc_w=misc_w, shadow_w=shadow_w,
                   instanced=True, inst_it=inst_it)
     if external_shade_eligible(iscene, cfg):
-        shade, attr_rows = make_external_shader(iscene, cfg, motion=False,
+        shade, attr_rows = make_external_shader(iscene, cfg, motion=motion,
                                                 transposed=True)
         return WalkPoolPipeline(shade=shade,
                                 attr_rows=pack_rows128(attr_rows)[0],
                                 attr_w=attr_rows.shape[1],
                                 kernel=True, **common)
-    shade = _make_xla_shade_stage(iscene, cfg, misc_w, 8)
+    shade = _make_xla_shade_stage(iscene, cfg, misc_w, shadow_w)
     return WalkPoolPipeline(shade=shade, attr_rows=None, kernel=False,
                             **common)
 
@@ -380,15 +385,16 @@ def _walk_round(tab: HierTable, s, motion: bool):
     return out
 
 
-def _walk_round_inst(tab, s):
+def _walk_round_inst(tab, s, motion: bool = False):
     """Instanced-table variant of _walk_round (trace/hier_instanced.py
     semantics): rows are world directories, instance rows (switch the lane
     into that instance's object space), shared mesh directories, or leaf
     rows; a pop that re-enters a world level restores the world ray. Extra
     lane state vs the static round: o_cur/d_cur (current-space ray),
-    inst_cur, wb_inst. Static scenes only (no per-ray time).
+    inst_cur, wb_inst. 2-key matrix motion (tab.motion) inverts the
+    time-lerped forward transform per lane at instance rows (s["wtime"]).
     """
-    from ..trace.hier_instanced import _L_INST
+    from ..trace.hier_instanced import _inst_space
     from ..trace.hier_instanced import _L_FIRST as _LI_FIRST
     from ..trace.hier_instanced import _L_TYPE as _LI_TYPE
 
@@ -440,15 +446,13 @@ def _walk_round_inst(tab, s):
                      s["wb_v"])
 
     # --- instance row: switch into object space, jump to subtree ---
-    lin = rows[:, 0:9].reshape(r, 3, 3)
-    o_t = jnp.einsum("rij,rj->ri", lin, o_w) + rows[:, 9:12]
-    d_t = jnp.einsum("rij,rj->ri", lin, d_w)  # NOT normalized: world t
+    o_t, d_t, iid = _inst_space(rows, o_w, d_w, s["wtime"], motion)
     sel_i = (walking & is_inst)[:, None]
     o_cur = jnp.where(sel_i, o_t, o_cur)
     d_cur = jnp.where(sel_i, d_t, d_cur)
     inv_cur = jnp.where(sel_i, _safe_inv(d_t), inv_cur)
-    inst_cur = jnp.where(walking & is_inst,
-                         rows[:, _L_INST].astype(jnp.int32), s["inst_cur"])
+    inst_cur = jnp.where(walking & is_inst, iid.astype(jnp.int32),
+                         s["inst_cur"])
 
     # --- directory: slab-test children in the current space ---
     eff_t = jnp.where(wfound, 0.0, wb_t)

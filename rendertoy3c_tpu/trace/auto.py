@@ -53,7 +53,7 @@ def tune_config(scene, cfg, on_tpu: bool | None = None):
         on_tpu = jax.devices()[0].platform == "tpu"
     if not (on_tpu and cfg.integrator == "pool"):
         return cfg
-    if _is_instanced(scene) and scene.num_keys == 1:
+    if _is_instanced(scene) and scene.num_keys <= 2:
         # instanced TLAS walk: sort costs more than its gather locality
         # buys on the small shared tables (9.8 vs 7.3 Mray/s on the
         # trace-time cornell config)
@@ -66,11 +66,16 @@ def tune_config(scene, cfg, on_tpu: bool | None = None):
     if (not _is_instanced(scene) and scene.num_keys <= 2
             and scene.num_faces > LEAFWALK_MIN_FACES):
         # the walk pool ignores sort_rays (lanes never re-sort: walk state
-        # rides in place); 16k lanes is the measured optimum for the walk
-        # band (49k: 16k > 32k at every K in the round-2 sweep)
+        # rides in place). Width by scene size (v5e, SAH order, pipelined
+        # pool): sub-100k scenes amortize per-op launch gaps over wider
+        # rounds (49k field 16.8@16k vs 16.6@8k) while bigger tables pay
+        # more straggler rounds than the gap amortization saves (200k town
+        # 11.1@16k vs 11.7@8k, 1M 7.9@16k vs 8.7@8k).
+        wide = scene.num_faces < 100_000
         return dataclasses.replace(
             cfg,
-            ray_block=min(cfg.ray_block, POOL_BLOCK_LARGE),
+            ray_block=min(cfg.ray_block,
+                          2 * POOL_BLOCK_LARGE if wide else POOL_BLOCK_LARGE),
             flush_every=cfg.flush_every or 8,
         )
     return cfg
@@ -103,10 +108,12 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
     )
 
     if _is_instanced(scene):
-        # trace-time two-level AS: the instanced TLAS walk for static
-        # scenes (9.8 vs 6.3 Mray/s over the unrolled pallas kernels on
-        # the trace-time cornell config), pallas kernels for matrix motion
-        if scene.num_keys == 1:
+        # trace-time two-level AS: the instanced TLAS walk for static and
+        # 2-key matrix-motion scenes (9.8 vs 6.3 Mray/s over the unrolled
+        # pallas kernels on the trace-time cornell config; motion instance
+        # rows invert the time-lerped transform per ray), pallas kernels
+        # for >2 transform keys
+        if scene.num_keys <= 2:
             from .hier_instanced import (
                 make_inst_hierwalk_tracer, split_order_instanced,
             )

@@ -50,7 +50,8 @@ from .intersect import Hit
 
 # row lane map (extends hierwalk's; tri lanes fill 0..125 at HIER_LEAF=14)
 _L_FIRST = 126   # child pointer / leaf first-face id (f32, exact)
-_L_INST = 12     # instance row only: instance id (lanes 0-11 = transform)
+_L_INST = 12     # static instance row: instance id (lanes 0-11 = inverse)
+_L_INST_M = 24   # motion instance row: id (lanes 0-11/12-23 = m0/m1 FWD)
 _L_TYPE = 127    # 0 = directory, 1 = leaf, 2 = instance
 
 
@@ -61,6 +62,56 @@ class InstHierTable(NamedTuple):
     mesh_starts: tuple      # static: first row id of each MESH dir level
     leaf_start: int         # static: first leaf row id
     num_faces: int          # padded object-space face-axis length
+    motion: bool = False    # 2-key matrix motion: instance rows carry both
+    #                         FORWARD keys; the walk inverts the lerp per
+    #                         ray (trace/instanced.py _lerp_minv semantics,
+    #                         cuda_accel.h matrix motion transforms)
+
+
+def _inv3(m):
+    """Batched closed-form 3x3 inverse, [R, 3, 3] (cofactor/adjugate —
+    jnp.linalg.inv lowers to LU, needlessly serial for 3x3 on TPU)."""
+    a, b, c = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    d, e, f = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    g, h, i = m[:, 2, 0], m[:, 2, 1], m[:, 2, 2]
+    ca = e * i - f * h
+    cb = c * h - b * i
+    cc = b * f - c * e
+    cd = f * g - d * i
+    ce = a * i - c * g
+    cf = c * d - a * f
+    cg = d * h - e * g
+    ch = b * g - a * h
+    ci = a * e - b * d
+    det = a * ca + b * cd + c * cg
+    r = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    return jnp.stack([
+        jnp.stack([ca, cb, cc], axis=-1),
+        jnp.stack([cd, ce, cf], axis=-1),
+        jnp.stack([cg, ch, ci], axis=-1),
+    ], axis=-2) * r[:, None, None]
+
+
+def _inst_space(rows, o_w, d_w, time, motion: bool):
+    """Object-space ray + instance id at an instance row.
+
+    Static rows store the precomputed world->object affine (lanes 0:12).
+    Motion rows store both FORWARD keys; the world->object transform is
+    the per-ray inverse of lerp(m0, m1, time) — inverse-of-lerp, never
+    lerp-of-inverses (trace/instanced.py:27-42)."""
+    r = rows.shape[0]
+    if not motion:
+        lin = rows[:, 0:9].reshape(r, 3, 3)
+        o_t = jnp.einsum("rij,rj->ri", lin, o_w) + rows[:, 9:12]
+        d_t = jnp.einsum("rij,rj->ri", lin, d_w)
+        return o_t, d_t, rows[:, _L_INST]
+    m0 = rows[:, 0:12].reshape(r, 3, 4)
+    m1 = rows[:, 12:24].reshape(r, 3, 4)
+    mt = m0 + (m1 - m0) * time[:, None, None]
+    lin = _inv3(mt[:, :, :3])
+    o_t = jnp.einsum("rij,rj->ri", lin, o_w - mt[:, :, 3])
+    d_t = jnp.einsum("rij,rj->ri", lin, d_w)
+    return o_t, d_t, rows[:, _L_INST_M]
 
 
 def _mesh_subtree(v0, e1, e2, first_face):
@@ -116,10 +167,13 @@ def _mesh_subtree(v0, e1, e2, first_face):
 
 
 def split_order_instanced(iscene):
-    """Median-split face order WITHIN each mesh range (object space) so
-    each mesh's consecutive HIER_LEAF runs cluster tightly. Returns a new
-    InstancedScene (prim ids change)."""
+    """Binned-SAH face order WITHIN each mesh range (object space) so
+    each mesh's consecutive HIER_LEAF runs cluster tightly
+    (accel.lbvh.sah_split_perm). Returns a new InstancedScene (prim ids
+    change)."""
     import dataclasses
+
+    from ..accel.lbvh import sah_split_perm
 
     g = iscene.geom
     f_total = g.mat_id.shape[0]
@@ -133,22 +187,11 @@ def split_order_instanced(iscene):
         nf = int(real.sum())
         if nf <= HIER_LEAF:
             continue
-        cent = (v0[:nf] + (e1[:nf] + e2[:nf]) / 3.0)
-        out = []
-        stack = [np.arange(nf)]
-        while stack:
-            idx = stack.pop()
-            if len(idx) <= HIER_LEAF:
-                out.append(idx)
-                continue
-            c = cent[idx]
-            ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-            srt = idx[np.argsort(c[:, ax], kind="stable")]
-            half = min(-(-len(idx) // (2 * HIER_LEAF)) * HIER_LEAF,
-                       len(idx) - 1)
-            stack.append(srt[half:])
-            stack.append(srt[:half])
-        perm[start:start + nf] = start + np.concatenate(out)
+        lo = np.minimum(np.minimum(v0[:nf], v0[:nf] + e1[:nf]),
+                        v0[:nf] + e2[:nf])
+        hi = np.maximum(np.maximum(v0[:nf], v0[:nf] + e1[:nf]),
+                        v0[:nf] + e2[:nf])
+        perm[start:start + nf] = start + sah_split_perm(lo, hi, HIER_LEAF)
 
     def take(arr, per_key):
         a = np.asarray(arr)
@@ -160,16 +203,44 @@ def split_order_instanced(iscene):
         uv0=take(g.uv0, False), uv1=take(g.uv1, False),
         uv2=take(g.uv2, False), mat_id=take(g.mat_id, False),
     )
-    return dataclasses.replace(iscene, geom=geom)
+
+    # also order the INSTANCES spatially: the world directory levels group
+    # FANOUT consecutive instances, so build-order (arbitrary) grouping
+    # gives loose world boxes on large instance fields
+    inst = iscene.instances
+    ilo = np.asarray(inst.aabb_lo)
+    ihi = np.asarray(inst.aabb_hi)
+    iperm = (sah_split_perm(ilo, ihi, FANOUT)
+             if iscene.num_instances > FANOUT
+             else np.arange(iscene.num_instances))
+    inst = inst._replace(
+        mesh_id=jnp.asarray(np.asarray(inst.mesh_id)[iperm]),
+        m=jnp.asarray(np.asarray(inst.m)[iperm]),
+        minv=jnp.asarray(np.asarray(inst.minv)[iperm]),
+        inv_t=jnp.asarray(np.asarray(inst.inv_t)[iperm]),
+        aabb_lo=jnp.asarray(ilo[iperm]),
+        aabb_hi=jnp.asarray(ihi[iperm]),
+    )
+    imesh = tuple(iscene.instance_mesh[int(j)] for j in iperm)
+    return dataclasses.replace(iscene, geom=geom, instances=inst,
+                               instance_mesh=imesh)
 
 
 def build_inst_hier_table(iscene) -> InstHierTable:
     """Host-side build: world levels over instance AABBs, instance rows,
-    shared per-mesh object-space subtrees."""
+    shared per-mesh object-space subtrees.
+
+    2-key matrix motion (iscene.num_keys == 2): instance rows carry both
+    FORWARD keys and the walk inverts the lerp per ray; the world levels
+    stay valid for any t because inst.aabb_lo/hi union the key boxes and
+    a lerped affine maps each point along a segment inside that union
+    (scene/instanced.py:44-45; cuda_accel.h motion IAS semantics)."""
     g = iscene.geom
     inst = iscene.instances
     n_inst = iscene.num_instances
+    motion = iscene.num_keys == 2
     minv = np.asarray(inst.minv)[:, 0]        # [I, 3, 4] (static: key 0)
+    mfwd = np.asarray(inst.m)                 # [I, 2, 3, 4] forward keys
     ilo = np.asarray(inst.aabb_lo)
     ihi = np.asarray(inst.aabb_hi)
 
@@ -264,12 +335,17 @@ def build_inst_hier_table(iscene) -> InstHierTable:
     # instance rows
     for i in range(n_inst):
         row = table[inst_start + i]
-        row[0:9] = minv[i, :, :3].reshape(9)
-        row[9:12] = minv[i, :, 3]
+        if motion:
+            row[0:12] = mfwd[i, 0].reshape(12)
+            row[12:24] = mfwd[i, 1].reshape(12)
+            row[_L_INST_M] = float(i)
+        else:
+            row[0:9] = minv[i, :, :3].reshape(9)
+            row[9:12] = minv[i, :, 3]
+            row[_L_INST] = float(i)
         mi = int(np.asarray(inst.mesh_id)[i])
         levels = mesh_sub[mi][0]
         row[_L_FIRST] = (level_base[(mi, 0)] if levels else leaf_base[mi])
-        row[_L_INST] = float(i)
         row[_L_TYPE] = 2.0
 
     # mesh dirs: children at level lv+1 (or the mesh's leaves)
@@ -291,16 +367,22 @@ def build_inst_hier_table(iscene) -> InstHierTable:
         mesh_starts=tuple(mesh_starts),
         leaf_start=leaf_start,
         num_faces=int(g.mat_id.shape[0]),
+        motion=motion,
     )
 
 
-def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool):
+def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool,
+               time=None, motion: bool = False):
     """Ordered-DFS walk over the instanced table (see module docstring).
 
     Per-ray space state: (o_cur, d_cur, inv_cur, inst_cur) switch into an
     instance's object frame at its instance row and restore to world when
-    the pop re-enters a world level."""
+    the pop re-enters a world level. `time` is the per-ray motion time
+    and `motion` the STATIC motion-table flag (a Python bool, never
+    tab.motion inside jit — NamedTuple leaves trace)."""
     r = o.shape[0]
+    if time is None:
+        time = jnp.zeros((r,), jnp.float32)
     n_world = len(tab.world_starts)
     n_mesh = len(tab.mesh_starts)
     inv_w = _safe_inv(d)
@@ -372,15 +454,12 @@ def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool):
             found = s["found"]
 
         # --- instance row: switch into object space, jump to subtree ---
-        lin = rows[:, 0:9].reshape(r, 3, 3)
-        o_t = jnp.einsum("rij,rj->ri", lin, o) + rows[:, 9:12]
-        d_t = jnp.einsum("rij,rj->ri", lin, d)  # NOT normalized: world t
+        o_t, d_t, iid = _inst_space(rows, o, d, time, motion)
         sel_i = (valid & is_inst)[:, None]
         o_cur = jnp.where(sel_i, o_t, o_cur)
         d_cur = jnp.where(sel_i, d_t, d_cur)
         inv_cur = jnp.where(sel_i, _safe_inv(d_t), inv_cur)
-        inst_cur = jnp.where(valid & is_inst,
-                             rows[:, _L_INST].astype(jnp.int32),
+        inst_cur = jnp.where(valid & is_inst, iid.astype(jnp.int32),
                              s["inst_cur"])
 
         # --- directory: slab-test children in the current space ---
@@ -441,30 +520,36 @@ def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool):
             state["best_u"], state["best_v"])
 
 
-def _walk_inst_chunked(tab, o, d, tmin, tmax, live, any_mode):
+def _walk_inst_chunked(tab, o, d, tmin, tmax, live, any_mode, time=None,
+                       motion=False):
     r = o.shape[0]
+    if time is None:
+        time = jnp.zeros((r,), jnp.float32)
     if r <= _WALK_CHUNK:
-        return _walk_inst(tab, o, d, tmin, tmax, live, any_mode)
+        return _walk_inst(tab, o, d, tmin, tmax, live, any_mode, time=time,
+                          motion=motion)
     outs = []
     for s in range(0, r, _WALK_CHUNK):
         e = min(s + _WALK_CHUNK, r)
         outs.append(_walk_inst(tab, o[s:e], d[s:e], tmin[s:e], tmax[s:e],
-                               live[s:e], any_mode))
+                               live[s:e], any_mode, time=time[s:e],
+                               motion=motion))
     if any_mode:
         return jnp.concatenate(outs)
     return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("motion",))
 def trace_closest_inst_hier(tab: InstHierTable, o, d, tmin, tmax,
-                            count=None) -> Hit:
+                            count=None, time=None,
+                            motion: bool = False) -> Hit:
     r = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     live = jnp.arange(r) < (r if count is None else count)
     t, prim, inst, u, v = _walk_inst_chunked(
         tab, o.astype(jnp.float32), d.astype(jnp.float32), tmin, tmax,
-        live, any_mode=False)
+        live, any_mode=False, time=time, motion=motion)
     valid = (prim >= 0) & (prim < tab.num_faces)
     return Hit(t=jnp.where(valid, t, tmax),
                prim=jnp.where(valid, prim, -1),
@@ -472,34 +557,47 @@ def trace_closest_inst_hier(tab: InstHierTable, o, d, tmin, tmax,
                inst=jnp.where(valid, inst, -1))
 
 
-@jax.jit
-def trace_any_inst_hier(tab: InstHierTable, o, d, tmin, tmax, count=None):
+@functools.partial(jax.jit, static_argnames=("motion",))
+def trace_any_inst_hier(tab: InstHierTable, o, d, tmin, tmax, count=None,
+                        time=None, motion: bool = False):
     r = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     live = jnp.arange(r) < (r if count is None else count)
     return _walk_inst_chunked(tab, o.astype(jnp.float32),
                               d.astype(jnp.float32), tmin, tmax, live,
-                              any_mode=True)
+                              any_mode=True, time=time, motion=motion)
 
 
 def make_inst_hierwalk_tracer(iscene):
-    """(closest, any) over the instanced hierarchical walk.
+    """(closest, any) over the instanced hierarchical walk (static or
+    2-key matrix motion; cuda_accel.h:92-150 IAS + motion transforms).
 
-    Static scenes only; order the scene with split_order_instanced first
-    (correct either way, slower on scrambled order)."""
-    if iscene.num_keys != 1:
+    Order the scene with split_order_instanced first (correct either way,
+    slower on scrambled order)."""
+    if iscene.num_keys > 2:
         raise ValueError(
-            "instanced hierwalk supports static scenes; matrix motion "
-            "rides the pallas_instanced kernels")
+            "instanced hierwalk supports <= 2 transform keys; more keys "
+            "ride the pallas_instanced kernels")
     tab = build_inst_hier_table(iscene)
 
+    motion = bool(tab.motion)
+
+    def _times(time, r):
+        if not motion:
+            return None
+        if time is None:
+            time = 0.0
+        return jnp.broadcast_to(jnp.asarray(time, jnp.float32), (r,))
+
     def closest(o, d, tmin, tmax, time, count=None):
-        del time
-        return trace_closest_inst_hier(tab, o, d, tmin, tmax, count=count)
+        return trace_closest_inst_hier(tab, o, d, tmin, tmax, count=count,
+                                       time=_times(time, o.shape[0]),
+                                       motion=motion)
 
     def any_hit(o, d, tmin, tmax, time, count=None):
-        del time
-        return trace_any_inst_hier(tab, o, d, tmin, tmax, count=count)
+        return trace_any_inst_hier(tab, o, d, tmin, tmax, count=count,
+                                   time=_times(time, o.shape[0]),
+                                   motion=motion)
 
     return closest, any_hit

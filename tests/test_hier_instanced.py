@@ -125,6 +125,105 @@ def test_render_parity_instanced():
                                rtol=2e-3, atol=2e-3)
 
 
+def _many_boxes_motion(n=24, seed=11):
+    """Rotating/translating 2-key instances of two meshes."""
+    rng = np.random.default_rng(seed)
+    red = Material(diffuse=(0.8, 0.2, 0.2))
+    blue = Material(diffuse=(0.2, 0.2, 0.8))
+    meshes = [box_mesh([-0.5, -0.5, -0.5], [0.5, 0.5, 0.5], red)]
+    lv, lf = quad([-0.5, 0, -0.5], [-0.5, 0, 0.5], [0.5, 0, 0.5],
+                  [0.5, 0, -0.5])
+    meshes.append(Mesh(vertices=lv[None], indices=lf, material=blue))
+    inst = []
+    for _ in range(n):
+        keys = []
+        for _k in range(2):
+            ang = rng.uniform(0, 2 * np.pi)
+            c, s = np.cos(ang), np.sin(ang)
+            sc = rng.uniform(0.4, 1.8)
+            keys.append([[c * sc, 0, s * sc, rng.uniform(-8, 8)],
+                         [0, sc, 0, rng.uniform(0, 3)],
+                         [-s * sc, 0, c * sc, rng.uniform(-8, 8)]])
+        inst.append(Instance(mesh_index=int(rng.integers(0, 2)),
+                             transforms=np.asarray(keys, np.float32)))
+    return build_instanced_scene(meshes, inst)
+
+
+def _check_motion(iscene, n_rays=2048, seed=2, span=8.0):
+    import jax.numpy as jnp
+
+    assert iscene.num_keys == 2
+    iscene = split_order_instanced(iscene)
+    hc, ha = make_inst_hierwalk_tracer(iscene)
+    bc, ba = make_instanced_tracer(iscene)
+    o, d = _rand_rays(n_rays, -span, span, seed)
+    rng = np.random.default_rng(seed + 1)
+    time = jnp.asarray(rng.uniform(0, 1, n_rays).astype(np.float32))
+    h = hc(o, d, 1e-3, 1e16, time, None)
+    b = bc(o, d, 1e-3, 1e16, time, None)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(b.prim))
+    np.testing.assert_array_equal(np.asarray(h.inst), np.asarray(b.inst))
+    np.testing.assert_allclose(np.asarray(h.t), np.asarray(b.t),
+                               rtol=2e-4, atol=2e-4)
+    occ_h = np.asarray(ha(o, d, 1e-3, 4.0, time, None))
+    occ_b = np.asarray(ba(o, d, 1e-3, 4.0, time, None))
+    np.testing.assert_array_equal(occ_h, occ_b)
+
+
+def test_matrix_motion_instances_match():
+    _check_motion(_many_boxes_motion(24), seed=13)
+
+
+def test_matrix_motion_time_extremes():
+    """t=0 and t=1 must reproduce the exact key transforms."""
+    import jax.numpy as jnp
+
+    iscene = split_order_instanced(_many_boxes_motion(8, seed=21))
+    hc, _ha = make_inst_hierwalk_tracer(iscene)
+    bc, _ba = make_instanced_tracer(iscene)
+    o, d = _rand_rays(512, -8.0, 8.0, 3)
+    for tv in (0.0, 1.0):
+        time = jnp.full((512,), tv, jnp.float32)
+        h = hc(o, d, 1e-3, 1e16, time, None)
+        b = bc(o, d, 1e-3, 1e16, time, None)
+        np.testing.assert_array_equal(np.asarray(h.prim),
+                                      np.asarray(b.prim))
+        np.testing.assert_allclose(np.asarray(h.t), np.asarray(b.t),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_render_parity_instanced_motion():
+    """A frame through the pool integrator over the motion inst hierwalk
+    == the same frame over the unrolled instanced tracer, and the
+    walk-pool pipeline path agrees too (integrate/walkpool.py)."""
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+    from rendertoy3c_tpu.integrate.walkpool import (
+        make_inst_walkpool_pipeline,
+    )
+
+    iscene = split_order_instanced(_many_boxes_motion(12, seed=31))
+    from rendertoy3c_tpu.scene.camera import Camera
+
+    cam = Camera(eye=(0.0, 6.0, 14.0), lookat=(0.0, 1.0, 0.0),
+                 fov_y=45.0, aspect_ratio=1.0)
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       max_depth=4, ray_block=512, integrator="pool")
+    f_h, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=make_inst_hierwalk_tracer(iscene))
+    f_b, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=make_instanced_tracer(iscene))
+    np.testing.assert_allclose(np.asarray(f_h.accum), np.asarray(f_b.accum),
+                               rtol=2e-3, atol=2e-3)
+    cfg_wp = RenderConfig(width=24, height=24, samples_per_launch=2,
+                          max_depth=4, ray_block=512, integrator="pool",
+                          pool_pixel_major=True)
+    f_w, _ = render_frame(iscene, cam.params(), cfg_wp, subframes=1,
+                          tracer=make_inst_walkpool_pipeline(iscene, cfg_wp))
+    np.testing.assert_allclose(np.asarray(f_w.accum), np.asarray(f_b.accum),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_auto_ladder_picks_inst_hierwalk():
     from rendertoy3c_tpu.integrate.config import RenderConfig
     from rendertoy3c_tpu.trace.auto import choose_tracer, tune_config
