@@ -167,7 +167,9 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
     n_levels = len(itab.world_starts) + len(itab.mesh_starts)
     misc_w = 24 if cfg.aov else 16
     shadow_w = 16 if motion else 8
-    inst_it = pack_rows128(iscene.instances.inv_t[:, 0].reshape(-1, 9))[0]
+    from ..trace.pallas_shade import inst_attr_pack
+
+    inst_it = inst_attr_pack(iscene)  # (packed, width, identity)
     common = dict(walk_round=functools.partial(_walk_round_inst, itab,
                                                motion=motion),
                   n_levels=n_levels, num_faces=itab.num_faces,
@@ -624,16 +626,16 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         misc_in = jnp.stack(
             mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=0)
         if pipe.kernel and pipe.instanced:
-            # per-hit inverse-transpose rows (identity for misses) for
-            # the kernel's in-kernel instance normal transform
+            # per-hit transform rows (identity for misses) for the
+            # kernel's in-kernel instance normal/tangent transforms
+            from ..trace.pallas_shade import gather_inst_rows
+
             attr_g = take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
                                  pipe.attr_w)
-            it9 = take_packed(pipe.inst_it, jnp.maximum(hit_inst, 0), 9)
-            eye9 = jnp.asarray(
-                [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)[None, :]
-            it9 = jnp.where((hit_inst >= 0)[:, None], it9, eye9)
-            attr_t = jnp.transpose(jnp.concatenate([attr_g, it9], axis=1),
-                                   (1, 0))
+            packed, iw, iden = pipe.inst_it
+            it_rows = gather_inst_rows(packed, iw, iden, hit_inst)
+            attr_t = jnp.transpose(
+                jnp.concatenate([attr_g, it_rows], axis=1), (1, 0))
         elif pipe.kernel:
             attr_t = jnp.transpose(
                 take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),

@@ -459,6 +459,22 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
             tgx = row(a, nmap_base + 0)
             tgy = row(a, nmap_base + 1)
             tgz = row(a, nmap_base + 2)
+            if inst_base:
+                # two-level AS: the baked raw tangent is object-space;
+                # push it through the instance's forward linear part
+                # (9 rows after the inverse-transpose block) BEFORE the
+                # Gram-Schmidt against the world ng — path.py:129-136
+                # order; exact because the tangent is linear in the edges
+                tx2 = (row(a, inst_base + 9) * tgx
+                       + row(a, inst_base + 10) * tgy
+                       + row(a, inst_base + 11) * tgz)
+                ty2 = (row(a, inst_base + 12) * tgx
+                       + row(a, inst_base + 13) * tgy
+                       + row(a, inst_base + 14) * tgz)
+                tz2 = (row(a, inst_base + 15) * tgx
+                       + row(a, inst_base + 16) * tgy
+                       + row(a, inst_base + 17) * tgz)
+                tgx, tgy, tgz = tx2, ty2, tz2
             d_tn = tgx * ngx + tgy * ngy + tgz * ngz
             tgx = tgx - ngx * d_tn
             tgy = tgy - ngy * d_tn
@@ -1111,12 +1127,12 @@ def external_shade_eligible(scene, cfg) -> bool:
         and getattr(scene, "env", None) is None
         and cfg.light_sampler in ("uniform", "power")
         and cfg.throughput_model == "reference"
-        # trace-time instanced scenes shade in-kernel too (9 extra
-        # inverse-transpose attr rows transform the normal); instanced
-        # normal maps would also need the tangent transform -> XLA path
+        # trace-time instanced scenes shade in-kernel too: 9 extra
+        # inverse-transpose attr rows transform the normal, 9 more
+        # forward-linear rows transform the tangent under normal maps,
+        # and 2-key matrix motion only adds the shadow-time column
         and (getattr(scene, "instances", None) is None
-             or (scene.num_keys == 1
-                 and not getattr(scene, "any_normal_map", False)))
+             or scene.num_keys in (1, 2))
     )
 
 
@@ -1143,6 +1159,39 @@ def pack_rows128(tab):
     buf = jnp.zeros((fp, hp), tab.dtype)
     buf = buf.at[:f, :h].set(tab)
     return buf.reshape(fp // k, 128), hp
+
+
+def inst_attr_pack(scene):
+    """Per-instance attr rows for the shade kernel, pack_rows128'd.
+
+    Always the key-0 inverse-transpose (in-kernel normal transform,
+    path.py:103-107); scenes with normal maps on the kernel path append
+    the key-0 forward linear part (in-kernel tangent transform,
+    path.py:129-136). Returns (packed, width, identity_row) — the
+    identity substitutes for missing instances (hit_inst < 0)."""
+    import numpy as np
+
+    inst = scene.instances
+    it9 = np.asarray(inst.inv_t[:, 0]).reshape(-1, 9)
+    textured = _fused_texture_state(scene) == "diffuse"
+    nmap = textured and bool(getattr(scene, "any_normal_map", False))
+    eye = [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0]
+    if nmap:
+        m9 = np.asarray(inst.m[:, 0, :, :3]).reshape(-1, 9)
+        rows = np.concatenate([it9, m9], axis=1)
+        iden = eye + eye
+    else:
+        rows = it9
+        iden = eye
+    packed, _ = pack_rows128(jnp.asarray(rows))
+    return packed, rows.shape[1], jnp.asarray(iden, jnp.float32)
+
+
+def gather_inst_rows(packed, w, iden, hit_inst):
+    """[R] instance ids -> [R, w] kernel transform rows (identity where
+    the lane has no instance hit)."""
+    g = take_packed(packed, jnp.maximum(hit_inst, 0), w)
+    return jnp.where((hit_inst >= 0)[:, None], g, iden[None, :])
 
 
 def take_packed(packed, idx, h):
@@ -1222,8 +1271,9 @@ def make_external_shader(scene, cfg, motion: bool,
     misc_out_w = misc_w + 8  # +3 pending-NEE columns, 8-aligned
     shadow_w = 16 if motion else 8
     # instanced scenes append 9 inverse-transpose rows per ray (gathered
-    # by hit instance id alongside the per-face attrs)
-    h = attr_t.shape[0] + (9 if instanced else 0)
+    # by hit instance id alongside the per-face attrs); with normal maps
+    # the key-0 forward linear rides 9 more (in-kernel tangent transform)
+    h = attr_t.shape[0] + ((18 if normal_maps else 9) if instanced else 0)
 
     misc_in_spec = (
         pl.BlockSpec((misc_w, RAY_TILE), lambda i, *_: (0, i),
@@ -1313,11 +1363,13 @@ class ExternalPipeline:
         self._attr_w = attr_rows.shape[1]
         self._attr_rows, _ = pack_rows128(attr_rows)  # fast-gather layout
         self._misc_w = 24 if cfg.aov else 16
-        # trace-time instanced scenes: per-hit inverse-transpose rows ride
-        # the attr block (kernel transforms the object-space normal)
-        inst = getattr(scene, "instances", None)
-        self._inst_it = (None if inst is None
-                         else pack_rows128(inst.inv_t[:, 0].reshape(-1, 9))[0])
+        # trace-time instanced scenes: per-hit transform rows ride the
+        # attr block (kernel transforms the object-space normal, and the
+        # raw tangent when the scene carries normal maps)
+        if getattr(scene, "instances", None) is not None:
+            self._inst_pack = inst_attr_pack(scene)
+        else:
+            self._inst_pack = None
 
     def trace_shade(self, rays, misc, count, time8=None):
         time_col = time8[:, 0] if time8 is not None else None
@@ -1335,13 +1387,11 @@ class ExternalPipeline:
         )
         attr_g = take_packed(self._attr_rows, jnp.maximum(hit.prim, 0),
                              self._attr_w)
-        if self._inst_it is not None:
-            it9 = take_packed(self._inst_it,
-                              jnp.maximum(hit.inst, 0), 9)
-            eye9 = jnp.asarray(
-                [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)[None, :]
-            it9 = jnp.where((hit.inst >= 0)[:, None], it9, eye9)
-            attr_g = jnp.concatenate([attr_g, it9], axis=1)
+        if self._inst_pack is not None:
+            packed, w, iden = self._inst_pack
+            attr_g = jnp.concatenate(
+                [attr_g, gather_inst_rows(packed, w, iden, hit.inst)],
+                axis=1)
         attr_t = jnp.transpose(attr_g, (1, 0))
         rays2, misc_e, sh = self._shade(rays, hit8, misc, attr_t, count)
         occ = self._any(sh[:, 0:3], sh[:, 3:6], sh[:, 6], sh[:, 7],

@@ -224,6 +224,107 @@ def test_render_parity_instanced_motion():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_instanced_normal_maps_kernel_path():
+    """Instanced normal maps through the shade KERNEL (in-kernel tangent
+    transform via the key-0 forward-linear attr rows) == the XLA shade
+    path (path.py:129-136)."""
+    import jax.numpy as jnp
+
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+    from rendertoy3c_tpu.integrate.walkpool import (
+        make_inst_walkpool_pipeline,
+    )
+    from rendertoy3c_tpu.scene.camera import Camera
+    from rendertoy3c_tpu.scene.mesh import Mesh
+    from rendertoy3c_tpu.scene.builtin import quad as _quad
+
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w] / 8.0 * np.pi
+    n = np.stack([0.45 * np.sin(xx), 0.45 * np.cos(yy),
+                  np.sqrt(1.0 - 0.45 ** 2) * np.ones_like(xx)], axis=-1)
+    ntex = np.concatenate(
+        [((n * 0.5 + 0.5) * 255).astype(np.uint8),
+         np.full((h, w, 1), 255, np.uint8)], axis=-1)
+    white = Material(diffuse=(0.7, 0.7, 0.7), normal_texture_id=0)
+    fv, ff = _quad([-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1])
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    bumpy = Mesh(vertices=fv[None], indices=ff, texcoords=uvs,
+                 material=white)
+    lv, lf = _quad([-0.5, 2.5, -0.5], [-0.5, 2.5, 0.5], [0.5, 2.5, 0.5],
+                   [0.5, 2.5, -0.5])
+    lamp = Mesh(vertices=lv[None], indices=lf,
+                material=Material(emissive=(15.0, 15.0, 15.0)))
+    c, s = np.cos(0.7), np.sin(0.7)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t = np.zeros((3, 4), np.float32)
+    t[:, :3] = rot @ np.diag([1.3, 1.0, 0.8]).astype(np.float32)
+    instances = [Instance(mesh_index=0, transforms=t),
+                 Instance(mesh_index=1)]
+    iscene = split_order_instanced(
+        build_instanced_scene([bumpy, lamp], instances, textures=[ntex]))
+    cam = Camera(eye=(0, 2.2, 3.2), lookat=(0, 0, 0), fov_y=45.0,
+                 aspect_ratio=1.0)
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       max_depth=3, ray_block=512, integrator="pool",
+                       pool_pixel_major=True)
+    wp = make_inst_walkpool_pipeline(iscene, cfg)
+    assert wp.kernel, "instanced normal maps must ride the shade kernel"
+    f_k, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=wp)
+    f_x, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=make_instanced_tracer(iscene))
+    np.testing.assert_allclose(np.asarray(f_k.accum), np.asarray(f_x.accum),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_instanced_motion_kernel_path():
+    """2-key matrix-motion instanced scenes now ride the shade kernel
+    (external_shade_eligible allows num_keys == 2 with instances); the
+    scene needs an emissive light for kernel eligibility."""
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+    from rendertoy3c_tpu.integrate.walkpool import (
+        make_inst_walkpool_pipeline,
+    )
+    from rendertoy3c_tpu.scene.builtin import quad as _quad
+    from rendertoy3c_tpu.scene.camera import Camera
+    from rendertoy3c_tpu.scene.mesh import Mesh
+
+    rng = np.random.default_rng(31)
+    red = Material(diffuse=(0.8, 0.2, 0.2))
+    meshes = [box_mesh([-0.5, -0.5, -0.5], [0.5, 0.5, 0.5], red)]
+    lv, lf = _quad([-2, 8, -2], [-2, 8, 2], [2, 8, 2], [2, 8, -2])
+    meshes.append(Mesh(vertices=lv[None], indices=lf,
+                       material=Material(emissive=(25.0, 25.0, 25.0))))
+    inst = [Instance(mesh_index=1)]
+    for _ in range(12):
+        keys = []
+        for _k in range(2):
+            ang = rng.uniform(0, 2 * np.pi)
+            c, s = np.cos(ang), np.sin(ang)
+            sc = rng.uniform(0.4, 1.8)
+            keys.append([[c * sc, 0, s * sc, rng.uniform(-6, 6)],
+                         [0, sc, 0, rng.uniform(0, 3)],
+                         [-s * sc, 0, c * sc, rng.uniform(-6, 6)]])
+        inst.append(Instance(mesh_index=0,
+                             transforms=np.asarray(keys, np.float32)))
+    iscene = split_order_instanced(build_instanced_scene(meshes, inst))
+    cam = Camera(eye=(0.0, 6.0, 14.0), lookat=(0.0, 1.0, 0.0),
+                 fov_y=45.0, aspect_ratio=1.0)
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       max_depth=4, ray_block=512, integrator="pool",
+                       pool_pixel_major=True)
+    wp = make_inst_walkpool_pipeline(iscene, cfg)
+    assert wp.kernel and wp.motion and wp.shadow_w == 16
+    f_k, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=wp)
+    f_x, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=make_instanced_tracer(iscene))
+    np.testing.assert_allclose(np.asarray(f_k.accum), np.asarray(f_x.accum),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_auto_ladder_picks_inst_hierwalk():
     from rendertoy3c_tpu.integrate.config import RenderConfig
     from rendertoy3c_tpu.trace.auto import choose_tracer, tune_config

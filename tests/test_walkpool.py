@@ -295,7 +295,10 @@ def test_auto_ladder_picks_walkpool():
                        pool_pixel_major=True)
     cfg = tune_config(scene, cfg, on_tpu=True)
     from rendertoy3c_tpu.trace.auto import POOL_BLOCK_LARGE
-    assert cfg.ray_block == POOL_BLOCK_LARGE
+    # scene-keyed width: sub-100k-face walk scenes ride the 2x pool
+    expect = (2 * POOL_BLOCK_LARGE if scene.num_faces < 100_000
+              else POOL_BLOCK_LARGE)
+    assert cfg.ray_block == expect
     scene2, tracer = choose_tracer(scene, cfg, on_tpu=True)
     assert isinstance(tracer, WalkPoolPipeline)
     assert tracer.kernel  # all-diffuse untextured scene -> shade kernel
