@@ -57,6 +57,11 @@ def build_tree(scene, cap, fanout, bf16=False):
     n_leaf = -(-f // cap)
     pts_lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
     pts_hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    # all-zero faces = variable-leaf padding: unhittable, keep out of boxes
+    fake = ((np.abs(v0).sum(1) == 0) & (np.abs(e1).sum(1) == 0)
+            & (np.abs(e2).sum(1) == 0))
+    pts_lo[fake] = BIG
+    pts_hi[fake] = -BIG
     lo = np.full((n_leaf * cap, 3), BIG, np.float32)
     hi = np.full((n_leaf * cap, 3), -BIG, np.float32)
     lo[:f] = pts_lo

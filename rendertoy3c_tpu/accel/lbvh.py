@@ -252,26 +252,50 @@ def build_bvh8(
 
 
 def reorder_scene_by_bvh(scene, perm: np.ndarray):
-    """Permute a Scene's face SoA into BVH (Morton) order.
+    """Permute a Scene's face SoA into BVH (Morton/SAH) order.
 
-    Leaves padding faces in place past num_faces. Returns a new Scene whose
-    traversal leaves index directly into the permuted SoA.
+    Leaves padding faces in place past num_faces. `perm` may carry -1
+    entries (variable-leaf padding from sah_split_perm(variable=True)):
+    those slots become all-zero degenerate faces — unhittable (MT det=0)
+    and excluded from leaf AABBs by build_hier_table — and num_faces
+    grows to len(perm). Returns a new Scene whose traversal leaves index
+    directly into the permuted SoA.
 
     Runs entirely in host numpy: this is a scene-load step, and issuing
     per-array eager gathers on a (possibly remote) device would pay a
     compile+transfer round trip per field.
     """
+    import dataclasses
+
     from ..scene.scene import GeometrySoA, Scene
 
     f = scene.num_faces
-    full = np.arange(scene.geom.mat_id.shape[0])
-    full[:f] = perm
+    total = scene.geom.mat_id.shape[0]
+    m = len(perm)
+    new_f = m if m > f else f
+    # keep the array length 256-aligned (the brute-force chunk scan and
+    # tile kernels assume it) and the original trailing pads addressable
+    n_tail = total - f
+    length = -(-(new_f + n_tail) // 256) * 256
+    full = np.full(length, -1, np.int64)
+    full[:m] = perm
+    if n_tail:
+        full[new_f:new_f + n_tail] = np.arange(f, total)
+    pad = full < 0
+    safe = np.maximum(full, 0)
 
     g = scene.geom
 
     def take(arr, per_key: bool):
         a = np.asarray(arr)
-        return jnp.asarray(a[:, full] if per_key else a[full])
+        out = a[:, safe] if per_key else a[safe]
+        if pad.any():
+            out = out.copy()
+            if per_key:
+                out[:, pad] = 0
+            else:
+                out[pad] = 0
+        return jnp.asarray(out)
 
     geom = GeometrySoA(
         v0=take(g.v0, True), e1=take(g.e1, True), e2=take(g.e2, True),
@@ -281,8 +305,8 @@ def reorder_scene_by_bvh(scene, perm: np.ndarray):
     )
     # only the face SoA is permuted; every other Scene field (env map,
     # instances, light table, flags...) carries over untouched
-    import dataclasses
-
+    if m > f:
+        return dataclasses.replace(scene, geom=geom, num_faces=m)
     return dataclasses.replace(scene, geom=geom)
 
 
@@ -314,16 +338,26 @@ _SAH_BINS = 32
 _BIG_F = np.float32(1e30)
 
 
-def sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int) -> np.ndarray:
+def sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int,
+                   variable: bool = False) -> np.ndarray:
     """Recursive binned-SAH split permutation over primitive AABBs.
 
-    Clusters are spatial partitions in leaf-sized multiples, so
-    consecutive `leaf`-prim runs get tight AABBs. The split axis AND
-    position are chosen by minimal binned surface-area cost (32 centroid
-    bins, prefix/suffix box areas), snapped to a leaf multiple so every
-    cluster boundary stays run-aligned; degenerate nodes (all centroids
-    equal on every axis) fall back to the balanced longest-axis median
-    split. Host-side numpy; returns the [N] permutation."""
+    Clusters are spatial partitions so consecutive `leaf`-prim runs get
+    tight AABBs. The split axis AND position are chosen by minimal binned
+    surface-area cost (32 centroid bins, prefix/suffix box areas);
+    degenerate nodes (all centroids equal on every axis) fall back to the
+    balanced longest-axis median split. Host-side numpy.
+
+    variable=False: the split is snapped to a leaf multiple so every
+    cluster boundary stays run-aligned; returns the [N] permutation.
+
+    variable=True: splits land wherever SAH wants them and every cluster
+    is padded with -1 entries up to the next `leaf` multiple — callers
+    fill -1 slots with all-zero (degenerate, unhittable) faces, which
+    build_hier_table excludes from leaf AABBs. Quantized geometry (e.g. a
+    field of 12-tri boxes) gets leaves that align with its natural
+    components instead of straddling them. Returns the [M] padded
+    permutation (M = n_clusters * leaf >= N)."""
     f = lo.shape[0]
     cent = (lo + hi) * 0.5
     nb = _SAH_BINS
@@ -339,12 +373,15 @@ def sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int) -> np.ndarray:
         idx = stack.pop()
         n = len(idx)
         if n <= leaf:
+            if variable and n < leaf:
+                idx = np.concatenate(
+                    [idx, np.full(leaf - n, -1, idx.dtype)])
             out.append(idx)
             continue
         c = cent[idx]
         cmin = c.min(axis=0)
         ext = c.max(axis=0) - cmin
-        best = None  # (cost, axis, snapped split count)
+        best = None  # (cost, axis, split count)
         for ax in range(3):
             if ext[ax] <= 0:
                 continue
@@ -365,13 +402,17 @@ def sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int) -> np.ndarray:
             cost = np.where((nl > 0) & (nl < n), cost, np.inf)
             k = int(np.argmin(cost))
             if np.isfinite(cost[k]) and (best is None or cost[k] < best[0]):
-                half = int(round(nl[k] / leaf)) * leaf
-                half = min(max(half, leaf), ((n - 1) // leaf) * leaf)
+                if variable:
+                    half = int(nl[k])
+                else:
+                    half = int(round(nl[k] / leaf)) * leaf
+                    half = min(max(half, leaf), ((n - 1) // leaf) * leaf)
                 if 0 < half < n:
                     best = (cost[k], ax, half)
         if best is None:
             ax = int(np.argmax(ext))
-            half = min(-(-n // (2 * leaf)) * leaf, n - 1)
+            half = (n // 2 if variable
+                    else min(-(-n // (2 * leaf)) * leaf, n - 1))
         else:
             _, ax, half = best
         srt = idx[np.argsort(c[:, ax], kind="stable")]
@@ -380,16 +421,28 @@ def sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int) -> np.ndarray:
     return np.concatenate(out).astype(np.int32)
 
 
-def split_order_scene(scene, leaf: int = 256):
+def split_order_scene(scene, leaf: int = 256, variable: bool | None = None):
     """Reorder a Scene's faces by recursive binned-SAH split
     (sah_split_perm), so the leafwalk / hierwalk tracers' consecutive
     `leaf`-face runs get tight AABBs.
 
-    vs the previous pure median split (exp/exp_sah.py, 16k sorted bounce
-    rays, leaf=14 hier table): 49k box field mean visits 9.55 -> 7.27
-    (leaf visits 2.73 -> 1.43), worst-ray rounds 39 -> 26, identical hits;
-    on-chip 49k 13.0 -> 16.6, 200k town 8.8 -> 11.7 Mray/s. Host-side
-    numpy; returns the reordered Scene (prim ids change)."""
+    variable=None (auto): hier-table orderings (leaf <= 16) TRY
+    VARIABLE-size leaves — splits land where SAH wants them, clusters pad
+    to the leaf multiple with all-zero unhittable faces (num_faces
+    grows; build_hier_table masks them out of leaf AABBs) — and KEEP the
+    variable ordering only when cluster fill stays >= 0.8, i.e. the
+    splits found natural component boundaries instead of fragmenting.
+    Measured (v5e): the 49k box field fills 0.86 (leaves align with its
+    12-tri boxes) and gains 16.7 -> 19.4 Mray/s; the towns fill ~0.72
+    and the +38% leaf rows REGRESS them (200k 11.8 -> 9.2, 1M flat)
+    despite a -3% simulated mean-visit count, so low-fill scenes fall
+    back to snapped splits. Big-leaf orderings (leafwalk's 256) always
+    snap: padding inflation would exceed the box-tightness win there.
+
+    vs the round-1 pure median split (exp/exp_sah.py): 49k mean visits
+    9.55 -> 7.27, worst-ray rounds 39 -> 26, identical hits; on-chip 49k
+    13.0 -> 16.6, 200k town 8.8 -> 11.7 Mray/s. Host-side numpy; returns
+    the reordered Scene (prim ids change)."""
     g = scene.geom
     f = scene.num_faces
     v0 = np.asarray(g.v0[0][:f])
@@ -397,4 +450,9 @@ def split_order_scene(scene, leaf: int = 256):
     e2 = np.asarray(g.e2[0][:f])
     lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
     hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
-    return reorder_scene_by_bvh(scene, sah_split_perm(lo, hi, leaf))
+    if variable or (variable is None and leaf <= 16):
+        perm = sah_split_perm(lo, hi, leaf, variable=True)
+        if variable or f / len(perm) >= 0.8:
+            return reorder_scene_by_bvh(scene, perm)
+    return reorder_scene_by_bvh(
+        scene, sah_split_perm(lo, hi, leaf, variable=False))

@@ -114,6 +114,19 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1) -> HierTable:
             lo_f[:f], np.minimum(np.minimum(v01, v01 + e11), v01 + e21))
         hi_f[:f] = np.maximum(
             hi_f[:f], np.maximum(np.maximum(v01, v01 + e11), v01 + e21))
+    # all-zero faces are variable-leaf padding (sah_split_perm
+    # variable=True -> reorder_scene_by_bvh -1 slots) or genuinely
+    # degenerate: MT can never hit them (det = 0), so keep them out of
+    # the leaf AABBs — a zero face straddling a far-away leaf would
+    # otherwise inflate its box through the origin
+    fake = ((np.abs(v0).sum(1) == 0) & (np.abs(e1).sum(1) == 0)
+            & (np.abs(e2).sum(1) == 0))
+    if num_keys == 2:
+        fake &= ((np.abs(v01).sum(1) == 0) & (np.abs(e11).sum(1) == 0)
+                 & (np.abs(e21).sum(1) == 0))
+    if fake.any():
+        lo_f[:f][fake] = _BIG
+        hi_f[:f][fake] = -_BIG
     leaf_lo = lo_f.reshape(n_leaf, cap, 3).min(axis=1)
     leaf_hi = hi_f.reshape(n_leaf, cap, 3).max(axis=1)
 
