@@ -62,9 +62,10 @@ class RenderConfig:
     # lane time-shares its walk scratch between two independent paths, so
     # a finished walk hands the scratch to the sibling instead of idling
     # until the boundary; integrate/walkpool._render_pipepool). 1 = the
-    # classic walk pool. 0 = auto (2 for non-instanced scenes, which is
-    # bit-identical to 1 per pixel and ~1.4x faster; instanced scenes ride
-    # the classic pool).
+    # classic walk pool. 0 = auto = 2 — bit-identical to 1 per pixel and
+    # measured faster across the board (non-instanced ~1.4x; instanced
+    # field 9.7 -> 11.1, motion field 8.9 -> 9.8 Mray/s). P=3/4 measured
+    # slower everywhere (the extra boundary passes eat the gain).
     pool_paths: int = 0
 
     # Pool-only: re-sort live lanes by direction-octant Morton keys each

@@ -1091,8 +1091,8 @@ def render_pixels(
     if isinstance(tracer, WalkPoolPipeline):
         if cfg.integrator != "pool":
             raise ValueError("WalkPoolPipeline requires cfg.integrator='pool'")
-        paths = cfg.pool_paths or (1 if tracer.instanced else 2)
-        if paths >= 2 and not tracer.instanced:
+        paths = cfg.pool_paths or 2
+        if paths >= 2:
             return _render_pipepool(scene, cfg, cam, tracer, pixel_idx,
                                     subframe_index, paths=paths)
         return _render_walkpool(scene, cfg, cam, tracer, pixel_idx,

@@ -495,15 +495,17 @@ def _walk_round_inst(tab, s, motion: bool = False):
     d_cur = jnp.where(back[:, None], d_w, d_cur)
     inst_cur = jnp.where(back, -1, inst_cur)
 
-    finished = walking & (nxt < 0)
-    return dict(
+    out = dict(
         s,
         cur=jnp.where(walking, nxt, cur),
         o_cur=o_cur, d_cur=d_cur, inst_cur=inst_cur,
         wb_t=wb_t, wb_prim=wb_prim, wb_inst=wb_inst, wb_u=wb_u, wb_v=wb_v,
         wfound=wfound, ents=ents, bases=bases,
-        phase=jnp.where(finished, s["phase"] + 1, s["phase"]),
     )
+    if "phase" in s:  # classic pool; the pipelined pool tracks wslot
+        finished = walking & (nxt < 0)
+        out["phase"] = jnp.where(finished, s["phase"] + 1, s["phase"])
+    return out
 
 
 def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
@@ -904,12 +906,13 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     W=8192 (exp/exp_pipecost.py); the win is utilization: lane-rounds per
     walk drop from ~12 toward the ~6-visit mean.
 
-    Non-instanced scenes only (static or 2-key motion); trace-time
-    instanced scenes keep the classic walk pool."""
+    Serves static / 2-key-motion scenes AND trace-time instanced TLAS
+    walks (the scratch then carries the current-space ray + instance
+    state, reset to world at every launch)."""
     from ..trace.pallas_shade import take_packed
     from .path import _camera_ray, _lcg_advance_table, _next_pow2
 
-    assert not pipe.instanced
+    instanced = pipe.instanced
     motion = pipe.motion
     misc_w = pipe.misc_w
     n_levels = pipe.n_levels
@@ -947,6 +950,13 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         ents=[jnp.full((pool, FANOUT), jnp.float32(_BIG))
               for _ in range(n_levels)],
         bases=[jnp.zeros((pool,), jnp.int32) for _ in range(n_levels)],
+        **({} if not instanced else dict(
+            # instanced TLAS walk: current-space ray + instance ids
+            o_cur=jnp.zeros((pool, 3), jnp.float32),
+            d_cur=jnp.zeros((pool, 3), jnp.float32),
+            inst_cur=jnp.full((pool,), -1, jnp.int32),
+            wb_inst=jnp.full((pool,), -1, jnp.int32),
+        )),
         # per-path packed state (same column layout as the classic pool)
         mc=[_mc0() for _ in range(P)],
         nrays=[jnp.zeros((pool, 8), jnp.float32) for _ in range(P)],
@@ -967,6 +977,9 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         hfound=[jnp.zeros((pool,), bool) for _ in range(P)],
         hmode=[jnp.zeros((pool,), bool) for _ in range(P)],
         hvalid=[jnp.zeros((pool,), bool) for _ in range(P)],
+        **({} if not instanced else dict(
+            hinst=[jnp.full((pool,), -1, jnp.int32) for _ in range(P)],
+        )),
         # shared retire stash + framebuffer(s)
         stash_px=jnp.full((pool,), -1.0, jnp.float32),
         stash_rgb=[jnp.zeros((pool,), jnp.float32) for _ in range(3)],
@@ -1034,6 +1047,13 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             # no ents reset: the walk round's pop write-back persists its
             # pruning, so a finished walk leaves its ents all-_BIG
             pvalid=[s["pvalid"][p] & ~ls[p] for p in range(P)],
+            **({} if not instanced else dict(
+                # every walk (closest or shadow) launches in world space
+                o_cur=jnp.where(start[:, None], rays[:, 0:3], s["o_cur"]),
+                d_cur=jnp.where(start[:, None], rays[:, 3:6], s["d_cur"]),
+                inst_cur=jnp.where(start, -1, s["inst_cur"]),
+                wb_inst=jnp.where(start, -1, s["wb_inst"]),
+            )),
         )
         if _WP_STATS:
             s2["zn_round"] = s2["zn_round"] + 1.0
@@ -1061,6 +1081,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             hmode=[jnp.where(f[p], s2["wmode"], s2["hmode"][p])
                    for p in range(P)],
             hvalid=[s2["hvalid"][p] | f[p] for p in range(P)],
+            **({} if not instanced else dict(
+                hinst=[jnp.where(f[p], s2["wb_inst"], s2["hinst"][p])
+                       for p in range(P)],
+            )),
         )
         return out
 
@@ -1078,14 +1102,30 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         valid = m_a & (s["hprim"][p] >= 0) & (s["hprim"][p] < num_faces)
         hit_t = jnp.where(valid, s["ht"][p], s["hray"][p][:, 7])
         hit_prim = jnp.where(valid, s["hprim"][p], -1)
+        if instanced:
+            hit_inst = jnp.where(valid, s["hinst"][p], -1)
+            tail4 = jnp.concatenate(
+                [hit_inst.astype(jnp.float32)[:, None],
+                 jnp.zeros((pool, 3), jnp.float32)], axis=1)
+        else:
+            tail4 = jnp.zeros((pool, 4), jnp.float32)
         hit8 = jnp.concatenate(
             [hit_t[:, None], hit_prim.astype(jnp.float32)[:, None],
              jnp.where(valid, s["hu"][p], 0.0)[:, None],
              jnp.where(valid, s["hv"][p], 0.0)[:, None],
-             jnp.zeros((pool, 4), jnp.float32)], axis=1)
+             tail4], axis=1)
         misc_in = jnp.stack(
             mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=0)
-        if pipe.kernel:
+        if pipe.kernel and instanced:
+            from ..trace.pallas_shade import gather_inst_rows
+
+            attr_g = take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
+                                 pipe.attr_w)
+            packed, iw, iden = pipe.inst_it
+            it_rows = gather_inst_rows(packed, iw, iden, hit_inst)
+            attr_t = jnp.transpose(
+                jnp.concatenate([attr_g, it_rows], axis=1), (1, 0))
+        elif pipe.kernel:
             attr_t = jnp.transpose(
                 take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
                             pipe.attr_w),
