@@ -342,6 +342,10 @@ def sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int,
                    variable: bool = False) -> np.ndarray:
     """Recursive binned-SAH split permutation over primitive AABBs.
 
+    Dispatches to the C++ builder (native/sah.cc, bit-identical output —
+    tests/test_native.py asserts it; ~20x faster on 1M faces) and falls
+    back to the pure-numpy recursion below.
+
     Clusters are spatial partitions so consecutive `leaf`-prim runs get
     tight AABBs. The split axis AND position are chosen by minimal binned
     surface-area cost (32 centroid bins, prefix/suffix box areas);
@@ -358,6 +362,18 @@ def sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int,
     field of 12-tri boxes) gets leaves that align with its natural
     components instead of straddling them. Returns the [M] padded
     permutation (M = n_clusters * leaf >= N)."""
+    from ..native import native_sah_split_perm
+
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    native = native_sah_split_perm(lo, hi, leaf, variable)
+    if native is not None:
+        return native
+    return _sah_split_perm_py(lo, hi, leaf, variable)
+
+
+def _sah_split_perm_py(lo, hi, leaf, variable=False):
+    """Pure-numpy sah_split_perm (fallback + the native twin's oracle)."""
     f = lo.shape[0]
     cent = (lo + hi) * 0.5
     nb = _SAH_BINS

@@ -78,6 +78,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.rt_obj_free.restype = None
     lib.rt_obj_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "rt_sah_split_perm"):  # absent in pre-sah.cc builds
+        lib.rt_sah_split_perm.restype = ctypes.c_int64
+        lib.rt_sah_split_perm.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
     _lib = lib
     return _lib
 
@@ -120,6 +127,31 @@ def native_build_bvh8(lo: np.ndarray, hi: np.ndarray, max_leaf: int):
     if nw < 0:
         return None
     return perm, child_lo[:nw], child_hi[:nw], child[:nw]
+
+
+def native_sah_split_perm(lo: np.ndarray, hi: np.ndarray, leaf: int,
+                          variable: bool):
+    """C++ binned-SAH split ordering (native/sah.cc) — bit-identical to
+    accel.lbvh.sah_split_perm's pure-Python path (asserted by
+    tests/test_native.py). Returns the [M] permutation (with -1 padding
+    slots when variable) or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rt_sah_split_perm"):
+        return None
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    n = lo.shape[0]
+    # worst case for variable: every cluster holds one prim -> n * leaf,
+    # but fill >= ~1/2 in practice; allocate 3x + slack and retry once
+    cap = 3 * n + 16 * leaf if variable else n
+    for _ in range(2):
+        out = np.empty(cap, np.int32)
+        m = lib.rt_sah_split_perm(_fptr(lo), _fptr(hi), n, leaf,
+                                  1 if variable else 0, _iptr(out), cap)
+        if m >= 0:
+            return out[:m]
+        cap = n * max(leaf, 1) + 16 * leaf
+    return None
 
 
 def native_parse_obj(path: str):

@@ -122,3 +122,33 @@ def test_native_bvh_speed_smoke():
     dt = _time.perf_counter() - t0
     assert out is not None
     assert dt < 5.0, f"native build too slow: {dt:.2f}s"
+
+
+@needs_native
+def test_native_sah_split_perm_bit_exact():
+    """native/sah.cc must reproduce the pure-numpy sah_split_perm
+    EXACTLY (same stable sorts, first-min ties, banker's-rounding snap,
+    f32 binning arithmetic) on random, clustered, and degenerate
+    inputs, snapped and variable."""
+    from rendertoy3c_tpu.accel.lbvh import _sah_split_perm_py
+    from rendertoy3c_tpu.native import native_sah_split_perm
+
+    rng = np.random.default_rng(7)
+    cases = []
+    c = rng.uniform(-10, 10, (20_000, 3)).astype(np.float32)
+    e = rng.uniform(0.01, 0.5, (20_000, 3)).astype(np.float32)
+    cases.append((c - e, c + e))
+    cc = rng.uniform(-20, 20, (1024, 1, 3)).astype(np.float32)
+    off = rng.uniform(-0.4, 0.4, (1024, 12, 3)).astype(np.float32)
+    c2 = (cc + off).reshape(-1, 3)
+    cases.append((c2 - 0.05, c2 + 0.05))
+    z = np.zeros((100, 3), np.float32)
+    cases.append((z, z))  # identical centroids -> median fallback
+    cases.append((c[:5] - e[:5], c[:5] + e[:5]))  # below-leaf tiny input
+    for lo, hi in cases:
+        for leaf in (14, 7):
+            for variable in (False, True):
+                py = _sah_split_perm_py(lo, hi, leaf, variable)
+                nat = native_sah_split_perm(lo, hi, leaf, variable)
+                assert nat is not None
+                np.testing.assert_array_equal(py, nat)
