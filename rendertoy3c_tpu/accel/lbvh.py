@@ -306,7 +306,8 @@ def reorder_scene_by_bvh(scene, perm: np.ndarray):
     # only the face SoA is permuted; every other Scene field (env map,
     # instances, light table, flags...) carries over untouched
     if m > f:
-        return dataclasses.replace(scene, geom=geom, num_faces=m)
+        return dataclasses.replace(scene, geom=geom, num_faces=m,
+                                   variable_ordered=True)
     return dataclasses.replace(scene, geom=geom)
 
 

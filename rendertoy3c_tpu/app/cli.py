@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--integrator", choices=["pool", "wave"], default="pool",
                    help="path-tracer schedule: persistent ray pool (fast) or "
                         "per-block waves (reference-ordered)")
+    p.add_argument("--pool-paths", type=int, default=0,
+                   help="walk-pool paths per lane (0=auto: 2, the "
+                        "software-pipelined pool; 1=classic)")
+    p.add_argument("--walk-phase-every", type=int, default=0,
+                   help="walk-pool traversal rounds between shade "
+                        "boundaries (0=auto by scene; keep a multiple "
+                        "of 4, the round unroll)")
     p.add_argument("--flush-every", type=int, default=8,
                    help="pool schedule: framebuffer flush cadence (pixel-"
                         "major lanes render all their samples between "
@@ -206,6 +213,8 @@ def main(argv=None) -> int:
         ray_block=args.ray_block, integrator=args.integrator,
         pool_pixel_major=(args.integrator == "pool"),
         flush_every=args.flush_every, aov=args.aov,
+        pool_paths=args.pool_paths,
+        walk_phase_every=args.walk_phase_every,
     )
 
     with timers.phase("load"):

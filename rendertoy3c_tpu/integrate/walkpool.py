@@ -923,8 +923,19 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     spp = cfg.samples_per_launch
     # auto cadence: deep tables walk longer per node, so the doubled
     # boundary amortizes over more rounds (v5e, W=8192, K 16/32: 49k field
-    # 13.04/12.12, 200k town 9.39/9.13, 1M town 6.71/7.34 Mray/s)
-    k_phase = cfg.walk_phase_every or (32 if num_faces > 512 * 1024 else 16)
+    # 13.04/12.12, 200k town 9.39/9.13, 1M town 6.71/7.34 Mray/s); small
+    # variable-ordered scenes walk shorter (mean visits ~5.7) and prefer
+    # K=12 (19.57 vs 19.35 @16; snapped 49k preferred 16). K must stay a
+    # multiple of the 4x round unroll (K=14/10 measured 16.4/14.8).
+    if cfg.walk_phase_every:
+        k_phase = cfg.walk_phase_every
+    elif num_faces > 512 * 1024:
+        k_phase = 32
+    elif (num_faces < 100_000
+          and getattr(scene, "variable_ordered", False)):
+        k_phase = 12
+    else:
+        k_phase = 16
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)

@@ -108,6 +108,11 @@ class Scene:
     # the whitted custom-primitive path (cuda/GeometryData.h:55-135);
     # consumed by the direct renderer's combined tracer
     prims: Optional[object] = None
+    # True after a VARIABLE-leaf SAH reorder (accel/lbvh.py: interior
+    # zero-face padding, num_faces includes it) — tunes the walk-pool
+    # phase cadence for the shorter walks such orderings produce
+    variable_ordered: bool = field(metadata=dict(static=True),
+                                   default=False)
 
 
 def _apply_affine(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
