@@ -32,7 +32,13 @@ NBINS = 32
 
 
 def sah_order(scene, cap: int) -> np.ndarray:
-    """Recursive binned-SAH split permutation, leaf-multiple aligned."""
+    """Recursive binned-SAH split permutation, leaf-multiple aligned.
+
+    HISTORICAL: the prototype this experiment originally measured. The
+    production implementation (with a variable-leaf mode and a native
+    C++ twin) lives in accel.lbvh.sah_split_perm — rerun comparisons
+    against THAT, not this; semantics here differ subtly (degenerate
+    fallback skips the stable sort)."""
     g = scene.geom
     f = scene.num_faces
     v0 = np.asarray(g.v0[0][:f])

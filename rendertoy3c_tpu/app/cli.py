@@ -56,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pool-paths", type=int, default=0,
                    help="walk-pool paths per lane (0=auto: 2, the "
                         "software-pipelined pool; 1=classic)")
-    p.add_argument("--walk-phase-every", type=int, default=0,
+    p.add_argument("--walk-phase-every", type=_positive_or_zero,
+                   default=0,
                    help="walk-pool traversal rounds between shade "
                         "boundaries (0=auto by scene; keep a multiple "
                         "of 4, the round unroll)")
@@ -118,6 +119,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render an N-frame orbit to frame_###.png")
     p.add_argument("--ray-block", type=int, default=1 << 16)
     return p
+
+
+def _positive_or_zero(s: str) -> int:
+    """argparse type: int >= 0 (a negative K would run zero traversal
+    rounds per phase and hang the walk-pool loop on-device)."""
+    import argparse
+
+    v = int(s)
+    if v < 0:
+        raise argparse.ArgumentTypeError("must be >= 0 (0 = auto)")
+    if v and v % 4:
+        print("warning: walk-phase cadence should be a multiple of 4 "
+              "(the round unroll); measured 15-25% slower otherwise",
+              file=sys.stderr)
+    return v
 
 
 def _vec3(s: str):

@@ -53,9 +53,10 @@ class RenderConfig:
     # Walk-pool only (integrate/walkpool.py): traversal rounds between
     # phase boundaries (shade/NEE + RR/refill). Lanes finishing a walk wait
     # <= K-1 rounds; larger K amortizes the boundary, smaller K cuts the
-    # wait. 0 = auto: 12 below 100k faces, else 16 (measured v5e optima —
-    # 49k field 8.43@12 vs 8.35@16, 1080p town +8% at 12; 197k field
-    # 6.34@16 vs 5.63@12; 200k town flat; instanced tables peak at 16).
+    # wait. 0 = auto (pipelined pool: 32 above 512k faces, 12 for sub-100k
+    # variable-ordered scenes, else 16; classic pool: 16). Keep K a
+    # multiple of 4 — the round loop unrolls 4x and K=14/10 measured
+    # 16.4/14.8 vs 19.6/19.4 Mray/s at K=12/16 on the same scene.
     walk_phase_every: int = 0
 
     # Walk-pool only: paths per lane. 2 = software-pipelined pool (each

@@ -111,7 +111,9 @@ class WalkPoolPipeline:
     misc_w: int           # 16, or 24 with AOV accumulator columns
     shadow_w: int         # shadow-ray column count (8, 16 for motion)
     instanced: bool = False   # trace-time two-level AS (inst TLAS walk)
-    inst_it: Any = None       # [I/k, 128] packed inverse-transpose rows
+    inst_it: Any = None       # kernel path: (packed, width, identity) from
+    #                           pallas_shade.inst_attr_pack — per-instance
+    #                           transform rows gathered by hit instance id
     attr_w: int = 0           # real attr column count before the packing
 
 
@@ -167,21 +169,24 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
     n_levels = len(itab.world_starts) + len(itab.mesh_starts)
     misc_w = 24 if cfg.aov else 16
     shadow_w = 16 if motion else 8
-    from ..trace.pallas_shade import inst_attr_pack
-
-    inst_it = inst_attr_pack(iscene)  # (packed, width, identity)
     common = dict(walk_round=functools.partial(_walk_round_inst, itab,
                                                motion=motion),
                   n_levels=n_levels, num_faces=itab.num_faces,
                   motion=motion, misc_w=misc_w, shadow_w=shadow_w,
-                  instanced=True, inst_it=inst_it)
+                  instanced=True)
     if external_shade_eligible(iscene, cfg):
+        from ..trace.pallas_shade import inst_attr_pack
+
         shade, attr_rows = make_external_shader(iscene, cfg, motion=motion,
                                                 transposed=True)
         return WalkPoolPipeline(shade=shade,
                                 attr_rows=pack_rows128(attr_rows)[0],
                                 attr_w=attr_rows.shape[1],
+                                inst_it=inst_attr_pack(iscene),
                                 kernel=True, **common)
+    # XLA fallback: no kernel transform rows needed (and the eager
+    # pack_rows128 would pay remote compile+execute round trips for
+    # nothing at scene load)
     shade = _make_xla_shade_stage(iscene, cfg, misc_w, shadow_w)
     return WalkPoolPipeline(shade=shade, attr_rows=None, kernel=False,
                             **common)
@@ -530,6 +535,8 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     # the columnized boundary (v5e, W=8192, K 8/12/16/24: 49k field
     # 8.73/9.85/10.00/8.74, 200k town 7.08/7.91/8.01/7.59 Mray/s; the
     # pre-columnization boundary preferred 12 under 100k faces).
+    if cfg.walk_phase_every < 0:
+        raise ValueError("walk_phase_every must be >= 0 (0 = auto)")
     k_phase = cfg.walk_phase_every or 16
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
@@ -630,14 +637,10 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         if pipe.kernel and pipe.instanced:
             # per-hit transform rows (identity for misses) for the
             # kernel's in-kernel instance normal/tangent transforms
-            from ..trace.pallas_shade import gather_inst_rows
+            from ..trace.pallas_shade import instanced_attr_t
 
-            attr_g = take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
-                                 pipe.attr_w)
-            packed, iw, iden = pipe.inst_it
-            it_rows = gather_inst_rows(packed, iw, iden, hit_inst)
-            attr_t = jnp.transpose(
-                jnp.concatenate([attr_g, it_rows], axis=1), (1, 0))
+            attr_t = instanced_attr_t(pipe.attr_rows, pipe.attr_w,
+                                      pipe.inst_it, hit_prim, hit_inst)
         elif pipe.kernel:
             attr_t = jnp.transpose(
                 take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
@@ -927,6 +930,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     # variable-ordered scenes walk shorter (mean visits ~5.7) and prefer
     # K=12 (19.57 vs 19.35 @16; snapped 49k preferred 16). K must stay a
     # multiple of the 4x round unroll (K=14/10 measured 16.4/14.8).
+    if cfg.walk_phase_every < 0:
+        raise ValueError("walk_phase_every must be >= 0 (0 = auto); a "
+                         "negative K runs zero rounds per phase and the "
+                         "pool loop never terminates")
     if cfg.walk_phase_every:
         k_phase = cfg.walk_phase_every
     elif num_faces > 512 * 1024:
@@ -1128,14 +1135,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         misc_in = jnp.stack(
             mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=0)
         if pipe.kernel and instanced:
-            from ..trace.pallas_shade import gather_inst_rows
+            from ..trace.pallas_shade import instanced_attr_t
 
-            attr_g = take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
-                                 pipe.attr_w)
-            packed, iw, iden = pipe.inst_it
-            it_rows = gather_inst_rows(packed, iw, iden, hit_inst)
-            attr_t = jnp.transpose(
-                jnp.concatenate([attr_g, it_rows], axis=1), (1, 0))
+            attr_t = instanced_attr_t(pipe.attr_rows, pipe.attr_w,
+                                      pipe.inst_it, hit_prim, hit_inst)
         elif pipe.kernel:
             attr_t = jnp.transpose(
                 take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),

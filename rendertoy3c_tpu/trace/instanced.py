@@ -33,10 +33,17 @@ def _lerp_minv(inst, i, time, motion: bool):
     if not motion:
         mi = inst.minv[i]  # [2,3,4]; key 0 == key 1 for static tables
         return mi[0, :, :3][None], mi[0, :, 3][None]
+    from .hier_instanced import _inv3
+
     m0 = inst.m[i, 0]
     m1 = inst.m[i, 1]
     mt = m0[None] + (m1 - m0)[None] * time[:, None, None]  # [R,3,4]
-    lin = jnp.linalg.inv(mt[:, :, :3])  # [R,3,3]
+    # closed-form cofactor inverse, det-guarded to ZERO on singular
+    # time-lerps — the same arithmetic the instanced hierwalk uses
+    # (trace/hier_instanced.py _inv3), so both tracers agree that a ray
+    # at a degenerate lerp time misses the instance instead of one
+    # producing NaNs (jnp.linalg.inv) and the other zeros
+    lin = _inv3(mt[:, :, :3])
     trans = -jnp.einsum("rij,rj->ri", lin, mt[:, :, 3])
     return lin, trans
 

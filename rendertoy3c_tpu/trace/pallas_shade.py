@@ -1194,6 +1194,16 @@ def gather_inst_rows(packed, w, iden, hit_inst):
     return jnp.where((hit_inst >= 0)[:, None], g, iden[None, :])
 
 
+def instanced_attr_t(attr_rows, attr_w, inst_pack, hit_prim, hit_inst):
+    """Assemble the transposed per-ray attr block for an instanced shade
+    kernel call: per-face attrs gathered by prim id + the per-instance
+    transform rows (inst_attr_pack) gathered by instance id."""
+    attr_g = take_packed(attr_rows, jnp.maximum(hit_prim, 0), attr_w)
+    packed, w, iden = inst_pack
+    rows = gather_inst_rows(packed, w, iden, hit_inst)
+    return jnp.transpose(jnp.concatenate([attr_g, rows], axis=1), (1, 0))
+
+
 def take_packed(packed, idx, h):
     """Row fetch from a pack_rows128 table: [R] ids -> [R, h] rows."""
     r = idx.shape[0]
@@ -1385,14 +1395,13 @@ class ExternalPipeline:
             ],
             axis=1,
         )
-        attr_g = take_packed(self._attr_rows, jnp.maximum(hit.prim, 0),
-                             self._attr_w)
         if self._inst_pack is not None:
-            packed, w, iden = self._inst_pack
-            attr_g = jnp.concatenate(
-                [attr_g, gather_inst_rows(packed, w, iden, hit.inst)],
-                axis=1)
-        attr_t = jnp.transpose(attr_g, (1, 0))
+            attr_t = instanced_attr_t(self._attr_rows, self._attr_w,
+                                      self._inst_pack, hit.prim, hit.inst)
+        else:
+            attr_t = jnp.transpose(
+                take_packed(self._attr_rows, jnp.maximum(hit.prim, 0),
+                            self._attr_w), (1, 0))
         rays2, misc_e, sh = self._shade(rays, hit8, misc, attr_t, count)
         occ = self._any(sh[:, 0:3], sh[:, 3:6], sh[:, 6], sh[:, 7],
                         sh[:, 8] if self.motion else None, count)
