@@ -1,6 +1,6 @@
 """Fast walkpool e2e timing on the bench workloads (49k field / towns).
 
-Usage: python exp/exp_wp_e2e.py [configs...] [K=auto] [W=32768]
+Usage: python exp/exp_wp_e2e.py [configs...] [K=auto] [W=32768] [P=auto]
   configs: comma-set of {49k,200k,1M,town50,inst} (default 49k,200k)
 
 Prints one line per config: Mray/s best/median over 3 subframes — the
@@ -46,6 +46,7 @@ def main():
     names = (sys.argv[1] if len(sys.argv) > 1 else "49k,200k").split(",")
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+    p_paths = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     import exp_wp_prof  # noqa: F401  (path side effects)
     from bench_tracers import box_field
@@ -59,7 +60,7 @@ def main():
     cfg = RenderConfig(width=768, height=768, samples_per_launch=8,
                        max_depth=16, ray_block=w, integrator="pool",
                        pool_pixel_major=True, sort_rays=True,
-                       walk_phase_every=k)
+                       walk_phase_every=k, pool_paths=p_paths)
 
     for name in names:
         if name == "49k":
