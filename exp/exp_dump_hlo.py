@@ -2,7 +2,14 @@
 per-round copy.* ops seen in the profile can be attributed to state
 arrays.
 
-Usage: python exp/exp_dump_hlo.py [K=12] [W=8192] [outdir=/tmp/hlo]
+Usage: python exp/exp_dump_hlo.py [K=12] [W=16384] [outdir=/tmp/hlo]
+
+Defaults match trace.auto.tune_config's large_scene_49k schedule (W=16384,
+flush_every=8); the already-jitted step is lowered DIRECTLY (step.lower)
+so film donation and the cam-params runtime argument survive into the
+dumped HLO — an outer jax.jit wrapper would drop donate_argnames aliasing
+and bake cam in as a constant, changing the very copy/alias structure this
+script exists to attribute.
 """
 from __future__ import annotations
 
@@ -13,14 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
 
-import jax
-
 from bench_tracers import box_field
 
 
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    w = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
     outdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/hlo"
 
     from rendertoy3c_tpu.accel.lbvh import split_order_scene
@@ -36,12 +41,15 @@ def main():
                  up=(0.0, 1.0, 0.0), fov_y=50.0, aspect_ratio=1.0)
     cfg = RenderConfig(width=768, height=768, samples_per_launch=8,
                        max_depth=16, ray_block=w, integrator="pool",
-                       pool_pixel_major=True, walk_phase_every=k)
+                       pool_pixel_major=True, walk_phase_every=k,
+                       flush_every=8)
     wp = make_walkpool_pipeline(scene, cfg)
     step = make_render_fn(scene, cfg, tracer=wp)
     cp = cam.params()
     film = film_create(cfg.height, cfg.width)
-    lowered = jax.jit(lambda f: step(cp, f)).lower(film)
+    # lower the production jitted step directly: keeps film donation and
+    # cam as a runtime argument (ADVICE.md round 2)
+    lowered = step.lower(cp, film)
     compiled = lowered.compile()
     txt = compiled.as_text()
     os.makedirs(outdir, exist_ok=True)

@@ -40,12 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tracer",
-                   choices=["auto", "pallas", "hierwalk", "leafwalk", "bvh",
-                            "brute"],
+                   choices=["auto", "pallas", "hierwalk", "leafwalk",
+                            "residentwalk", "bvh", "brute"],
                    default="auto",
                    help="auto = per-ray leaf walk for large static scenes "
                         "on TPU, fused pallas tile-cull kernels for the "
-                        "rest, brute-force off-TPU")
+                        "rest, brute-force off-TPU; residentwalk = the "
+                        "VMEM-resident-table block walk (a measured-slower "
+                        "backend kept selectable for comparison)")
     p.add_argument("--renderer", choices=["path", "direct"], default="path",
                    help="path = progressive path tracer (primary stack); "
                         "direct = GGX direct lighting with point+ambient "
@@ -318,6 +320,12 @@ def main(argv=None) -> int:
                 tracer = make_fused_pipeline(scene, cfg)
             else:
                 tracer = make_pallas_mt_tracer(scene)
+        elif tracer_kind == "residentwalk":
+            from ..accel.lbvh import split_order_scene
+            from ..trace.pallas_walk import make_walk_tracer
+
+            scene = split_order_scene(scene)
+            tracer = make_walk_tracer(scene)
         elif tracer_kind == "bvh":
             from ..trace.bvh_traverse import build_scene_bvh, make_bvh_tracer
 

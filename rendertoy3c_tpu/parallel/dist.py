@@ -96,17 +96,56 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
       "pallas"   — bare tile-cull MT pair
       "brute"    — the jnp brute-force pair (built in-shard, the default)
 
+    InstancedScene inputs route to the trace-time two-level backends
+    regardless of kind ("auto" picks the instanced walk pool past the
+    effective-face threshold, else the inst hierwalk pair / external
+    pipeline; "pallas" or >2 transform keys -> the pallas_instanced
+    kernels) — the generic ladder below would ignore instance transforms.
+
     The factory ignores the traced scene_rep/aux arguments (tables are
     already bound); samples_per_launch is the only cfg field the sharded
     caller rewrites per-shard, and no kernel reads it.
     """
-    from ..trace.auto import LEAFWALK_MIN_FACES
+    from ..trace.auto import LEAFWALK_MIN_FACES, _is_instanced
     from ..trace.pallas_shade import (
         external_shade_eligible,
         fused_shade_eligible,
         make_external_pipeline,
         make_fused_pipeline,
     )
+
+    if _is_instanced(scene):
+        # Trace-time two-level AS under the mesh (the reference's IAS,
+        # src/cuda/cuda_accel.h:92-150, under its tile splitter
+        # sutil/WorkDistribution.h:34-91): route to the instanced TLAS-walk
+        # backends — the generic ladder below would trace the OBJECT-space
+        # concatenated geometry with transforms ignored (wrong results).
+        if scene.num_keys > 2 or kind == "pallas":
+            from ..trace.pallas_instanced import make_pallas_instanced_tracer
+
+            tracer = make_pallas_instanced_tracer(scene, interpret=interpret)
+            return scene, lambda scene_rep, aux, cfg_local: tracer
+        from ..trace.hier_instanced import (
+            make_inst_hierwalk_tracer, split_order_instanced,
+        )
+
+        scene = split_order_instanced(scene)
+        inst_pool_ok = (cfg.integrator == "pool"
+                        and cfg.ray_block % 256 == 0)
+        eff_faces = sum(scene.mesh_ranges[m][1] for m in scene.instance_mesh)
+        if (kind == "walkpool"
+                or (kind == "auto" and inst_pool_ok
+                    and eff_faces > LEAFWALK_MIN_FACES)):
+            from ..integrate.walkpool import make_inst_walkpool_pipeline
+
+            tracer = make_inst_walkpool_pipeline(scene, cfg)
+        else:
+            tracer = make_inst_hierwalk_tracer(scene)
+            if (kind in ("auto", "external") and inst_pool_ok
+                    and external_shade_eligible(scene, cfg)):
+                tracer = make_external_pipeline(scene, cfg, tracer,
+                                                interpret=interpret)
+        return scene, lambda scene_rep, aux, cfg_local: tracer
 
     pool_ok = (cfg.integrator == "pool" and cfg.ray_block % 256 == 0
                and getattr(scene, "instances", None) is None)

@@ -23,8 +23,11 @@ before the walk leaves it).
 Geometry memory stays one copy per MESH (the whole point of trace-time
 instancing vs. baking): instance rows reference shared mesh subtrees.
 
-Static scenes only (instance matrix motion needs per-ray inversion of the
-lerped transform; that stays on the pallas_instanced kernels).
+Static and 2-key matrix-motion scenes (motion instance rows carry BOTH
+forward keys; visiting one lerps the forward transform by the lane's ray
+time and inverts it per lane — the analog of OptixMatrixMotionTransform,
+src/cuda/cuda_accel.h:38-73). >2 transform keys stay on the
+pallas_instanced kernels.
 """
 from __future__ import annotations
 

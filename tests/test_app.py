@@ -136,3 +136,15 @@ def test_cli_obj_file_end_to_end(tmp_path):
 
     img = read_png(out)
     assert img[..., :3].max() > 0  # something rendered
+
+
+def test_cli_residentwalk_tracer(tmp_path):
+    """--tracer residentwalk selects the VMEM-resident-table block walk."""
+    out = str(tmp_path / "rw.png")
+    rc = main([
+        "--scene", "cornell-empty", "--size", "16x16", "--spp", "1",
+        "--subframes", "1", "--max-depth", "2", "--tracer", "residentwalk",
+        "--ray-block", "256", "-o", out,
+    ])
+    assert rc == 0
+    assert open(out, "rb").read(8) == b"\x89PNG\r\n\x1a\n"

@@ -161,3 +161,40 @@ def test_walkpool_factory_dist(cornell):
     scene2, fac = prepare_tracer_factory(scene, cfg, kind="walkpool")
     assert isinstance(fac(scene2, None, cfg), WalkPoolPipeline)
     _dist_vs_single(scene2, camera, cfg, fac, strict=False)
+
+
+@pytest.fixture(scope="module")
+def inst_cornell():
+    from rendertoy3c_tpu.scene.builtin import instanced_cornell
+    from rendertoy3c_tpu.scene.instanced import build_instanced_scene
+
+    meshes, instances, camera = instanced_cornell()
+    return build_instanced_scene(meshes, instances), camera
+
+
+def test_instanced_factory_routes_to_tlas_walk(inst_cornell):
+    """An InstancedScene must NOT fall through to the object-space pallas
+    MT ladder (transforms ignored -> wrong image); auto picks the
+    instanced TLAS walk and the sharded render is bit-identical."""
+    from rendertoy3c_tpu.parallel.dist import prepare_tracer_factory
+
+    iscene, camera = inst_cornell
+    cfg = _small_cfg()
+    scene2, fac = prepare_tracer_factory(iscene, cfg, kind="auto")
+    tracer = fac(scene2, None, cfg)
+    # bare (closest, any) pair from make_inst_hierwalk_tracer
+    assert isinstance(tracer, tuple) and len(tracer) == 2
+    _dist_vs_single(scene2, camera, cfg, fac, strict=True)
+
+
+def test_instanced_walkpool_factory_dist(inst_cornell):
+    """Instanced walk-pool pipeline under the 8-device tile mesh."""
+    from rendertoy3c_tpu.integrate.walkpool import WalkPoolPipeline
+    from rendertoy3c_tpu.parallel.dist import prepare_tracer_factory
+
+    iscene, camera = inst_cornell
+    cfg = _small_cfg(integrator="pool", ray_block=256, max_depth=3)
+    scene2, fac = prepare_tracer_factory(iscene, cfg, kind="walkpool")
+    tracer = fac(scene2, None, cfg)
+    assert isinstance(tracer, WalkPoolPipeline) and tracer.instanced
+    _dist_vs_single(scene2, camera, cfg, fac, strict=False)
