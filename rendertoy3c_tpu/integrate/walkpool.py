@@ -83,6 +83,13 @@ _FLUSH_N = int(_os.environ.get("RT3C_FLUSH_N", "8"))
 # Zero-cost when off; the counters are jit-carried scalars.
 _WP_STATS = _os.environ.get("RT3C_WP_STATS", "") == "1"
 
+def _replace_at(lst, i, val):
+    """Copy `lst` with element i replaced (per-path state lists)."""
+    lst = list(lst)
+    lst[i] = val
+    return lst
+
+
 # lane phases
 _IDLE = 0
 _WALK_CLOSEST = 1
@@ -920,16 +927,24 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     misc_w = pipe.misc_w
     n_levels = pipe.n_levels
     num_faces = pipe.num_faces
+    # Inline shadow gating (see pipe_round's stash step) trades ~16 extra
+    # per-round selects for the held-walk boundary waits. Measured on v5e:
+    # 49k field 19.4 -> 20.7-21.1, 200k town ~par (11.8), but the 5-level
+    # 1M table REGRESSES 8.6 -> 8.0 (its rounds run unrolled=False and
+    # every extra op is a launch gap) — so deep tables keep the classic
+    # held-shadow path.
+    inline_gate = n_levels <= 4
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
     pool = max(pool, 256)
     spp = cfg.samples_per_launch
     # auto cadence: deep tables walk longer per node, so the doubled
     # boundary amortizes over more rounds (v5e, W=8192, K 16/32: 49k field
-    # 13.04/12.12, 200k town 9.39/9.13, 1M town 6.71/7.34 Mray/s); small
-    # variable-ordered scenes walk shorter (mean visits ~5.7) and prefer
-    # K=12 (19.57 vs 19.35 @16; snapped 49k preferred 16). K must stay a
-    # multiple of the 4x round unroll (K=14/10 measured 16.4/14.8).
+    # 13.04/12.12, 200k town 9.39/9.13, 1M town 6.71/7.34 Mray/s). With
+    # the inline shadow gate each path feeds the scratch ~2 walks per
+    # window, so K=16 beats the old variable-ordered K=12 (49k 20.7 vs
+    # 20.3). K must stay a multiple of the 4x round unroll (K=14/10
+    # measured 16.4/14.8).
     if cfg.walk_phase_every < 0:
         raise ValueError("walk_phase_every must be >= 0 (0 = auto); a "
                          "negative K runs zero rounds per phase and the "
@@ -938,9 +953,6 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         k_phase = cfg.walk_phase_every
     elif num_faces > 512 * 1024:
         k_phase = 32
-    elif (num_faces < 100_000
-          and getattr(scene, "variable_ordered", False)):
-        k_phase = 12
     else:
         k_phase = 16
     width = jnp.float32(cfg.width)
@@ -985,6 +997,8 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         ptime=[jnp.zeros((pool,), jnp.float32) for _ in range(P)],
         pmode=[jnp.zeros((pool,), bool) for _ in range(P)],
         pvalid=[jnp.zeros((pool,), bool) for _ in range(P)],
+        # bounce motion-time, drawn at shade (consumed by the inline gate)
+        btime=[jnp.zeros((pool,), jnp.float32) for _ in range(P)],
         # finished-walk stash per path (awaits the boundary)
         hray=[jnp.zeros((pool, 8), jnp.float32) for _ in range(P)],
         ht=[jnp.full((pool,), jnp.float32(cfg.primary_tmax))
@@ -1018,6 +1032,9 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             zn_walk=jnp.zeros((), jnp.float32),    # lane-rounds walking
             zn_shade=jnp.zeros((), jnp.float32),   # lanes shaded (m_a)
             zn_bnd=jnp.zeros((), jnp.float32),     # boundary-path passes
+            zn_pend=jnp.zeros((), jnp.float32),    # lane-rounds w/ pending
+            zn_launch=jnp.zeros((), jnp.float32),  # walks launched
+            zn_held=jnp.zeros((), jnp.float32),    # lane-rounds w/ held walk
         )
     _IMGS = ((("image", 10), ("image_alb", 16), ("image_nrm", 19))
              if cfg.aov else (("image", 10),))
@@ -1077,13 +1094,38 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             s2["zn_round"] = s2["zn_round"] + 1.0
             s2["zn_walk"] = s2["zn_walk"] + jnp.sum(
                 (s2["cur"] >= 0).astype(jnp.float32))
+            pend = s["pvalid"][0]
+            for p in range(1, P):
+                pend = pend | s["pvalid"][p]
+            s2["zn_pend"] = s2["zn_pend"] + jnp.sum(
+                pend.astype(jnp.float32))
+            s2["zn_launch"] = s2["zn_launch"] + jnp.sum(
+                start.astype(jnp.float32))
+            held = s["hvalid"][0]
+            for p in range(1, P):
+                held = held | s["hvalid"][p]
+            s2["zn_held"] = s2["zn_held"] + jnp.sum(
+                held.astype(jnp.float32))
 
         # ---- one traversal round ----
         s2 = pipe.walk_round(s2)
 
-        # ---- stash: finished walks park in the owning path's columns ----
+        # ---- stash: finished CLOSEST walks park in the owning path's
+        # columns for the boundary's shade kernel. Finished SHADOW walks
+        # gate INLINE instead (the NEE add + bounce pend need no kernel):
+        # the path streams closest -> shadow -> bounce without waiting
+        # K rounds at a boundary just to run three selects — measured
+        # walk_util 0.46 -> ~0.9 at the bench spp (the held-walk wait was
+        # ~40% of all lane-rounds). Per-path arithmetic and RNG stream
+        # order are unchanged (the shade kernel already drew the RR value;
+        # the bounce-time draw below sits at the same stream position the
+        # boundary's launch draw had), so results stay bit-identical to
+        # the classic pool per path.
         fin = (s2["cur"] < 0) & (s2["wslot"] >= 0)
-        f = [fin & (s2["wslot"] == p) for p in range(P)]
+        fin_sh = fin & s2["wmode"] if inline_gate else jnp.zeros_like(fin)
+        fin_cl = fin & ~fin_sh
+        f = [fin_cl & (s2["wslot"] == p) for p in range(P)]
+        fs = [fin_sh & (s2["wslot"] == p) for p in range(P)]
         out = dict(
             s2,
             wslot=jnp.where(fin, -1, s2["wslot"]),
@@ -1104,6 +1146,33 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                        for p in range(P)],
             )),
         )
+        if not inline_gate:
+            return out
+        # inline gate per path: add the pending NEE term unless the shadow
+        # probe found an occluder, then pend the stashed bounce ray (alive
+        # paths only; retired paths wait for the boundary's refill). The
+        # bounce's motion-time draw already happened at shade time (btime,
+        # same RNG stream position: no draws occur between the shade and
+        # the classic launch) and the bounce was counted into n_rad there,
+        # so the inline part is pure selects — no per-round RNG/reductions.
+        for p in range(P):
+            gate = fs[p] & ~s2["wfound"]
+            mc = list(out["mc"][p])
+            for j in range(3):
+                mc[10 + j] = mc[10 + j] + jnp.where(gate, s2["nee"][p][j],
+                                                    0.0)
+            cont = fs[p] & (mc[9] > 0)
+            out["mc"] = _replace_at(out["mc"], p, mc)
+            out["pray"] = _replace_at(
+                out["pray"], p,
+                jnp.where(cont[:, None], s2["nrays"][p], out["pray"][p]))
+            out["ptime"] = _replace_at(
+                out["ptime"], p,
+                jnp.where(cont, s2["btime"][p], out["ptime"][p]))
+            out["pmode"] = _replace_at(
+                out["pmode"], p, out["pmode"][p] & ~cont)
+            out["pvalid"] = _replace_at(
+                out["pvalid"], p, out["pvalid"][p] | cont)
         return out
 
     def boundary(s):
@@ -1156,6 +1225,21 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                for j in range(3)]
         want_shadow = m_a & (me[15] > 0)
         n_shad = s["n_shad"] + jnp.sum(jnp.where(m_a, me[15], 0.0))
+
+        if inline_gate:
+            # bounce-time draw for shadow-bearing segments, done HERE at
+            # the same RNG stream position the classic launch draw has (no
+            # draws occur on this path between the shade and its bounce
+            # launch); the stash-step inline gate then pends the bounce
+            # with this time and zero per-round RNG work. The masked draws
+            # (want_shadow vs cont|take) touch disjoint lanes, so their
+            # order is irrelevant.
+            seed_b = jax.lax.bitcast_convert_type(mc[0], jnp.uint32)
+            seed_b, t_b = rng.rnd_masked(seed_b, want_shadow)
+            mc[0] = jax.lax.bitcast_convert_type(seed_b, jnp.float32)
+            btime = jnp.where(want_shadow, t_b, s["btime"][p])
+        else:
+            btime = s["btime"][p]
 
         # ---- pend the shadow walk ----
         pray = jnp.where(want_shadow[:, None], sh[:, 0:8], s["pray"][p])
@@ -1249,7 +1333,13 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         ptime = jnp.where(launch, t_draw, ptime)
         pmode = pmode & ~take
         pvalid = pvalid | take
-        n_rad = s["n_rad"] + jnp.sum(launch.astype(jnp.int32))
+        # count the future inline-gated bounce launch now (want_shadow &
+        # alive lanes WILL bounce when their shadow walk finishes — shadow
+        # walks always complete before the pool drains)
+        bounce_later = (want_shadow & (mc[9] > 0)) if inline_gate \
+            else jnp.zeros_like(want_shadow)
+        n_rad = s["n_rad"] + jnp.sum(
+            (launch | bounce_later).astype(jnp.int32))
 
         def _set(key, val):
             lst = list(s[key])
@@ -1262,6 +1352,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             nee=_set("nee", nee),
             pray=_set("pray", pray), ptime=_set("ptime", ptime),
             pmode=_set("pmode", pmode), pvalid=_set("pvalid", pvalid),
+            btime=_set("btime", btime),
             hvalid=_set("hvalid", hvalid),
             stash_px=stash_px, stash_rgb=stash_rgb,
             next_work=next_work, n_rad=n_rad, n_shad=n_shad,
@@ -1324,6 +1415,11 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                 s["n_rad"].astype(jnp.float32) + s["n_shad"], 1.0),
             sh=s["zn_shade"],
             sb=s["zn_shade"] / jnp.maximum(s["zn_bnd"] * pool, 1.0))
+        jax.debug.print(
+            "WPSTATS2 pend_frac={p:.3f} held_frac={h:.3f} launches={l}",
+            p=s["zn_pend"] / jnp.maximum(s["zn_round"] * pool, 1.0),
+            h=s["zn_held"] / jnp.maximum(s["zn_round"] * pool, 1.0),
+            l=s["zn_launch"])
 
     # drain: the retire stash + every path still parked with a completed
     # pixel in its misc accumulator
