@@ -438,6 +438,36 @@ def _sah_split_perm_py(lo, hi, leaf, variable=False):
     return np.concatenate(out).astype(np.int32)
 
 
+def merge_variable_clusters(perm: np.ndarray, leaf: int) -> np.ndarray:
+    """Greedily merge ADJACENT variable-SAH clusters into shared leaves.
+
+    sah_split_perm(variable=True) pads every natural cluster to its own
+    `leaf`-slot row, so scenes whose components are smaller than a leaf
+    pay heavy row inflation (towns: fill ~0.72, +38% leaf rows — the
+    measured on-chip regression that made split_order_scene reject
+    variable orderings below fill 0.8). Adjacent clusters are spatial
+    siblings of the SAH recursion, so packing consecutive clusters into
+    one row while their real faces fit keeps boxes tight AND restores
+    fill. Returns the re-padded [M] permutation (M <= len(perm))."""
+    cl = perm.reshape(-1, leaf)
+    sizes = (cl >= 0).sum(axis=1)
+    rows = []
+    cur: list = []
+    cur_n = 0
+    for i in range(cl.shape[0]):
+        n = int(sizes[i])
+        if cur_n + n > leaf:
+            cur.extend([-1] * (leaf - cur_n))
+            rows.append(cur)
+            cur, cur_n = [], 0
+        cur.extend(cl[i, :n].tolist())
+        cur_n += n
+    if cur_n or not rows:
+        cur.extend([-1] * (leaf - cur_n))
+        rows.append(cur)
+    return np.asarray([x for row in rows for x in row], dtype=perm.dtype)
+
+
 def split_order_scene(scene, leaf: int = 256, variable: bool | None = None):
     """Reorder a Scene's faces by recursive binned-SAH split
     (sah_split_perm), so the leafwalk / hierwalk tracers' consecutive
@@ -471,7 +501,8 @@ def split_order_scene(scene, leaf: int = 256, variable: bool | None = None):
         # fill is only known AFTER building the variable ordering, so a
         # low-fill scene pays for both orderings at load time — cheap
         # with the native builder (1M faces ~2s; numpy fallback ~40s)
-        perm = sah_split_perm(lo, hi, leaf, variable=True)
+        perm = merge_variable_clusters(
+            sah_split_perm(lo, hi, leaf, variable=True), leaf)
         if variable or f / len(perm) >= 0.8:
             return reorder_scene_by_bvh(scene, perm)
     return reorder_scene_by_bvh(

@@ -78,6 +78,10 @@ import os as _os
 
 _FLUSH_N = int(_os.environ.get("RT3C_FLUSH_N", "8"))
 
+# Directory fanout for the walk-pool hier tables: 16 = f32 boxes, 32 =
+# bf16-packed (hierwalk.FANOUT32). Env-switchable for A/B on the chip.
+POOL_DIR_FANOUT = int(_os.environ.get("RT3C_DIR_FANOUT", "16"))
+
 # RT3C_WP_STATS=1: count lane-rounds spent walking vs total, shades per
 # boundary, etc., and debug-print them once per subframe (pipepool only).
 # Zero-cost when off; the counters are jit-carried scalars.
@@ -117,6 +121,7 @@ class WalkPoolPipeline:
     kernel: bool          # True = Pallas shade kernel, False = XLA stage
     misc_w: int           # 16, or 24 with AOV accumulator columns
     shadow_w: int         # shadow-ray column count (8, 16 for motion)
+    fanout: int = FANOUT  # pending-children slot width (= table fanout)
     instanced: bool = False   # trace-time two-level AS (inst TLAS walk)
     inst_it: Any = None       # kernel path: (packed, width, identity) from
     #                           pallas_shade.inst_attr_pack — per-instance
@@ -133,7 +138,7 @@ def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
     )
 
     tab = build_hier_table(scene.geom, scene.num_faces,
-                           num_keys=scene.num_keys)
+                           num_keys=scene.num_keys, fanout=POOL_DIR_FANOUT)
     motion = scene.num_keys == 2
     misc_w = 24 if cfg.aov else 16
     shadow_w = 16 if motion else 8
@@ -141,7 +146,7 @@ def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
     common = dict(walk_round=walk_round,
                   n_levels=len(tab.level_starts),
                   num_faces=tab.num_faces, motion=motion,
-                  misc_w=misc_w, shadow_w=shadow_w)
+                  misc_w=misc_w, shadow_w=shadow_w, fanout=tab.fanout)
     if external_shade_eligible(scene, cfg):
         shade, attr_rows = make_external_shader(scene, cfg, motion=motion,
                                                 transposed=True)
@@ -317,13 +322,14 @@ def _walk_round(tab: HierTable, s, motion: bool):
     (o, d, tmin) live in the packed s["rays"] [W, 8] columns.
     """
     n_levels = len(tab.level_starts)
+    fanout = tab.fanout
     bounds = tuple(tab.level_starts[1:]) + (tab.leaf_start,)
     cur = s["cur"]
     rays = s["rays"]
     o, d = rays[:, 0:3], rays[:, 3:6]
     walking = cur >= 0
     r = cur.shape[0]
-    lane16 = jax.lax.iota(jnp.int32, FANOUT)[None, :]
+    lane16 = jax.lax.iota(jnp.int32, fanout)[None, :]
     inv = _safe_inv(d)
     tmin_c = rays[:, 6:7]
 
@@ -358,7 +364,7 @@ def _walk_round(tab: HierTable, s, motion: bool):
     # --- directory: slab-test children, record entry distances ---
     eff_t = jnp.where(wfound, 0.0, wb_t)
     cut = _prune_cut(eff_t)[:, None]
-    ent = _dir_entries(rows, o, inv, tmin_c, cut)
+    ent = _dir_entries(rows, o, inv, tmin_c, cut, fanout=fanout)
     is_dir = walking & ~is_leaf
     ents = list(s["ents"])
     bases = list(s["bases"])
@@ -382,7 +388,7 @@ def _walk_round(tab: HierTable, s, motion: bool):
         e_min = jnp.min(ee, axis=1)
         has = (e_min < _BIG) & walking & (nxt < 0) & ~done_now
         at_min2 = ee <= e_min[:, None]
-        j = jnp.min(jnp.where(at_min2, lane16, FANOUT), axis=1)
+        j = jnp.min(jnp.where(at_min2, lane16, fanout), axis=1)
         nxt = jnp.where(has, bases[lv] + j, nxt)
         taken = has[:, None] & (lane16 == j[:, None])
         ents[lv] = jnp.where(taken, jnp.float32(_BIG), ee)
@@ -562,7 +568,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         wb_prim=jnp.full((pool,), -1, jnp.int32),
         wb_u=jnp.zeros((pool,), jnp.float32),
         wb_v=jnp.zeros((pool,), jnp.float32),
-        ents=[jnp.full((pool, FANOUT), jnp.float32(_BIG))
+        ents=[jnp.full((pool, pipe.fanout), jnp.float32(_BIG))
               for _ in range(n_levels)],
         **({} if not pipe.instanced else dict(
             # instanced TLAS walk: the current-space ray (object space
@@ -977,7 +983,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         wb_prim=jnp.full((pool,), -1, jnp.int32),
         wb_u=jnp.zeros((pool,), jnp.float32),
         wb_v=jnp.zeros((pool,), jnp.float32),
-        ents=[jnp.full((pool, FANOUT), jnp.float32(_BIG))
+        ents=[jnp.full((pool, pipe.fanout), jnp.float32(_BIG))
               for _ in range(n_levels)],
         bases=[jnp.zeros((pool,), jnp.int32) for _ in range(n_levels)],
         **({} if not instanced else dict(
@@ -1384,6 +1390,16 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         if cfg.aov:
             out["stash_aov"] = [jnp.zeros((pool,), jnp.float32)
                                 for _ in range(6)]
+        if _WP_STATS:
+            jax.debug.print(
+                "FLUSH walking={w} pend0={p0} pend1={p1} "
+                "held0={h0} held1={h1} live0={l0} live1={l1} next={nw}",
+                                w=jnp.sum(s["cur"] >= 0),
+                p0=jnp.sum(s["pvalid"][0]), p1=jnp.sum(s["pvalid"][-1]),
+                h0=jnp.sum(s["hvalid"][0]), h1=jnp.sum(s["hvalid"][-1]),
+                l0=jnp.sum((s["mc"][0][13] >= 0) & (s["mc"][0][14] < spp)),
+                l1=jnp.sum((s["mc"][-1][13] >= 0) & (s["mc"][-1][14] < spp)),
+                nw=s["next_work"])
         return dict(s, **out)
 
     round_unroll = 4 if n_levels <= 4 else False

@@ -39,6 +39,7 @@ semantics). >2-key scenes fall back to the pallas_mt kernels.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -51,6 +52,16 @@ from .intersect import Hit
 HIER_LEAF = 14    # triangles inline per leaf row (9*14 = 126 lanes)
 HIER_LEAF_MOTION = 7  # 2-key leaves: both keys inline (2*9*7 = 126 lanes)
 FANOUT = 16       # children per directory row (6*16 = 96 lanes of boxes)
+# 32-ary bf16 directories: 32 children x 6 box components = 192 bf16
+# values bit-packed two-per-f32 into the same 96 row lanes. The row gather
+# is DMA-descriptor-rate bound (~3 ns/row regardless of width), so the
+# only lever is ROWS GATHERED PER RAY — doubling the fanout halves the
+# directory share of visits and drops a whole level on 200k+/1M tables
+# (1M: 5 -> 4 levels, which also unlocks the x4 round unroll and the
+# walk pool's inline shadow gate). Box coords are rounded OUTWARD by
+# 2^-7 relative before the bf16 cast, so culling stays conservative; leaf
+# rows stay exact f32 (MT parity unchanged).
+FANOUT32 = 32
 ROW = 128
 _BIG = 1e30
 _DET_EPS = 1e-10
@@ -60,17 +71,51 @@ _L_FIRST = 126    # leaf: first face id / dir: first child id (f32, exact)
 _L_TYPE = 127     # 1.0 = leaf, 0.0 = directory
 
 
-class HierTable(NamedTuple):
-    """Flat node table: one 128-f32 row per node, levels contiguous."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HierTable:
+    """Flat node table: one 128-f32 row per node, levels contiguous.
 
-    table: jnp.ndarray        # [N, 128] f32
-    level_starts: tuple       # static: first row id of each directory level
-    #                           (root=0), leaves occupy the final range
-    leaf_start: int           # static: first leaf row id
-    num_faces: int
+    Everything but the table itself is static metadata (shape-defining:
+    the walk unrolls over levels and builds fanout-wide iotas)."""
+
+    table: jnp.ndarray  # [N, 128] f32
+    # first row id of each directory level (root=0); leaves end the table
+    level_starts: tuple = dataclasses.field(metadata=dict(static=True))
+    leaf_start: int = dataclasses.field(metadata=dict(static=True))
+    num_faces: int = dataclasses.field(metadata=dict(static=True))
+    # children per directory row (FANOUT32 = bf16-packed boxes)
+    fanout: int = dataclasses.field(metadata=dict(static=True),
+                                    default=FANOUT)
 
 
-def build_hier_table(geom, num_faces: int, num_keys: int = 1) -> HierTable:
+def _bf16_outward(x: np.ndarray, up: bool) -> np.ndarray:
+    """Round f32 box coords OUTWARD (up=True toward +inf) and cast bf16.
+
+    The pre-pad of |x|*2^-7 dominates the bf16 nearest-rounding error
+    (<= |x|*2^-9), so the cast value is guaranteed on the conservative
+    side: lo_b <= lo and hi_b >= hi — boxes only loosen, culling stays
+    exact-safe."""
+    import ml_dtypes
+
+    m = np.abs(x) * np.float32(2.0 ** -7) + np.float32(1e-34)
+    y = x + m if up else x - m
+    return y.astype(ml_dtypes.bfloat16)
+
+
+def _pack_bf16_lohi(lo16: np.ndarray, hi16: np.ndarray) -> np.ndarray:
+    """Pack per-child (lo, hi) bf16 pairs into one f32 lane each: lo in
+    the LOW 16 bits, hi in the HIGH 16. The walk unpacks with two sub-lane
+    integer ops (u << 16 / u & 0xFFFF0000 are exactly the bf16 -> f32
+    widenings) — no cross-lane reshuffle, unlike a [.., k, 2] bitcast
+    reshape (measured 20.7 -> 15.3 Mray/s on the 49k field)."""
+    u32 = ((hi16.view(np.uint16).astype(np.uint32) << 16)
+           | lo16.view(np.uint16).astype(np.uint32))
+    return u32.view(np.float32)
+
+
+def build_hier_table(geom, num_faces: int, num_keys: int = 1,
+                     fanout: int = FANOUT) -> HierTable:
     """Host-side (numpy) build over spatially-ordered faces.
 
     Leaves are consecutive cap-face runs (cap = HIER_LEAF static,
@@ -79,6 +124,8 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1) -> HierTable:
     scene with accel.lbvh.split_order_scene(scene, leaf=cap) first."""
     if num_keys not in (1, 2):
         raise ValueError("hier table supports 1 or 2 motion keys")
+    if fanout not in (FANOUT, FANOUT32):
+        raise ValueError(f"fanout must be {FANOUT} or {FANOUT32}")
     cap = HIER_LEAF if num_keys == 1 else HIER_LEAF_MOTION
     f = num_faces
     n_leaf = max(1, -(-f // cap))
@@ -130,20 +177,20 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1) -> HierTable:
     leaf_lo = lo_f.reshape(n_leaf, cap, 3).min(axis=1)
     leaf_hi = hi_f.reshape(n_leaf, cap, 3).max(axis=1)
 
-    # directory levels bottom-up: level[i] groups FANOUT of level[i+1]
+    # directory levels bottom-up: level[i] groups `fanout` of level[i+1]
     levels = []  # list of (lo [M,3], hi [M,3], first_child_row-relative)
     lo, hi = leaf_lo, leaf_hi
     counts = [n_leaf]
     while counts[0] > 1:
         m = counts[0]
-        n_dir = -(-m // FANOUT)
-        m_pad = n_dir * FANOUT
+        n_dir = -(-m // fanout)
+        m_pad = n_dir * fanout
         glo = np.full((m_pad, 3), _BIG, np.float32)
         ghi = np.full((m_pad, 3), _BIG, np.float32)  # degenerate far box
         glo[:m] = lo
         ghi[:m] = hi
-        clo = glo.reshape(n_dir, FANOUT, 3)
-        chi = ghi.reshape(n_dir, FANOUT, 3)
+        clo = glo.reshape(n_dir, fanout, 3)
+        chi = ghi.reshape(n_dir, fanout, 3)
         levels.insert(0, (clo, chi))
         # union over REAL children only (padding slots carry degenerate far
         # boxes that would blow the parent's hi out to +BIG)
@@ -169,12 +216,20 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1) -> HierTable:
         child_base = starts[li + 1] if li + 1 < len(levels) else leaf_start
         n_dir = clo.shape[0]
         rows = table[base:base + n_dir]
-        # component-major child boxes: lox[16] loy loz hix hiy hiz
-        for c in range(3):
-            rows[:, c * FANOUT:(c + 1) * FANOUT] = clo[:, :, c]
-            rows[:, (c + 3) * FANOUT:(c + 4) * FANOUT] = chi[:, :, c]
+        if fanout == FANOUT32:
+            # per-component lanes [x: 0..31][y: 32..63][z: 64..95], each
+            # f32 lane = (lo bf16 | hi bf16) of one child
+            for c in range(3):
+                rows[:, c * fanout:(c + 1) * fanout] = _pack_bf16_lohi(
+                    _bf16_outward(clo[:, :, c], up=False),
+                    _bf16_outward(chi[:, :, c], up=True))
+        else:
+            # component-major f32 child boxes: lox[16] loy loz hix hiy hiz
+            for c in range(3):
+                rows[:, c * fanout:(c + 1) * fanout] = clo[:, :, c]
+                rows[:, (c + 3) * fanout:(c + 4) * fanout] = chi[:, :, c]
         rows[:, _L_FIRST] = (child_base
-                             + FANOUT * np.arange(n_dir, dtype=np.float32))
+                             + fanout * np.arange(n_dir, dtype=np.float32))
         rows[:, _L_TYPE] = 0.0
     # leaf rows
     lrows = table[leaf_start:]
@@ -184,7 +239,7 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1) -> HierTable:
 
     return HierTable(table=jnp.asarray(table),
                      level_starts=tuple(starts),
-                     leaf_start=leaf_start, num_faces=f)
+                     leaf_start=leaf_start, num_faces=f, fanout=fanout)
 
 
 def _leaf_mt(rows, o, d, tmin, tcur, time=None):
@@ -228,17 +283,31 @@ def _leaf_mt(rows, o, d, tmin, tcur, time=None):
     return t, u, v, hit
 
 
-def _dir_entries(rows, o, inv, tmin, tcur):
-    """[R, FANOUT] child-box entry distances; _BIG where missed.
+def _dir_entries(rows, o, inv, tmin, tcur, fanout: int = FANOUT):
+    """[R, fanout] child-box entry distances; _BIG where missed.
 
     Padding children carry degenerate far boxes (lo = hi = +BIG), which
     fail (tn <= tf) & (tn < tcur) naturally (ROADMAP: inverted boxes are
-    NOT safe padding for unordered slab tests)."""
-    tn = jnp.full((rows.shape[0], FANOUT), -jnp.float32(_BIG))
-    tf = jnp.full((rows.shape[0], FANOUT), jnp.float32(_BIG))
+    NOT safe padding for unordered slab tests). fanout=32 rows carry
+    bf16-packed boxes (two per f32 lane, conservative outward rounding)
+    which unpack via one bitcast."""
+    r = rows.shape[0]
+    if fanout == FANOUT32:
+        u = jax.lax.bitcast_convert_type(rows[:, :96], jnp.uint32)
+    tn = jnp.full((r, fanout), -jnp.float32(_BIG))
+    tf = jnp.full((r, fanout), jnp.float32(_BIG))
     for c in range(3):
-        lo = rows[:, c * FANOUT:(c + 1) * FANOUT]
-        hi = rows[:, (c + 3) * FANOUT:(c + 4) * FANOUT]
+        if fanout == FANOUT32:
+            uc = u[:, c * fanout:(c + 1) * fanout]
+            # u << 16 / u & 0xFFFF0000 ARE the bf16 -> f32 widenings of
+            # the packed (lo, hi) halves — sub-lane ops, no reshuffle
+            lo = jax.lax.bitcast_convert_type(uc << jnp.uint32(16),
+                                              jnp.float32)
+            hi = jax.lax.bitcast_convert_type(
+                uc & jnp.uint32(0xFFFF0000), jnp.float32)
+        else:
+            lo = rows[:, c * fanout:(c + 1) * fanout]
+            hi = rows[:, (c + 3) * fanout:(c + 4) * fanout]
         oc = o[:, c:c + 1]
         ic = inv[:, c:c + 1]
         t0 = (lo - oc) * ic
@@ -268,9 +337,10 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool,
     selects the 2-key motion leaf layout (see _leaf_mt)."""
     r = o.shape[0]
     n_levels = len(tab.level_starts)  # directory levels (root = level 0)
+    fanout = tab.fanout
     inv = _safe_inv(d)
     tmin_c = tmin[:, None]
-    lane16 = jax.lax.iota(jnp.int32, FANOUT)[None, :]
+    lane16 = jax.lax.iota(jnp.int32, fanout)[None, :]
 
     # level-id boundaries are STATIC: level of a row = count of starts <= id
     bounds = tuple(tab.level_starts[1:]) + (tab.leaf_start,)
@@ -283,7 +353,7 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool,
         best_v=jnp.zeros((r,), jnp.float32),
         found=jnp.zeros((r,), bool),
         # pending-children entry distances per directory level (_BIG = none)
-        ents=[jnp.full((r, FANOUT), jnp.float32(_BIG))
+        ents=[jnp.full((r, fanout), jnp.float32(_BIG))
               for _ in range(n_levels)],
         bases=[jnp.zeros((r,), jnp.int32) for _ in range(n_levels)],
     )
@@ -329,7 +399,8 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool,
         # --- directory: slab-test 16 children, record entry distances ---
         ent = _dir_entries(rows, o, inv, tmin_c,
                            _prune_cut(jnp.where(found, 0.0, best_t)
-                                      if any_mode else best_t)[:, None])
+                                      if any_mode else best_t)[:, None],
+                           fanout=fanout)
         is_dir = valid & ~is_leaf
         ents = list(s["ents"])
         bases = list(s["bases"])
@@ -356,7 +427,7 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool,
             e_min = jnp.min(ee, axis=1)
             has = (e_min < _BIG) & valid & (nxt < 0) & ~done_now
             at_min = ee <= e_min[:, None]
-            j = jnp.min(jnp.where(at_min, lane16, FANOUT), axis=1)
+            j = jnp.min(jnp.where(at_min, lane16, fanout), axis=1)
             nxt = jnp.where(has, bases[lv] + j, nxt)
             taken = has[:, None] & (lane16 == j[:, None])
             ents[lv] = jnp.where(taken, jnp.float32(_BIG), ents[lv])

@@ -183,3 +183,40 @@ def test_motion_two_key_matches_brute():
         occ_h = np.asarray(ha(o, d, 1e-3, 5.0, time, None))
         occ_b = np.asarray(ba(o, d, 1e-3, 5.0, bt, None))
         np.testing.assert_array_equal(occ_h, occ_b)
+
+
+def test_fanout32_bf16_directories_exact():
+    """32-ary bf16-packed directory rows (hierwalk.FANOUT32): conservative
+    outward rounding means culling can only loosen, so closest/any results
+    stay EXACTLY equal to brute force. (Measured on-chip: no walk-band win
+    — 49k par, 200k/1M slightly worse; kept as a tested option, see
+    ROADMAP.)"""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendertoy3c_tpu.accel.lbvh import split_order_scene
+    from rendertoy3c_tpu.scene.builtin import cornell_box
+    from rendertoy3c_tpu.scene.scene import build_scene
+    from rendertoy3c_tpu.trace.hierwalk import (
+        FANOUT32, HIER_LEAF, build_hier_table, trace_any_hier,
+        trace_closest_hier,
+    )
+    from rendertoy3c_tpu.trace.intersect import make_bruteforce_tracer
+
+    meshes, _cam = cornell_box()
+    sc = split_order_scene(build_scene(meshes), leaf=HIER_LEAF)
+    tab = build_hier_table(sc.geom, sc.num_faces, fanout=FANOUT32)
+    assert tab.fanout == FANOUT32
+    bc, _ = make_bruteforce_tracer(sc)
+    rng = np.random.default_rng(11)
+    R = 2048
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    h32 = trace_closest_hier(tab, o, d, 1e-3, 1e16)
+    hb = bc(o, d, 1e-3, 1e16, None, None)
+    np.testing.assert_array_equal(np.asarray(h32.prim), np.asarray(hb.prim))
+    a32 = np.asarray(trace_any_hier(tab, o, d, 1e-3, jnp.full((R,), 0.5)))
+    ab = np.asarray(bc(o, d, 1e-3, 0.5, None, None).prim) >= 0
+    np.testing.assert_array_equal(a32, ab)
