@@ -58,6 +58,10 @@ _INV_PI = 1.0 / math.pi
 class RenderStats(NamedTuple):
     radiance_rays: jnp.ndarray  # scalar int64-ish f32 counter
     shadow_rays: jnp.ndarray
+    # walk-pool traversal rounds executed this subframe (0 on non-walk
+    # backends); rows gathered = walk_rounds * pool width — the roofline
+    # accounting input (bench.py writes rows/ray + %-of-gather-floor)
+    walk_rounds: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def _miss_radiance(scene, bg, direction):
@@ -443,7 +447,7 @@ def _trace_block(scene: Scene, cfg: RenderConfig, cam: CameraParams,
     inv_spp = 1.0 / jnp.float32(cfg.samples_per_launch)
     rgb = result * inv_spp
     aov = (aov_sum[0] * inv_spp, aov_sum[1] * inv_spp) if cfg.aov else None
-    return rgb, aov, n_rad, n_shad
+    return rgb, aov, n_rad, n_shad, jnp.zeros((), jnp.int32)
 
 
 def _lcg_advance_table(spp: int) -> jnp.ndarray:
@@ -806,7 +810,7 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
         (final_flush("image_alb", "acc_alb"),
          final_flush("image_nrm", "acc_nrm")) if cfg.aov else None
     )
-    return rgb, aov, s["n_rad"], s["n_shad"]
+    return rgb, aov, s["n_rad"], s["n_shad"], jnp.zeros((), jnp.int32)
 
 
 def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
@@ -1063,7 +1067,7 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     rgb = final_img("image", 10)
     aov = ((final_img("image_alb", 16), final_img("image_nrm", 19))
            if cfg.aov else None)
-    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32)
+    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32), jnp.zeros((), jnp.int32)
 
 
 def render_pixels(
@@ -1120,13 +1124,14 @@ def render_pixels(
     def per_block(idx):
         return _trace_block(scene, cfg, cam, tracer, idx, subframe_index)
 
-    rgb_blocks, aov_blocks, n_rad, n_shad = jax.lax.map(per_block, idx_padded)
+    rgb_blocks, aov_blocks, n_rad, n_shad, _rounds = jax.lax.map(
+        per_block, idx_padded)
     rgb = rgb_blocks.reshape(-1, 3)[:n_pixels]
     aov = (
         tuple(a.reshape(-1, 3)[:n_pixels] for a in aov_blocks)
         if cfg.aov else None
     )
-    return rgb, aov, jnp.sum(n_rad), jnp.sum(n_shad)
+    return rgb, aov, jnp.sum(n_rad), jnp.sum(n_shad), jnp.zeros((), jnp.int32)
 
 
 def render_subframe(
@@ -1146,12 +1151,13 @@ def render_subframe(
 
     n_pixels = cfg.width * cfg.height
     pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
-    rgb, aov, n_rad, n_shad = render_pixels(
+    rgb, aov, n_rad, n_shad, n_round = render_pixels(
         scene, cfg, cam, tracer, pixel_idx, film.subframe_index
     )
     rgb = rgb.reshape(cfg.height, cfg.width, 3)
     film = film_accumulate(film, rgb, aov=aov)
-    stats = RenderStats(radiance_rays=n_rad, shadow_rays=n_shad)
+    stats = RenderStats(radiance_rays=n_rad, shadow_rays=n_shad,
+                        walk_rounds=n_round)
     return film, stats
 
 

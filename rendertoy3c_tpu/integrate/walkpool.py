@@ -601,6 +601,9 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         stash_rgb=[jnp.zeros((pool,), jnp.float32) for _ in range(3)],
         image=jnp.zeros((n_pix + 1, 3), jnp.float32),
         next_work=jnp.zeros((), jnp.int32),
+        # traversal rounds executed (roofline accounting: rows gathered =
+        # n_round * pool; surfaced as RenderStats.walk_rounds)
+        n_round=jnp.zeros((), jnp.int32),
         n_rad=jnp.zeros((), jnp.int32),
         n_shad=jnp.zeros((), jnp.float32),
     )
@@ -873,6 +876,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
         lanes = jax.lax.fori_loop(0, _FLUSH_N, super_step, lanes,
                                   unroll=False)
+        lanes["n_round"] = lanes["n_round"] + _FLUSH_N * k_phase
         return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
 
     s = jax.lax.while_loop(cond, outer, state)
@@ -900,7 +904,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     aov = ((final_img("image_alb", 16, s["stash_aov"][:3]),
             final_img("image_nrm", 19, s["stash_aov"][3:]))
            if cfg.aov else None)
-    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32)
+    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32), s["n_round"]
 
 
 def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
@@ -1023,6 +1027,9 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         stash_rgb=[jnp.zeros((pool,), jnp.float32) for _ in range(3)],
         image=jnp.zeros((n_pix + 1, 3), jnp.float32),
         next_work=jnp.zeros((), jnp.int32),
+        # traversal rounds executed (roofline accounting: rows gathered =
+        # n_round * pool; surfaced as RenderStats.walk_rounds)
+        n_round=jnp.zeros((), jnp.int32),
         n_rad=jnp.zeros((), jnp.int32),
         n_shad=jnp.zeros((), jnp.float32),
     )
@@ -1417,6 +1424,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
         lanes = jax.lax.fori_loop(0, _FLUSH_N, super_step, lanes,
                                   unroll=False)
+        lanes["n_round"] = lanes["n_round"] + _FLUSH_N * k_phase
         return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
 
     s = jax.lax.while_loop(cond, outer, state)
@@ -1463,4 +1471,4 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     aov = ((final_img("image_alb", 16, s["stash_aov"][:3]),
             final_img("image_nrm", 19, s["stash_aov"][3:]))
            if cfg.aov else None)
-    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32)
+    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32), s["n_round"]

@@ -272,7 +272,7 @@ def make_render_fn_dist(
         base = tile_r * shard_pixels
         pix = base + jnp.arange(shard_pixels, dtype=jnp.int32)
         sub_eff = subframe_index * n_spp + spp_r
-        rgb, aov, n_rad, n_shad = render_pixels(
+        rgb, aov, n_rad, n_shad, n_round = render_pixels(
             scene_rep, cfg_local, cam, tracer, pix, sub_eff
         )
         rgb = jax.lax.pmean(rgb.reshape(rows, cfg.width, 3), "spp")
@@ -283,14 +283,16 @@ def make_render_fn_dist(
             )
         n_rad = jax.lax.psum(n_rad, ("tile", "spp"))
         n_shad = jax.lax.psum(n_shad, ("tile", "spp"))
-        return rgb, aov, n_rad, n_shad
+        n_round = jax.lax.psum(n_round, ("tile", "spp"))
+        return rgb, aov, n_rad, n_shad, n_round
 
     def step(cam: CameraParams, film: Film):
-        rgb, aov, n_rad, n_shad = subframe_shard(
+        rgb, aov, n_rad, n_shad, n_round = subframe_shard(
             scene, cam, film.subframe_index
         )
         film = film_accumulate(film, rgb, aov=aov)
-        return film, RenderStats(radiance_rays=n_rad, shadow_rays=n_shad)
+        return film, RenderStats(radiance_rays=n_rad, shadow_rays=n_shad,
+                                 walk_rounds=n_round)
 
     return jax.jit(step, donate_argnames=("film",)), mesh
 

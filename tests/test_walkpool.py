@@ -53,7 +53,7 @@ def _render(scene, camera, tracer, **kw):
         tracer = make_walkpool_pipeline(scene, cfg)
     pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
     cam = camera.params()
-    rgb, _aov, n_rad, n_shad = jax.jit(
+    rgb, _aov, n_rad, n_shad, _rounds = jax.jit(
         lambda c: render_pixels(scene, cfg, c, tracer, pix, jnp.uint32(0))
     )(cam)
     return np.asarray(rgb), int(n_rad), int(n_shad)
@@ -223,10 +223,10 @@ def test_walkpool_aov():
                        ray_block=1024, **cfgkw)
     pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
     cam = camera.params()
-    ref, aov_ref, _, _ = jax.jit(
+    ref, aov_ref, _, _, _ = jax.jit(
         lambda c: render_pixels(scene, cfg, c, hier, pix, jnp.uint32(0)))(cam)
     wp = make_walkpool_pipeline(scene, cfg)
-    out, aov_out, _, _ = jax.jit(
+    out, aov_out, _, _, _ = jax.jit(
         lambda c: render_pixels(scene, cfg, c, wp, pix, jnp.uint32(0)))(cam)
     np.testing.assert_allclose(np.asarray(aov_out[0]),
                                np.asarray(aov_ref[0]), rtol=2e-5, atol=2e-5)
@@ -342,7 +342,7 @@ def test_walkpool_instanced_matches_pool():
     wp = make_inst_walkpool_pipeline(iscene, cfg)
     assert wp.instanced and wp.kernel
     pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
-    out, _aov, nr2, ns2 = jax.jit(
+    out, _aov, nr2, ns2, _rounds = jax.jit(
         lambda c: render_pixels(iscene, cfg, c, wp, pix, jnp.uint32(0))
     )(camera.params())
     out = np.asarray(out)
