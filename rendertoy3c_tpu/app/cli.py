@@ -100,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fov", type=float, default=None, help="vertical fov, degrees")
     p.add_argument("--mesh-shape", default=None,
                    help="TILExSPP device mesh, e.g. 4x2 (default: single device)")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-host SPMD: total process count (launch one "
+                        "copy of this CLI per host with --host-id 0..N-1; "
+                        "the (tile, spp) mesh then spans every host's "
+                        "devices over DCN)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="this process's id in the multi-host job")
+    p.add_argument("--coordinator", default="localhost:29511",
+                   help="host:port of process 0's coordination service")
     p.add_argument("--checkpoint", default=None,
                    help="save film checkpoint here after rendering")
     p.add_argument("--resume", default=None,
@@ -202,6 +211,13 @@ def main(argv=None) -> int:
     _os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.num_hosts > 1:
+        # join the multi-controller job BEFORE any backend use; all hosts
+        # run this same program (SPMD) and the mesh below spans them
+        from ..parallel.multihost import init_multihost
+
+        init_multihost(args.coordinator, args.num_hosts, args.host_id)
 
     from ..film.film import film_create
     from ..film.image import write_exr, write_png, write_ppm
@@ -353,7 +369,12 @@ def main(argv=None) -> int:
         mesh = make_mesh(n_tile=n_tile, n_spp=n_spp)
         factory = (lambda s, aux, c: tracer) if tracer else None
         step, mesh = make_render_fn_dist(scene, cfg, mesh, tracer_factory=factory)
-        make_film = lambda: film_create_sharded(cfg, mesh)  # noqa: E731
+        if args.num_hosts > 1:
+            from ..parallel.multihost import film_create_multihost
+
+            make_film = lambda: film_create_multihost(cfg, mesh)  # noqa: E731
+        else:
+            make_film = lambda: film_create_sharded(cfg, mesh)  # noqa: E731
     else:
         step = make_render_fn(scene, cfg, tracer=tracer)
         make_film = lambda: film_create(cfg.height, cfg.width,  # noqa: E731
@@ -433,6 +454,14 @@ def main(argv=None) -> int:
                 ) * alb
             else:
                 accum_dev = atrous_denoise(accum_dev, iterations=args.denoise)
+        if not accum_dev.is_fully_addressable:
+            # multi-host: tile shards live on other hosts; allgather over
+            # DCN (parallel/multihost.py), then only host 0 writes files
+            from ..parallel.multihost import assemble_film
+
+            accum_dev = assemble_film(accum_dev)
+            if jax.process_index() != 0:
+                return 0
         accum = np.asarray(accum_dev)[::-1]  # film row 0 is image bottom
         out = args.output
 

@@ -60,8 +60,11 @@ class RenderStats(NamedTuple):
     shadow_rays: jnp.ndarray
     # walk-pool traversal rounds executed this subframe (0 on non-walk
     # backends); rows gathered = walk_rounds * pool width — the roofline
-    # accounting input (bench.py writes rows/ray + %-of-gather-floor)
-    walk_rounds: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # accounting input (bench.py writes rows/ray + %-of-gather-floor).
+    # Plain-int default: a jnp default would materialize an array at
+    # import time and initialize the backend before
+    # jax.distributed.initialize can run (parallel/multihost.py).
+    walk_rounds: "jnp.ndarray | int" = 0
 
 
 def _miss_radiance(scene, bg, direction):

@@ -12,10 +12,14 @@ they compose with jit/scan/while_loop.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_LCG_A = jnp.uint32(1664525)
-_LCG_C = jnp.uint32(1013904223)
-_LCG_MASK = jnp.uint32(0x00FFFFFF)
+# numpy scalars, NOT jnp: module-level jnp constants would materialize
+# device arrays at import time and initialize the XLA backend before
+# jax.distributed.initialize can run (parallel/multihost.py)
+_LCG_A = np.uint32(1664525)
+_LCG_C = np.uint32(1013904223)
+_LCG_MASK = np.uint32(0x00FFFFFF)
 _INV_2_24 = 1.0 / float(0x01000000)
 
 

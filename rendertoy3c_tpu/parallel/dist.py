@@ -259,7 +259,7 @@ def make_render_fn_dist(
         in_specs=(P(), P(), P()),
         out_specs=(img_spec,
                    (img_spec, img_spec) if cfg.aov else P(),
-                   P(), P()),
+                   P(), P(), P()),
         # The integrator's scan/while carries mix replicated inits with
         # axis_index-derived varying state; skip the VMA type check rather
         # than pvary-annotating every carry leaf.
