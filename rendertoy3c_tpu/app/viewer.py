@@ -6,9 +6,10 @@ Backends:
   * GLFW/OpenGL (when a display is available): progressive render loop with
     mouse-orbit/zoom (scene/camera.py Trackball — same 0.5 deg/px + x1.1
     zoom semantics as sutil), camera motion restarting accumulation
-    (wavefront.cpp:196-197), per-phase ms + fps in the window title (the
-    ImGui stats overlay's numbers), ACES toggle [T], PNG snapshot [S],
-    quit [Esc/Q].
+    (wavefront.cpp:196-197), fps + per-phase ms drawn ON the frame (the
+    ImGui displayStats overlay, film/overlay.py; toggle [O]; also in the
+    window title), WASD/RF fly + ZC roll, ACES toggle [T], PNG snapshot
+    [S], quit [Esc/Q].
   * Headless turntable (no display): orbits the camera and writes numbered
     PNG frames — keeps the viewer code path exercised in CI containers.
 
@@ -55,6 +56,8 @@ class Viewer:
         self.camera_dirty = False
         self.tonemap_aces = False
         self.timers = PhaseTimers()
+        # on-frame stats overlay (toggle with O), reference's displayStats
+        self.show_overlay = True
 
     # -- shared per-frame logic -------------------------------------------
     def update_state(self):
@@ -109,6 +112,24 @@ class Viewer:
                 self.camera_dirty = True
 
             def on_key(window, key, scancode, action, mods):
+                if action not in (glfw.PRESS, glfw.REPEAT):
+                    return
+                # WASD/RF fly + ZC roll (sutil/Trackball.cpp:139-206; the
+                # reference app never binds these, the viewer does)
+                fly = {
+                    glfw.KEY_W: self.trackball.move_forward,
+                    glfw.KEY_A: self.trackball.move_left,
+                    glfw.KEY_D: self.trackball.move_right,
+                    glfw.KEY_R: self.trackball.move_up,
+                    glfw.KEY_F: self.trackball.move_down,
+                    glfw.KEY_X: self.trackball.move_backward,
+                    glfw.KEY_Z: self.trackball.roll_left,
+                    glfw.KEY_C: self.trackball.roll_right,
+                }
+                if key in fly:
+                    fly[key]()
+                    self.camera_dirty = True
+                    return
                 if action != glfw.PRESS:
                     return
                 if key in (glfw.KEY_ESCAPE, glfw.KEY_Q):
@@ -117,6 +138,8 @@ class Viewer:
                     print("saved", self.snapshot())
                 elif key == glfw.KEY_T:
                     self.tonemap_aces = not self.tonemap_aces
+                elif key == glfw.KEY_O:
+                    self.show_overlay = not self.show_overlay
 
             glfw.set_mouse_button_callback(win, on_mouse_button)
             glfw.set_cursor_pos_callback(win, on_cursor)
@@ -125,12 +148,23 @@ class Viewer:
 
             frames = 0
             t_last = time.perf_counter()
+            fps_text = ""
             while not glfw.window_should_close(win):
                 glfw.poll_events()
                 self.update_state()
                 self.render_subframe()
                 with self.timers.phase("display"):
                     img = _frame_u8(self.film, self.tonemap_aces)
+                    if self.show_overlay:
+                        # fps + per-phase ms ON the frame, 0.5 s refresh —
+                        # the ImGui displayStats overlay
+                        # (sutil/sutil.cpp:735-773); rows flip for GL
+                        from ..film.overlay import draw_stats_overlay
+
+                        img = np.ascontiguousarray(img[::-1])
+                        draw_stats_overlay(
+                            img, [fps_text, self.timers.summary()])
+                        img = img[::-1]
                     GL.glClear(GL.GL_COLOR_BUFFER_BIT)
                     GL.glDrawPixels(
                         self.cfg.width, self.cfg.height,
@@ -140,6 +174,7 @@ class Viewer:
                 frames += 1
                 now = time.perf_counter()
                 if now - t_last > 0.5:  # displayStats refresh cadence
+                    fps_text = f"fps: {frames / (now - t_last):5.1f}"
                     glfw.set_window_title(
                         win,
                         f"{self.title} | {frames / (now - t_last):5.1f} fps | "

@@ -31,8 +31,9 @@ import jax.numpy as jnp
 from ..film.film import Film, film_accumulate
 from ..math import rng
 from ..math.microfacet import d_ggx, schlick_fresnel, smith_g
-from ..math.vec import dot, faceforward, length, normalize
+from ..math.vec import dot, faceforward, length, luminance, normalize
 from ..scene.camera import CameraParams
+from ..scene.material import MaterialType
 from ..scene.scene import Scene
 from ..scene.texture import sample_texture_alpha, sample_texture_bilinear
 from ..trace.intersect import Hit, make_bruteforce_tracer
@@ -264,11 +265,185 @@ def _merge_prim_hits(scene, hit, o, d, tmin, tmax_default):
     return merged, (phit, pn, puv, pmat)
 
 
+# Whitted-glass constants (the classic OptiX glass sample's values, used
+# by cuda/shading.cu:226-325; our Material carries only ior/transmittance,
+# so colors are white and Beer extinction is the grey log(transmittance)).
+_GLASS_FRESNEL_EXP = 3.0
+_GLASS_FRESNEL_MIN = 0.1
+_GLASS_FRESNEL_MAX = 1.0
+_GLASS_IMPORTANCE_CUTOFF = 0.01
+_GLASS_CUTOFF_COLOR = (0.34, 0.55, 0.85)
+_GLASS_MAXDEPTH = 3      # refraction_maxdepth == reflection_maxdepth
+_GLASS_STACK = 4
+_GLASS_ITERS = 7         # tree nodes at depth 3: 1 + 2 + 4
+
+
+def _glass_radiance(scene, cfg, tracer_pair, shade_cb, org, dirn, hit0, bg):
+    """Recursive glass continuation rays, linearized (shading.cu:226-325).
+
+    The reference's __closesthit__glass_radiance recurses into BOTH the
+    fresnel-weighted reflection and refraction rays (with Beer attenuation
+    on interior segments and an importance cutoff). A wavefront machine
+    has no per-lane call stack, so the binary recursion runs as a fixed
+    iteration loop over an explicit per-lane ray stack: each iteration
+    traces every lane's CURRENT ray, shades non-glass hits via
+    `shade_cb` (the full GGX direct-lighting closure), splits glass hits
+    into reflection (continues in place) + refraction (pushed), and pops
+    when the current branch terminates. Bounded by the same
+    refraction/reflection_maxdepth=3 and importance cutoff as the
+    reference, so at most 7 nodes per primary ray.
+
+    Returns (rgb [R,3] for lanes whose hit0 is glass, shadow_ray_count).
+    hit0/org/dirn are the PRIMARY trace results (re-used, not re-traced).
+    """
+    trace_closest, _ = tracer_pair
+    n = org.shape[0]
+    mat = scene.materials
+    g = scene.geom
+    cutoff_color = jnp.asarray(_GLASS_CUTOFF_COLOR, jnp.float32)
+
+    def glass_split(hit, o, d, w, depth, live):
+        """One glass-surface interaction: returns (result_add, refl ray,
+        refr ray, their weights + trace gates)."""
+        prim = jnp.maximum(hit.prim, 0)
+        w0 = (1.0 - hit.u - hit.v)[:, None]
+        nrm = normalize(w0 * g.n0[0, prim] + hit.u[:, None] * g.n1[0, prim]
+                        + hit.v[:, None] * g.n2[0, prim])
+        mid = g.mat_id[prim]
+        ior = mat.ior[mid]
+        ext = jnp.log(jnp.clip(mat.transmittance[mid], 1e-8, 1.0))
+        p = o + hit.t[:, None] * d
+
+        cos_in = dot(d, nrm)           # >0 when leaving the medium
+        inside = cos_in > 0.0
+        # Beer's law on interior segments (shading.cu:269-277); grey
+        # extinction from the scalar transmittance
+        beer = jnp.where(inside[:, None],
+                         jnp.exp(ext * hit.t)[:, None], 1.0)
+
+        # two-sided snell (helpers.h refract): eta/N by side
+        n_eff = jnp.where(inside[:, None], -nrm, nrm)
+        eta = jnp.where(inside, ior, 1.0 / jnp.maximum(ior, 1e-6))
+        ci = -dot(d, n_eff)            # >= 0
+        k = 1.0 - eta * eta * (1.0 - ci * ci)
+        refract_ok = k > 0.0
+        t_dir = normalize(
+            eta[:, None] * d
+            + (eta * ci - jnp.sqrt(jnp.maximum(k, 0.0)))[:, None] * n_eff)
+
+        # fresnel_schlick(cos, 3, 0.1, 1.0); cos from the incident side
+        # outside, from the transmitted ray inside (shading.cu:286-293)
+        cos_f = jnp.where(inside, dot(t_dir, nrm), -cos_in)
+        cos_f = jnp.clip(cos_f, 0.0, 1.0)
+        fres = (_GLASS_FRESNEL_MIN
+                + (_GLASS_FRESNEL_MAX - _GLASS_FRESNEL_MIN)
+                * (1.0 - cos_f) ** _GLASS_FRESNEL_EXP)
+        refl = jnp.where(refract_ok, fres, 1.0)  # TIR -> all reflection
+
+        w_refl = w * refl[:, None] * beer
+        w_refr = w * (1.0 - refl)[:, None] * beer
+        depth_ok = live & (depth < min(_GLASS_MAXDEPTH, cfg.max_depth - 1))
+        go_refl = depth_ok & (luminance(w_refl) > _GLASS_IMPORTANCE_CUTOFF)
+        go_refr = (depth_ok & refract_ok
+                   & (luminance(w_refr) > _GLASS_IMPORTANCE_CUTOFF))
+        # untraced branches contribute the cutoff color (color inits to
+        # cutoff_color, shading.cu:281-320; the refraction term vanishes
+        # entirely when depth runs out — reflection==1 there)
+        res_add = jnp.where((live & ~go_refl)[:, None],
+                            w_refl * cutoff_color[None, :], 0.0)
+        res_add += jnp.where((live & depth_ok & refract_ok
+                              & ~go_refr)[:, None],
+                             w_refr * cutoff_color[None, :], 0.0)
+
+        r_dir = normalize(d - 2.0 * cos_in[:, None] * nrm)
+        eps = float(cfg.shadow_tmin)
+        # front/back hit points offset along the normal (scene_epsilon
+        # nudges, shading.cu:246-261)
+        fhp = p + eps * jnp.where(inside[:, None], -nrm, nrm)
+        bhp = p - eps * jnp.where(inside[:, None], -nrm, nrm)
+        return res_add, (fhp, r_dir, w_refl, go_refl), \
+            (bhp, t_dir, w_refr, go_refr)
+
+    mtype0 = mat.mtype[g.mat_id[jnp.maximum(hit0.prim, 0)]]
+    live0 = hit0.mask & (mtype0 == int(MaterialType.FRESNEL_TRANSMISSIVE))
+
+    # current-branch state + per-lane pending stack
+    cur_o, cur_d = org, dirn
+    cur_w = jnp.ones((n, 3), jnp.float32)
+    cur_depth = jnp.zeros((n,), jnp.int32)
+    cur_live = live0
+    cur_hit = hit0          # iteration 0 reuses the primary trace
+    st_o = [jnp.zeros((n, 3), jnp.float32) for _ in range(_GLASS_STACK)]
+    st_d = [jnp.zeros((n, 3), jnp.float32) for _ in range(_GLASS_STACK)]
+    st_w = [jnp.zeros((n, 3), jnp.float32) for _ in range(_GLASS_STACK)]
+    st_depth = [jnp.zeros((n,), jnp.int32) for _ in range(_GLASS_STACK)]
+    st_n = jnp.zeros((n,), jnp.int32)
+    result = jnp.zeros((n, 3), jnp.float32)
+    n_shad = jnp.zeros((), jnp.int32)
+
+    for it in range(_GLASS_ITERS):
+        if it > 0:
+            cur_hit = trace_closest(cur_o, cur_d,
+                                    jnp.full((n,), cfg.shadow_tmin),
+                                    cfg.primary_tmax,
+                                    jnp.zeros((n,), jnp.float32))
+        mt = mat.mtype[g.mat_id[jnp.maximum(cur_hit.prim, 0)]]
+        is_glass = (cur_live & cur_hit.mask
+                    & (mt == int(MaterialType.FRESNEL_TRANSMISSIVE)))
+        non_glass = cur_live & cur_hit.mask & ~is_glass
+        miss = cur_live & ~cur_hit.mask
+        result += jnp.where(miss[:, None], cur_w * bg[None, :], 0.0)
+        # non-glass continuation hits shade through the full GGX closure
+        # (iteration 0's mask is empty: live0 holds glass lanes only)
+        shaded, n_sh = shade_cb(cur_hit, cur_o, cur_d, non_glass)
+        result += jnp.where(non_glass[:, None], cur_w * shaded, 0.0)
+        n_shad = n_shad + n_sh
+
+        res_add, (ro, rd, rw, r_go), (to, td, tw, t_go) = glass_split(
+            cur_hit, cur_o, cur_d, cur_w, cur_depth, is_glass)
+        result += res_add
+
+        # push the refraction branch
+        push = t_go
+        for s in range(_GLASS_STACK):
+            at = push & (st_n == s)
+            st_o[s] = jnp.where(at[:, None], to, st_o[s])
+            st_d[s] = jnp.where(at[:, None], td, st_d[s])
+            st_w[s] = jnp.where(at[:, None], tw, st_w[s])
+            st_depth[s] = jnp.where(at, cur_depth + 1, st_depth[s])
+        st_n = st_n + push.astype(jnp.int32)
+
+        # continue with reflection, else pop a pending branch
+        cur_o = jnp.where(r_go[:, None], ro, cur_o)
+        cur_d = jnp.where(r_go[:, None], rd, cur_d)
+        cur_w = jnp.where(r_go[:, None], rw, cur_w)
+        cur_depth = jnp.where(r_go, cur_depth + 1, cur_depth)
+        cur_live = r_go
+        want_pop = ~cur_live & (st_n > 0)
+        top = st_n - 1
+        for s in range(_GLASS_STACK):
+            at = want_pop & (top == s)
+            cur_o = jnp.where(at[:, None], st_o[s], cur_o)
+            cur_d = jnp.where(at[:, None], st_d[s], cur_d)
+            cur_w = jnp.where(at[:, None], st_w[s], cur_w)
+            cur_depth = jnp.where(at, st_depth[s], cur_depth)
+        cur_live = cur_live | want_pop
+        st_n = st_n - want_pop.astype(jnp.int32)
+
+    return jnp.where(live0[:, None], result, 0.0), live0, n_shad
+
+
 def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                          point_lights, ambient, bg, alpha_masked=False,
                          alpha_blended=False, blend_layers: int = 3,
                          checker=False):
     trace_closest, trace_any = tracer
+    import numpy as _np
+
+    # static gate: compile the recursive-glass pass only when the scene
+    # has FRESNEL_TRANSMISSIVE materials (7 extra trace+shade rounds)
+    any_glass = bool((_np.asarray(scene.materials.mtype)
+                      == int(MaterialType.FRESNEL_TRANSMISSIVE)).any())
     n = pixel_idx.shape[0]
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
@@ -338,6 +513,20 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                 checker=checker, prim_override=prim_override,
             )
             n_sh_total = n_sh_total + n_sh
+            if any_glass and _layer == 0:
+                # recursive whitted glass (shading.cu:226-325) on
+                # FRESNEL_TRANSMISSIVE hits; replaces the GGX shade there
+                def _shade_cb(h2, o2, d2, mask2):
+                    return shade_direct(
+                        scene, cfg, trace_any, h2, o2, d2, point_lights,
+                        ambient, shadow_transmission=shadow_transmission,
+                        checker=checker,
+                    )
+                glass_rgb, glass_lane, n_sh_g = _glass_radiance(
+                    scene, cfg, (trace_closest, trace_any), _shade_cb,
+                    org, direction, hit, bg)
+                shaded = jnp.where(glass_lane[:, None], glass_rgb, shaded)
+                n_sh_total = n_sh_total + n_sh_g
             if alpha_blended:
                 a, _, blend_lane, _ = _sampled_alpha(scene, hit)
                 if prim_override is not None:

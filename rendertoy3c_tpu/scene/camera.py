@@ -134,6 +134,58 @@ class Trackball:
         else:
             self.camera.lookat = tuple((eye - r * local).astype(np.float32))
 
+    # -- WASD-style translation + roll (Trackball.cpp:139-206) --
+    def _translate(self, delta: np.ndarray):
+        eye = np.asarray(self.camera.eye, np.float64)
+        lookat = np.asarray(self.camera.lookat, np.float64)
+        self.camera.eye = tuple((eye + delta).astype(np.float32))
+        self.camera.lookat = tuple((lookat + delta).astype(np.float32))
+        self.reinitialize_orientation_from_camera()
+
+    def move_forward(self, speed: float | None = None):
+        """Translate eye AND lookat along view dir (Trackball.cpp:139-144)."""
+        d = self.camera.direction()
+        self._translate(d * (self.move_speed if speed is None else speed))
+
+    def move_backward(self, speed: float | None = None):
+        d = self.camera.direction()
+        self._translate(-d * (self.move_speed if speed is None else speed))
+
+    def move_left(self, speed: float | None = None):
+        u, _v, _w = self.camera.uvw_frame()
+        u = u / np.linalg.norm(u)
+        self._translate(-u * (self.move_speed if speed is None else speed))
+
+    def move_right(self, speed: float | None = None):
+        u, _v, _w = self.camera.uvw_frame()
+        u = u / np.linalg.norm(u)
+        self._translate(u * (self.move_speed if speed is None else speed))
+
+    def move_up(self, speed: float | None = None):
+        _u, v, _w = self.camera.uvw_frame()
+        v = v / np.linalg.norm(v)
+        self._translate(v * (self.move_speed if speed is None else speed))
+
+    def move_down(self, speed: float | None = None):
+        _u, v, _w = self.camera.uvw_frame()
+        v = v / np.linalg.norm(v)
+        self._translate(-v * (self.move_speed if speed is None else speed))
+
+    def roll_left(self, speed: float | None = None):
+        self._roll(90.0 + (self.roll_speed if speed is None else speed))
+
+    def roll_right(self, speed: float | None = None):
+        self._roll(90.0 - (self.roll_speed if speed is None else speed))
+
+    def _roll(self, angle_deg: float):
+        """up' = u*cos(a) + v*sin(a) (Trackball.cpp:188-206)."""
+        u, v, _w = self.camera.uvw_frame()
+        u = u / np.linalg.norm(u)
+        v = v / np.linalg.norm(v)
+        a = math.radians(angle_deg)
+        self.camera.up = tuple(
+            (u * math.cos(a) + v * math.sin(a)).astype(np.float32))
+
     def wheel_event(self, direction: int):
         """Zoom by scaling eye->lookat distance x1.1 (Trackball.cpp:118-125)."""
         self.zoom(direction)
