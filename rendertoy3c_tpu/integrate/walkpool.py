@@ -944,6 +944,8 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     # every extra op is a launch gap) — so deep tables keep the classic
     # held-shadow path.
     inline_gate = n_levels <= 4
+    if _os.environ.get("RT3C_INLINE_GATE", "") in ("0", "1"):
+        inline_gate = _os.environ["RT3C_INLINE_GATE"] == "1"  # A/B override
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
     pool = max(pool, 256)
