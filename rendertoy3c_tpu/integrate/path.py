@@ -883,35 +883,17 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
         samp = misc[:, 14]
         acc = misc[:, 10:13]
         aacc = misc[:, 16:22] if cfg.aov else None
-        images = tuple(s[k] for k, _ in _IMGS)
+        images = (None if cfg.pool_pixel_major
+                  else tuple(s[k] for k, _ in _IMGS))
         next_work = s["next_work"]
 
         if cfg.pool_pixel_major:
-            completed = dead & (pixel >= 0) & (samp >= spp)
-            do_flush = (s["iter"] % flush_every) == 0
-
-            def flush_fn(imgs):
-                # pixel-major: each pixel is owned by exactly one lane, so
-                # kept targets are unique — the scatter takes XLA's
-                # unique-indices fast path; non-completed lanes go
-                # out-of-bounds and drop. pixel is the GLOBAL id; rebase
-                # into the local shard image.
-                target = jnp.where(
-                    completed, pixel.astype(jnp.int32) - pixel_base,
-                    n_pix + 1)
-                return tuple(
-                    img.at[target].add(misc[:, c:c + 3], mode="drop",
-                                       unique_indices=True)
-                    for img, (_k, c) in zip(imgs, _IMGS)
-                )
-
-            images = jax.lax.cond(do_flush, flush_fn, lambda im: im, images)
-            freed = completed & do_flush
-            pixel = jnp.where(freed, -1.0, pixel)
-            acc = jnp.where(freed[:, None], 0.0, acc)
-            if cfg.aov:
-                aacc = jnp.where(freed[:, None], 0.0, aacc)
-            samp = jnp.where(freed, 0.0, samp)
+            # completed lanes were freed by the outer flush stage (the
+            # loop nests outer-while/inner-fori so the framebuffer
+            # scatter runs UNCONDITIONALLY once per flush_every
+            # iterations — a lax.cond here made XLA copy the image
+            # buffers every iteration, the largest single piece of the
+            # Cornell loop's ~0.2 ms XLA glue)
 
             # assign fresh pixels to idle lanes
             idle = dead & (pixel < 0)
@@ -1042,15 +1024,56 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
                  if fused.motion else None)
         rays2, misc2 = fused.trace_shade(rays, misc, count_hint, time8)
 
+        img_out = ({} if cfg.pool_pixel_major
+                   else {k: img for (k, _c), img in zip(_IMGS, images)})
         return dict(
             s, rays=rays2, misc=misc2,
             next_work=next_work, iter=s["iter"] + 1,
             n_rad=s["n_rad"] + n_live,
             n_shad=s["n_shad"] + jnp.sum(misc2[:, 15]),
-            **{k: img for (k, _c), img in zip(_IMGS, images)},
+            **img_out,
         )
 
-    s = jax.lax.while_loop(cond, body, state)
+    if cfg.pool_pixel_major:
+        _IMG_KEYS = tuple(k for k, _c in _IMGS)
+
+        def flush_stage(s):
+            # unconditional scatter + free of completed lanes, once per
+            # outer iteration (pixel-major: each pixel is owned by one
+            # lane, so targets are unique; idle lanes drop OOB). pixel is
+            # the GLOBAL id; rebase into the local shard image.
+            misc = s["misc"]
+            pixel = misc[:, 13]
+            completed = ((misc[:, 9] <= 0) & (pixel >= 0)
+                         & (misc[:, 14] >= spp))
+            target = jnp.where(
+                completed, pixel.astype(jnp.int32) - pixel_base, n_pix + 1)
+            out = {
+                k: s[k].at[target].add(misc[:, c:c + 3], mode="drop",
+                                       unique_indices=True)
+                for k, c in _IMGS
+            }
+            misc = misc.at[:, 10:13].set(
+                jnp.where(completed[:, None], 0.0, misc[:, 10:13]))
+            if cfg.aov:
+                misc = misc.at[:, 16:22].set(
+                    jnp.where(completed[:, None], 0.0, misc[:, 16:22]))
+            misc = misc.at[:, 13].set(jnp.where(completed, -1.0, pixel))
+            misc = misc.at[:, 14].set(
+                jnp.where(completed, 0.0, misc[:, 14]))
+            return dict(s, misc=misc, **out)
+
+        def outer(s):
+            s = flush_stage(s)
+            lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
+            lanes = jax.lax.fori_loop(
+                0, flush_every, lambda i, st: body(st), lanes,
+                unroll=False)
+            return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
+
+        s = jax.lax.while_loop(cond, outer, state)
+    else:
+        s = jax.lax.while_loop(cond, body, state)
     # final flush: the loop exits with all lanes dead but unflushed
     misc = s["misc"]
     pixel = misc[:, 13]
