@@ -568,34 +568,14 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
         n_alive = pool - jnp.sum(dead.astype(jnp.int32))
 
         if cfg.pool_pixel_major:
-            # --- pixel-major schedule: a lane owns one pixel and renders all
-            # its samples back-to-back; the framebuffer scatter runs only
-            # every flush_every iterations over lanes whose pixel completed.
-            completed = dead & (s["pixel"] >= 0) & (s["samp"] >= spp)
-            do_flush = (s["iter"] % flush_every) == 0
-
-            def flush_fn(imgs):
-                # unique-indices fast path: one lane per pixel (see the
-                # packed pool's flush_fn); non-completed lanes drop OOB.
-                # pixel is the GLOBAL id (RNG/camera need it); the image is
-                # the local shard, so rebase before scattering.
-                target = jnp.where(completed, s["pixel"] - pixel_base,
-                                   n_pix + 1)
-                return tuple(
-                    img.at[target].add(s[acc_k], mode="drop",
-                                       unique_indices=True)
-                    for img, (_img_k, acc_k) in zip(imgs, _IMGS)
-                )
-
-            imgs = jax.lax.cond(
-                do_flush, flush_fn, lambda im: im,
-                tuple(s[img_k] for img_k, _ in _IMGS),
-            )
-            image = imgs[0]
-            freed = completed & do_flush
-            pixel_cur = jnp.where(freed, -1, s["pixel"])
-            acc_cur = jnp.where(freed[:, None], 0.0, s["acc"])
-            samp_cur = jnp.where(freed, 0, s["samp"])
+            # --- pixel-major schedule: a lane owns one pixel and renders
+            # all its samples back-to-back; completed lanes were flushed +
+            # freed by the OUTER flush stage (the loop nests outer-while/
+            # inner-fori so the framebuffer scatter runs unconditionally
+            # once per flush_every iterations — a lax.cond here made XLA
+            # copy the image buffers every iteration).
+            pixel_cur = s["pixel"]
+            samp_cur = s["samp"]
 
             # assign fresh pixels to idle lanes
             idle = dead & (pixel_cur < 0)
@@ -612,17 +592,10 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             take = dead & (pixel_cur >= 0) & (samp_cur < spp)
             new_pixel = jnp.maximum(pixel_cur, 0)
             samp = samp_cur
-            flush = freed  # downstream acc handling keys on freed lanes
-            s = dict(s, image=image, next_work=next_work,
+            flush = jnp.zeros_like(dead)  # freeing lives in flush_stage
+            s = dict(s, next_work=next_work,
                      iter=s["iter"] + 1, pixel=pixel_cur,
-                     samp=jnp.where(take, samp_cur + 1, samp_cur),
-                     acc=acc_cur)
-            if cfg.aov:
-                s.update(
-                    image_alb=imgs[1], image_nrm=imgs[2],
-                    acc_alb=jnp.where(freed[:, None], 0.0, s["acc_alb"]),
-                    acc_nrm=jnp.where(freed[:, None], 0.0, s["acc_nrm"]),
-                )
+                     samp=jnp.where(take, samp_cur + 1, samp_cur))
         else:
             # --- sample-major: flush every dying path, refill immediately ---
             flush = dead & (s["pixel"] >= 0)
@@ -794,7 +767,40 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
             **aov_out,
         )
 
-    s = jax.lax.while_loop(cond, body, state)
+    if cfg.pool_pixel_major:
+        _IMG_KEYS = tuple(k for k, _a in _IMGS)
+
+        def flush_stage(s):
+            # unconditional scatter + free of completed lanes, once per
+            # outer iteration (unique-indices fast path: one lane per
+            # pixel; non-completed lanes drop OOB; global pixel id
+            # rebased into the local shard image)
+            completed = (~s["alive"] & (s["pixel"] >= 0)
+                         & (s["samp"] >= spp))
+            target = jnp.where(completed, s["pixel"] - pixel_base,
+                               n_pix + 1)
+            out = {
+                img_k: s[img_k].at[target].add(s[acc_k], mode="drop",
+                                               unique_indices=True)
+                for img_k, acc_k in _IMGS
+            }
+            out["pixel"] = jnp.where(completed, -1, s["pixel"])
+            out["samp"] = jnp.where(completed, 0, s["samp"])
+            for acc_k in _ACCS:
+                out[acc_k] = jnp.where(completed[:, None], 0.0, s[acc_k])
+            return dict(s, **out)
+
+        def outer(s):
+            s = flush_stage(s)
+            lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
+            lanes = jax.lax.fori_loop(
+                0, flush_every, lambda i, st: body(st), lanes,
+                unroll=False)
+            return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
+
+        s = jax.lax.while_loop(cond, outer, state)
+    else:
+        s = jax.lax.while_loop(cond, body, state)
     # final flush: the loop exits with all lanes dead but unflushed
     flush = s["pixel"] >= 0
     # global pixel id -> local shard row; idle lanes drop OOB
