@@ -63,10 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="walk-pool traversal rounds between shade "
                         "boundaries (0=auto by scene; keep a multiple "
                         "of 4, the round unroll)")
-    p.add_argument("--flush-every", type=int, default=8,
-                   help="pool schedule: framebuffer flush cadence (pixel-"
-                        "major lanes render all their samples between "
-                        "flushes)")
+    p.add_argument("--flush-every", type=int, default=0,
+                   help="pool schedule: framebuffer flush cadence, 0 = "
+                        "auto by frame/pool size (pixel-major lanes "
+                        "retire through a stash and refill immediately)")
     p.add_argument("--ambient", type=_vec3, default=(0.35, 0.35, 0.35),
                    help="ambient light for --renderer direct")
     p.add_argument("--light-sampler", choices=["uniform", "power"],
