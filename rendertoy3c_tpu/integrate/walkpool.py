@@ -185,7 +185,7 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
                                                motion=motion),
                   n_levels=n_levels, num_faces=itab.num_faces,
                   motion=motion, misc_w=misc_w, shadow_w=shadow_w,
-                  instanced=True)
+                  instanced=True, fanout=itab.fanout)
     if external_shade_eligible(iscene, cfg):
         from ..trace.pallas_shade import inst_attr_pack
 
@@ -421,6 +421,7 @@ def _walk_round_inst(tab, s, motion: bool = False):
     n_world = len(tab.world_starts)
     n_mesh = len(tab.mesh_starts)
     n_levels = n_world + n_mesh
+    fanout = tab.fanout
     level_lo = list(tab.world_starts) + list(tab.mesh_starts)
     level_hi = (list(tab.world_starts[1:]) + [tab.inst_start]
                 + list(tab.mesh_starts[1:]) + [tab.leaf_start])
@@ -430,7 +431,7 @@ def _walk_round_inst(tab, s, motion: bool = False):
     o_cur, d_cur = s["o_cur"], s["d_cur"]
     walking = cur >= 0
     r = cur.shape[0]
-    lane16 = jax.lax.iota(jnp.int32, FANOUT)[None, :]
+    lane16 = jax.lax.iota(jnp.int32, fanout)[None, :]
     inv_w = _safe_inv(d_w)
     inv_cur = _safe_inv(d_cur)
     tmin_c = rays[:, 6:7]
@@ -477,7 +478,7 @@ def _walk_round_inst(tab, s, motion: bool = False):
     # --- directory: slab-test children in the current space ---
     eff_t = jnp.where(wfound, 0.0, wb_t)
     cut = _prune_cut(eff_t)[:, None]
-    ent = _dir_entries(rows, o_cur, inv_cur, tmin_c, cut)
+    ent = _dir_entries(rows, o_cur, inv_cur, tmin_c, cut, fanout=fanout)
     is_dir = walking & ~is_leaf & ~is_inst
     ents = list(s["ents"])
     bases = list(s["bases"])
@@ -498,7 +499,7 @@ def _walk_round_inst(tab, s, motion: bool = False):
         e_min = jnp.min(ee, axis=1)
         has = (e_min < _BIG) & walking & ~is_inst & (nxt < 0) & ~done_now
         at2 = ee <= e_min[:, None]
-        j = jnp.min(jnp.where(at2, lane16, FANOUT), axis=1)
+        j = jnp.min(jnp.where(at2, lane16, fanout), axis=1)
         nxt = jnp.where(has, bases[lv] + j, nxt)
         pop_lv = jnp.where(has, lv, pop_lv)
         taken = has[:, None] & (lane16 == j[:, None])

@@ -31,6 +31,7 @@ pallas_instanced kernels.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -42,14 +43,47 @@ from .hierwalk import (
     _BIG,
     _WALK_CHUNK,
     FANOUT,
+    FANOUT32,
     HIER_LEAF,
     ROW,
+    _bf16_outward,
     _dir_entries,
     _leaf_mt,
+    _pack_bf16_lohi,
     _prune_cut,
     _safe_inv,
 )
 from .intersect import Hit
+
+import os as _os
+
+# Directory fanout for instanced tables: 16 = f32 boxes, 32 = bf16-packed;
+# 0 = auto (32 only when the 16-ary table would exceed 4 levels — the
+# level cut then unlocks the walk pool's x4 unroll + inline shadow gate:
+# 562k-eff instance field 11.0 -> 12.8, motion 9.8 -> 11.1 Mray/s on v5e.
+# SHALLOW tables keep 16: the small trace-time cornell config measured
+# 27.2 -> 16.9 at forced 32 — bf16-loosened boxes over heavily
+# overlapping instance shells cost more visits than the unpack saves).
+INST_DIR_FANOUT = int(_os.environ.get("RT3C_INST_DIR_FANOUT", "0"))
+
+
+def _levels_at(n: int, fanout: int) -> int:
+    lv = 0
+    while n > 1:
+        n = -(-n // fanout)
+        lv += 1
+    return max(lv, 1)
+
+
+def _resolve_inst_fanout(iscene) -> int:
+    f = INST_DIR_FANOUT
+    if f == 0:  # auto by 16-ary depth (see INST_DIR_FANOUT)
+        mesh_lv16 = max(
+            _levels_at(-(-cnt // HIER_LEAF), FANOUT)
+            for _start, cnt in iscene.mesh_ranges)
+        depth16 = _levels_at(iscene.num_instances, FANOUT) + mesh_lv16
+        f = FANOUT32 if depth16 > 4 else FANOUT
+    return f
 
 # row lane map (extends hierwalk's; tri lanes fill 0..125 at HIER_LEAF=14)
 _L_FIRST = 126   # child pointer / leaf first-face id (f32, exact)
@@ -58,17 +92,26 @@ _L_INST_M = 24   # motion instance row: id (lanes 0-11/12-23 = m0/m1 FWD)
 _L_TYPE = 127    # 0 = directory, 1 = leaf, 2 = instance
 
 
-class InstHierTable(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InstHierTable:
     table: jnp.ndarray      # [N, 128] f32
-    world_starts: tuple     # static: first row id of each WORLD dir level
-    inst_start: int         # static: first instance row id
-    mesh_starts: tuple      # static: first row id of each MESH dir level
-    leaf_start: int         # static: first leaf row id
-    num_faces: int          # padded object-space face-axis length
-    motion: bool = False    # 2-key matrix motion: instance rows carry both
-    #                         FORWARD keys; the walk inverts the lerp per
-    #                         ray (trace/instanced.py _lerp_minv semantics,
-    #                         cuda_accel.h matrix motion transforms)
+    # static metadata (shape-defining: level unrolls, fanout-wide iotas)
+    world_starts: tuple = dataclasses.field(metadata=dict(static=True))
+    inst_start: int = dataclasses.field(metadata=dict(static=True))
+    mesh_starts: tuple = dataclasses.field(metadata=dict(static=True))
+    leaf_start: int = dataclasses.field(metadata=dict(static=True))
+    num_faces: int = dataclasses.field(metadata=dict(static=True))
+    # 2-key matrix motion: instance rows carry both FORWARD keys; the
+    # walk inverts the lerp per ray (trace/instanced.py _lerp_minv
+    # semantics, cuda_accel.h matrix motion transforms)
+    motion: bool = dataclasses.field(metadata=dict(static=True),
+                                     default=False)
+    # directory fanout (FANOUT32 = bf16 lo-hi packed boxes; halves the
+    # world+mesh level count, unlocking the walk pool's x4 round unroll
+    # and inline shadow gate on big instance fields)
+    fanout: int = dataclasses.field(metadata=dict(static=True),
+                                    default=FANOUT)
 
 
 def _inv3(m):
@@ -117,7 +160,7 @@ def _inst_space(rows, o_w, d_w, time, motion: bool):
     return o_t, d_t, rows[:, _L_INST_M]
 
 
-def _mesh_subtree(v0, e1, e2, first_face):
+def _mesh_subtree(v0, e1, e2, first_face, fanout=FANOUT):
     """Leaf rows + bottom-up FANOUT levels for one mesh (object space).
 
     Returns (levels, leaf_rows, leaf_lo, leaf_hi) where levels is a list
@@ -151,14 +194,14 @@ def _mesh_subtree(v0, e1, e2, first_face):
     levels = []
     lo, hi, cnt = leaf_lo, leaf_hi, n_leaf
     while cnt > 1:
-        n_dir = -(-cnt // FANOUT)
-        pad = n_dir * FANOUT
+        n_dir = -(-cnt // fanout)
+        pad = n_dir * fanout
         glo = np.full((pad, 3), _BIG, np.float32)
         ghi = np.full((pad, 3), _BIG, np.float32)  # degenerate far boxes
         glo[:cnt] = lo
         ghi[:cnt] = hi
-        clo = glo.reshape(n_dir, FANOUT, 3)
-        chi = ghi.reshape(n_dir, FANOUT, 3)
+        clo = glo.reshape(n_dir, fanout, 3)
+        chi = ghi.reshape(n_dir, fanout, 3)
         levels.insert(0, (clo, chi))
         real = (clo[:, :, 0] < _BIG)[:, :, None]
         lo = np.where(real, clo, _BIG).min(axis=1).astype(np.float32)
@@ -213,8 +256,9 @@ def split_order_instanced(iscene):
     inst = iscene.instances
     ilo = np.asarray(inst.aabb_lo)
     ihi = np.asarray(inst.aabb_hi)
-    iperm = (sah_split_perm(ilo, ihi, FANOUT)
-             if iscene.num_instances > FANOUT
+    ifan = _resolve_inst_fanout(iscene)
+    iperm = (sah_split_perm(ilo, ihi, ifan)
+             if iscene.num_instances > ifan
              else np.arange(iscene.num_instances))
     inst = inst._replace(
         mesh_id=jnp.asarray(np.asarray(inst.mesh_id)[iperm]),
@@ -229,7 +273,8 @@ def split_order_instanced(iscene):
                                instance_mesh=imesh)
 
 
-def build_inst_hier_table(iscene) -> InstHierTable:
+def build_inst_hier_table(iscene, fanout: int | None = None
+                          ) -> InstHierTable:
     """Host-side build: world levels over instance AABBs, instance rows,
     shared per-mesh object-space subtrees.
 
@@ -238,6 +283,10 @@ def build_inst_hier_table(iscene) -> InstHierTable:
     stay valid for any t because inst.aabb_lo/hi union the key boxes and
     a lerped affine maps each point along a segment inside that union
     (scene/instanced.py:44-45; cuda_accel.h motion IAS semantics)."""
+    if fanout is None:
+        fanout = _resolve_inst_fanout(iscene)
+    if fanout not in (FANOUT, FANOUT32):
+        raise ValueError(f"fanout must be {FANOUT} or {FANOUT32}")
     g = iscene.geom
     inst = iscene.instances
     n_inst = iscene.num_instances
@@ -256,21 +305,22 @@ def build_inst_hier_table(iscene) -> InstHierTable:
         real = ~((np.abs(v0).sum(1) == 0) & (np.abs(e1).sum(1) == 0)
                  & (np.abs(e2).sum(1) == 0))
         nf = max(1, int(real.sum()))
-        mesh_sub.append(_mesh_subtree(v0[:nf], e1[:nf], e2[:nf], start))
+        mesh_sub.append(_mesh_subtree(v0[:nf], e1[:nf], e2[:nf], start,
+                                      fanout=fanout))
     mesh_depth = max(len(levels) for levels, *_ in mesh_sub)
 
     # world levels over instances (bottom-up FANOUT grouping)
     wlevels = []
     lo, hi, cnt = ilo, ihi, n_inst
     while cnt > 1:
-        n_dir = -(-cnt // FANOUT)
-        pad = n_dir * FANOUT
+        n_dir = -(-cnt // fanout)
+        pad = n_dir * fanout
         glo = np.full((pad, 3), _BIG, np.float32)
         ghi = np.full((pad, 3), _BIG, np.float32)
         glo[:cnt] = lo
         ghi[:cnt] = hi
-        clo = glo.reshape(n_dir, FANOUT, 3)
-        chi = ghi.reshape(n_dir, FANOUT, 3)
+        clo = glo.reshape(n_dir, fanout, 3)
+        chi = ghi.reshape(n_dir, fanout, 3)
         wlevels.insert(0, (clo, chi))
         real = (clo[:, :, 0] < _BIG)[:, :, None]
         lo = np.where(real, clo, _BIG).min(axis=1).astype(np.float32)
@@ -278,8 +328,8 @@ def build_inst_hier_table(iscene) -> InstHierTable:
         hi = np.where(lo < _BIG, hi, _BIG)
         cnt = n_dir
     if not wlevels:  # single instance: a 1-child root directory
-        clo = np.full((1, FANOUT, 3), _BIG, np.float32)
-        chi = np.full((1, FANOUT, 3), _BIG, np.float32)
+        clo = np.full((1, fanout, 3), _BIG, np.float32)
+        chi = np.full((1, fanout, 3), _BIG, np.float32)
         clo[0, 0] = ilo[0]
         chi[0, 0] = ihi[0]
         wlevels = [(clo, chi)]
@@ -323,11 +373,18 @@ def build_inst_hier_table(iscene) -> InstHierTable:
     def fill_dir(base, clo, chi, child_base):
         n_dir = clo.shape[0]
         rows = table[base:base + n_dir]
-        for c in range(3):
-            rows[:, c * FANOUT:(c + 1) * FANOUT] = clo[:, :, c]
-            rows[:, (c + 3) * FANOUT:(c + 4) * FANOUT] = chi[:, :, c]
+        if fanout == FANOUT32:
+            # bf16 lo-hi pairs, one child per f32 lane (hierwalk packing)
+            for c in range(3):
+                rows[:, c * fanout:(c + 1) * fanout] = _pack_bf16_lohi(
+                    _bf16_outward(clo[:, :, c], up=False),
+                    _bf16_outward(chi[:, :, c], up=True))
+        else:
+            for c in range(3):
+                rows[:, c * fanout:(c + 1) * fanout] = clo[:, :, c]
+                rows[:, (c + 3) * fanout:(c + 4) * fanout] = chi[:, :, c]
         rows[:, _L_FIRST] = (child_base
-                             + FANOUT * np.arange(n_dir, dtype=np.float32))
+                             + fanout * np.arange(n_dir, dtype=np.float32))
         rows[:, _L_TYPE] = 0.0
 
     # world dirs: children of level i are level i+1 rows (or instances)
@@ -371,6 +428,7 @@ def build_inst_hier_table(iscene) -> InstHierTable:
         leaf_start=leaf_start,
         num_faces=int(g.mat_id.shape[0]),
         motion=motion,
+        fanout=fanout,
     )
 
 
@@ -390,7 +448,8 @@ def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool,
     n_mesh = len(tab.mesh_starts)
     inv_w = _safe_inv(d)
     tmin_c = tmin[:, None]
-    lane16 = jax.lax.iota(jnp.int32, FANOUT)[None, :]
+    fanout = tab.fanout
+    lane16 = jax.lax.iota(jnp.int32, fanout)[None, :]
 
     # directory level id ranges: world levels then mesh levels
     level_lo = list(tab.world_starts) + list(tab.mesh_starts)
@@ -408,7 +467,7 @@ def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool,
         best_u=jnp.zeros((r,), jnp.float32),
         best_v=jnp.zeros((r,), jnp.float32),
         found=jnp.zeros((r,), bool),
-        ents=[jnp.full((r, FANOUT), jnp.float32(_BIG))
+        ents=[jnp.full((r, fanout), jnp.float32(_BIG))
               for _ in range(n_levels)],
         bases=[jnp.zeros((r,), jnp.int32) for _ in range(n_levels)],
     )
@@ -468,7 +527,8 @@ def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool,
         # --- directory: slab-test children in the current space ---
         ent = _dir_entries(rows, o_cur, inv_cur, tmin_c,
                            _prune_cut(jnp.where(found, 0.0, best_t)
-                                      if any_mode else best_t)[:, None])
+                                      if any_mode else best_t)[:, None],
+                           fanout=fanout)
         is_dir = valid & ~is_leaf & ~is_inst
         ents = list(s["ents"])
         bases = list(s["bases"])
@@ -491,7 +551,7 @@ def _walk_inst(tab: InstHierTable, o, d, tmin, tmax, live, any_mode: bool,
             e_min = jnp.min(ee, axis=1)
             has = (e_min < _BIG) & valid & ~is_inst & (nxt < 0) & ~done_now
             at_min = ee <= e_min[:, None]
-            j = jnp.min(jnp.where(at_min, lane16, FANOUT), axis=1)
+            j = jnp.min(jnp.where(at_min, lane16, fanout), axis=1)
             nxt = jnp.where(has, bases[lv] + j, nxt)
             pop_lv = jnp.where(has, lv, pop_lv)
             taken = has[:, None] & (lane16 == j[:, None])
