@@ -336,7 +336,7 @@ def run_config_suite(cfg_kwargs, warmup, timed):
 
     from rendertoy3c_tpu.film.film import film_create
     from rendertoy3c_tpu.integrate.config import RenderConfig
-    from rendertoy3c_tpu.integrate.path import make_render_fn
+    from rendertoy3c_tpu.integrate.path import _next_pow2, make_render_fn
     from rendertoy3c_tpu.scene.builtin import cornell_box
     from rendertoy3c_tpu.scene.instanced import build_instanced_scene
     from rendertoy3c_tpu.scene.material import Material
@@ -379,7 +379,11 @@ def run_config_suite(cfg_kwargs, warmup, timed):
         rounds = int(stats.walk_rounds)
         if rounds > 0:
             rays = int(stats.radiance_rays) + int(stats.shadow_rays)
-            pool_w = min(cfg_c.ray_block, cfg_c.width * cfg_c.height * spp)
+            # mirror the integrator's pool sizing (walkpool.py:544-546:
+            # next_pow2 + the RAY_TILE=256 floor), not the raw pixel count
+            pool_w = max(min(cfg_c.ray_block,
+                             _next_pow2(cfg_c.width * cfg_c.height * spp)),
+                         256)
             rows = rounds * pool_w
             gather_floor_s = rows * 3e-9
             results[name].update({

@@ -382,8 +382,34 @@ def main(argv=None) -> int:
     film = make_film()
 
     if args.resume:
+        if args.num_hosts > 1:
+            # a host-local film cannot be rebuilt into the multihost tile
+            # sharding; fail fast instead of crashing at step time
+            print("--resume is not supported with --num-hosts > 1",
+                  file=sys.stderr)
+            return 2
         film = load_checkpoint(args.resume, cfg)
         print(f"resumed at subframe {int(film.subframe_index)}")
+
+    def _save_ckpt(path, film_now):
+        """Checkpoint save that works on multihost-sharded films: assemble
+        over DCN (collective — every process calls this), host 0 writes."""
+        if film_now.accum.is_fully_addressable:
+            save_checkpoint(path, film_now, cfg)
+            return
+        from ..film.film import Film as _Film
+        from ..parallel.multihost import assemble_film
+
+        gathered = _Film(
+            accum=assemble_film(film_now.accum),
+            subframe_index=np.asarray(film_now.subframe_index),
+            albedo=(None if film_now.albedo is None
+                    else assemble_film(film_now.albedo)),
+            normal=(None if film_now.normal is None
+                    else assemble_film(film_now.normal)),
+        )
+        if jax.process_index() == 0:
+            save_checkpoint(path, gathered, cfg)
 
     if args.interactive or args.turntable:
         from .viewer import Viewer
@@ -425,7 +451,7 @@ def main(argv=None) -> int:
         total_rays += int(stats.radiance_rays) + int(stats.shadow_rays)
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
             with timers.phase("checkpoint"):
-                save_checkpoint(args.checkpoint or "film.ckpt.npz", film, cfg)
+                _save_ckpt(args.checkpoint or "film.ckpt.npz", film)
         if args.stats:
             line = timers.maybe_report()
             if line:
@@ -434,7 +460,7 @@ def main(argv=None) -> int:
     render_dt = time.perf_counter() - render_t0
 
     if args.checkpoint:
-        save_checkpoint(args.checkpoint, film, cfg)
+        _save_ckpt(args.checkpoint, film)
 
     with timers.phase("save"):
         accum_dev = film.accum
@@ -454,12 +480,17 @@ def main(argv=None) -> int:
                 ) * alb
             else:
                 accum_dev = atrous_denoise(accum_dev, iterations=args.denoise)
+        albedo_dev, normal_dev = film.albedo, film.normal
         if not accum_dev.is_fully_addressable:
             # multi-host: tile shards live on other hosts; allgather over
-            # DCN (parallel/multihost.py), then only host 0 writes files
+            # DCN (parallel/multihost.py) — collectives run on EVERY
+            # process, then only host 0 writes files
             from ..parallel.multihost import assemble_film
 
             accum_dev = assemble_film(accum_dev)
+            if cfg.aov:
+                albedo_dev = assemble_film(albedo_dev)
+                normal_dev = assemble_film(normal_dev)
             if jax.process_index() != 0:
                 return 0
         accum = np.asarray(accum_dev)[::-1]  # film row 0 is image bottom
@@ -467,7 +498,7 @@ def main(argv=None) -> int:
 
         if cfg.aov:
             stem, ext = _os.path.splitext(out)
-            for name, buf in (("albedo", film.albedo), ("normal", film.normal)):
+            for name, buf in (("albedo", albedo_dev), ("normal", normal_dev)):
                 img = np.asarray(buf)[::-1]
                 path = f"{stem}.{name}{ext or '.png'}"
                 if path.endswith(".exr"):

@@ -46,7 +46,7 @@ _INV_PI = 1.0 / math.pi
 def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
                  direction, point_lights, ambient, count=None,
                  shadow_transmission=None, checker=False,
-                 prim_override=None):
+                 prim_override=None, lane_mask=None):
     """Vectorized whitted closest-hit (whitted.cu:149-289). Returns
     (rgb [R,3], shadow_ray_count).
 
@@ -136,6 +136,10 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
         ldir = lvec / jnp.maximum(ldist, 1e-20)[:, None]
         n_dl = dot(ns, ldir)
         want = hit.mask & (n_dl > 0.0)
+        if lane_mask is not None:
+            # glass continuation passes restrict shading (and the shadow-ray
+            # count) to their live lanes; the pool traces full-width
+            want = want & lane_mask
         if shadow_transmission is not None:
             trans = shadow_transmission(
                 p, ldir, cfg.shadow_tmin, ldist - cfg.shadow_tmax_eps
@@ -217,15 +221,22 @@ def trace_closest_alpha(scene, trace_closest, o, d, tmin, tmax, time,
 
 def trace_shadow_transmission(scene, trace_closest, o, d, tmin, tmax, time,
                               max_layers: int = 8):
-    """Fractional shadow visibility through MASK/BLEND surfaces.
+    """Fractional shadow visibility through MASK/BLEND/glass surfaces.
 
-    The reference's occlusion anyhit (whitted.cu:113-137): an OPAQUE hit
-    blocks outright; a MASK hit below its cutoff is ignored; any other
-    non-opaque hit multiplies the carried attenuation by (1 - alpha) and
-    continues while the product stays positive. Expressed here as wavefront
-    re-trace iterations walking hits front to back (up to max_layers; deeper
-    stacks keep the partial product, an invisible bias for real scenes)."""
+    The reference's occlusion anyhits: an OPAQUE hit blocks outright; a
+    MASK hit below its cutoff is ignored; any other non-opaque alpha hit
+    multiplies the carried attenuation by (1 - alpha) and continues while
+    the product stays positive (whitted.cu:113-137). A
+    FRESNEL_TRANSMISSIVE hit multiplies by
+    1 - fresnel_schlick(|N.D|, 5, 1 - shadow_attenuation, 1) and continues
+    until the product drops below the glass importance cutoff (>99%
+    blocked -> testing done, cuda/shading.cu:327-352). Expressed here as
+    wavefront re-trace iterations walking hits front to back (up to
+    max_layers; deeper stacks keep the partial product, an invisible bias
+    for real scenes)."""
     r = o.shape[0]
+    g = scene.geom
+    mat = scene.materials
     trans = jnp.ones((r,), jnp.float32)
     walking = jnp.ones((r,), bool)
     tmin_cur = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -233,13 +244,27 @@ def trace_shadow_transmission(scene, trace_closest, o, d, tmin, tmax, time,
         hit = trace_closest(o, d, tmin_cur, tmax, time)
         live = walking & hit.mask
         a, mask_lane, blend_lane, cutoff = _sampled_alpha(scene, hit)
-        opaque_lane = ~(mask_lane | blend_lane)
+        prim = jnp.maximum(hit.prim, 0)
+        mid = g.mat_id[prim]
+        glass_lane = mat.mtype[mid] == int(MaterialType.FRESNEL_TRANSMISSIVE)
+        opaque_lane = ~(mask_lane | blend_lane | glass_lane)
         mask_pass = mask_lane & (a < cutoff)  # cutout texel: no attenuation
         # opaque hit: fully blocked, stop walking this lane
         trans = jnp.where(live & opaque_lane, 0.0, trans)
-        attenuate = live & ~opaque_lane & ~mask_pass
+        attenuate = live & ~opaque_lane & ~glass_lane & ~mask_pass
         trans = jnp.where(attenuate, trans * (1.0 - a), trans)
-        walking = live & ~opaque_lane & (trans > 0.0)
+        # glass shell: fresnel-graded attenuation on |N.D| (shading.cu:340)
+        w0 = (1.0 - hit.u - hit.v)[:, None]
+        nrm = normalize(w0 * g.n0[0, prim] + hit.u[:, None] * g.n1[0, prim]
+                        + hit.v[:, None] * g.n2[0, prim])
+        n_di = jnp.abs(dot(nrm, d))
+        sa = mat.shadow_att[mid]
+        glass_f = 1.0 - ((1.0 - sa) + sa * (1.0 - n_di) ** 5.0)
+        trans = jnp.where(live & glass_lane, trans * glass_f, trans)
+        # glass lanes stop early once >99% blocked (importance cutoff);
+        # alpha lanes walk while any light remains
+        limit = jnp.where(glass_lane, _GLASS_IMPORTANCE_CUTOFF, 0.0)
+        walking = live & ~opaque_lane & (trans > limit)
         tmin_cur = jnp.where(walking, hit.t, tmin_cur)
     return trans
 
@@ -275,7 +300,11 @@ _GLASS_IMPORTANCE_CUTOFF = 0.01
 _GLASS_CUTOFF_COLOR = (0.34, 0.55, 0.85)
 _GLASS_MAXDEPTH = 3      # refraction_maxdepth == reflection_maxdepth
 _GLASS_STACK = 4
-_GLASS_ITERS = 7         # tree nodes at depth 3: 1 + 2 + 4
+# Full binary recursion tree at maxdepth 3: 1 + 2 + 4 internal nodes PLUS
+# the 8 depth-3 continuation rays the reference still traces and shades
+# (traceRadianceRay at depth+1 == 3 from depth-2 hits, shading.cu:300-316);
+# one pool iteration processes one tree node per lane.
+_GLASS_ITERS = 15
 
 
 def _glass_radiance(scene, cfg, tracer_pair, shade_cb, org, dirn, hit0, bg):
@@ -338,11 +367,16 @@ def _glass_radiance(scene, cfg, tracer_pair, shade_cb, org, dirn, hit0, bg):
         fres = (_GLASS_FRESNEL_MIN
                 + (_GLASS_FRESNEL_MAX - _GLASS_FRESNEL_MIN)
                 * (1.0 - cos_f) ** _GLASS_FRESNEL_EXP)
-        refl = jnp.where(refract_ok, fres, 1.0)  # TIR -> all reflection
+        depth_ok = live & (depth < min(_GLASS_MAXDEPTH, cfg.max_depth - 1))
+        # reflection stays 1.0 on TIR AND when the refraction depth check
+        # fails (the reference's refraction block — including the fresnel
+        # assignment — is skipped entirely at depth exhaustion,
+        # shading.cu:280-306, so depth-capped hits contribute
+        # 1.0 * cutoff_color * beer)
+        refl = jnp.where(refract_ok & depth_ok, fres, 1.0)
 
         w_refl = w * refl[:, None] * beer
         w_refr = w * (1.0 - refl)[:, None] * beer
-        depth_ok = live & (depth < min(_GLASS_MAXDEPTH, cfg.max_depth - 1))
         go_refl = depth_ok & (luminance(w_refl) > _GLASS_IMPORTANCE_CUTOFF)
         go_refr = (depth_ok & refract_ok
                    & (luminance(w_refr) > _GLASS_IMPORTANCE_CUTOFF))
@@ -463,7 +497,9 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                     | trace_prims_any(scene.prims, o, d, tn, tx))
 
     shadow_transmission = None
-    if alpha_masked or alpha_blended:
+    if alpha_masked or alpha_blended or any_glass:
+        # glass scenes need the fractional probe: FRESNEL_TRANSMISSIVE
+        # casters attenuate shadows instead of blocking (shading.cu:327-352)
         time0_s = jnp.zeros((n,), jnp.float32)
 
         def shadow_transmission(p, ldir, tn, tx):
@@ -520,7 +556,7 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                     return shade_direct(
                         scene, cfg, trace_any, h2, o2, d2, point_lights,
                         ambient, shadow_transmission=shadow_transmission,
-                        checker=checker,
+                        checker=checker, lane_mask=mask2,
                     )
                 glass_rgb, glass_lane, n_sh_g = _glass_radiance(
                     scene, cfg, (trace_closest, trace_any), _shade_cb,

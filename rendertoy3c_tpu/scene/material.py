@@ -37,6 +37,13 @@ class Material:
     anisotropy: float = 0.0
     ior: float = 1.333
     transmittance: float = 0.0
+    # Glass shadow attenuation (cuda/MaterialData.h:107 float3
+    # shadow_attenuation; scalar grey here like `transmittance`). Shadow
+    # probes through FRESNEL_TRANSMISSIVE surfaces multiply visibility by
+    # 1 - fresnel_schlick(|N.D|, 5, 1 - shadow_attenuation, 1)
+    # (cuda/shading.cu:340). The reference ships no host initializer for
+    # the whitted glass records; 0.4 is the classic OptiX sample value.
+    shadow_attenuation: float = 0.4
     normal_texture_id: int = -1
     # Principled-BSDF extras (reference roadmap item, README.md:17)
     metallic: float = 0.0
@@ -90,6 +97,7 @@ class MaterialTable(NamedTuple):
     metallic: jnp.ndarray  # [M] f32
     ior: jnp.ndarray  # [M] f32
     transmittance: jnp.ndarray  # [M] f32
+    shadow_att: jnp.ndarray  # [M] f32 glass shadow attenuation
     anisotropy: jnp.ndarray  # [M] f32
     sheen: jnp.ndarray  # [M] f32
     clearcoat: jnp.ndarray  # [M] f32
@@ -121,6 +129,7 @@ def build_material_table(materials: Sequence[Material]) -> MaterialTable:
         metallic=f32([m.metallic for m in materials]),
         ior=f32([m.ior for m in materials]),
         transmittance=f32([m.transmittance for m in materials]),
+        shadow_att=f32([m.shadow_attenuation for m in materials]),
         anisotropy=f32([m.anisotropy for m in materials]),
         sheen=f32([m.sheen for m in materials]),
         clearcoat=f32([m.clearcoat for m in materials]),

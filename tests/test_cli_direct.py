@@ -65,3 +65,63 @@ def test_direct_glass_recursion_sees_through():
     assert 0.4 * c_ref < c_glass < 1.05 * c_ref
     # pixels outside the slab are identical
     np.testing.assert_allclose(img[:2], ref[:2], atol=1e-5)
+
+
+def test_direct_glass_shadow_attenuation():
+    """Glass occlusion anyhit parity (cuda/shading.cu:327-352): a
+    FRESNEL_TRANSMISSIVE caster between a point light and the floor
+    multiplies shadow visibility by 1 - fresnel_schlick(|N.D|, 5,
+    1 - shadow_attenuation, 1) per shell and continues the probe — a
+    TRANSLUCENT shadow, strictly between the unshadowed floor and the
+    opaque-caster shadow."""
+    import numpy as np
+
+    from rendertoy3c_tpu.film.film import film_create
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.direct import make_direct_render_fn
+    from rendertoy3c_tpu.io.gltf import PointLight
+    from rendertoy3c_tpu.scene.builtin import box_mesh
+    from rendertoy3c_tpu.scene.camera import Camera
+    from rendertoy3c_tpu.scene.material import Material, MaterialType
+    from rendertoy3c_tpu.scene.scene import build_scene
+
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=1,
+                       max_depth=6, ray_block=576)
+    floor = box_mesh([-2.0, -0.2, -2.0], [2.0, 0.0, 2.0],
+                     Material(diffuse=(0.8, 0.8, 0.8)))
+    light = PointLight(position=(0.0, 3.0, 0.0), intensity=6.0)
+    # low camera: view rays to the floor center pass UNDER the caster
+    # (caster sits at y in [0.9, 1.1]), so the center pixel shows the
+    # floor's shadowed shading, not the glass surface
+    cam = Camera(eye=(0.0, 0.55, 2.2), lookat=(0.0, 0.0, 0.0),
+                 up=(0.0, 1.0, 0.0), fov_y=50.0, aspect_ratio=1.0)
+
+    def render(extra, shadow_att=0.4):
+        caster = [] if extra is None else [box_mesh(
+            [-0.6, 0.9, -0.6], [0.6, 1.1, 0.6],
+            Material(material_type=extra, ior=1.1, transmittance=0.9,
+                     shadow_attenuation=shadow_att))]
+        scene = build_scene([floor] + caster)
+        step = make_direct_render_fn(scene, cfg, point_lights=[light],
+                                     ambient=(0.0, 0.0, 0.0))
+        film, _ = step(cam.params(), film_create(cfg.height, cfg.width))
+        return np.asarray(film.accum)
+
+    open_img = render(None)
+    opaque_img = render(MaterialType.DIFFUSE)
+    glass_img = render(MaterialType.FRESNEL_TRANSMISSIVE)
+    # the floor center sits in the caster's shadow footprint
+    c = slice(10, 14)
+    lit = open_img[c, c].mean()
+    dark = opaque_img[c, c].mean()
+    glassy = glass_img[c, c].mean()
+    assert dark < 0.15 * lit            # opaque caster: hard shadow
+    assert 1.2 * dark < glassy < 0.95 * lit  # glass: partial shadow
+    # normal-incidence factor: two shells of 1 - fresnel_schlick(1, 5,
+    # 1-sa, 1) = sa each => per-pixel shadowed visibility ~= sa^2, so the
+    # window mean obeys (glassy - dark) / (lit - dark) = sa^2 regardless
+    # of the fraction of fully-lit pixels in the window
+    assert abs((glassy - dark) / (lit - dark) - 0.4 ** 2) < 0.06
+    # a higher shadow_attenuation lets MORE light through
+    lighter = render(MaterialType.FRESNEL_TRANSMISSIVE, shadow_att=0.8)
+    assert lighter[c, c].mean() > glassy

@@ -325,6 +325,89 @@ def test_instanced_motion_kernel_path():
                                rtol=2e-3, atol=2e-3)
 
 
+def _grid_mesh(n=43, mat=None):
+    """Single plane mesh of n*n cells (2 tris each) — deep enough that its
+    16-ary mesh subtree needs 3 levels (ceil(n*n*2/14) > 256 leaves)."""
+    xs = np.linspace(-2.0, 2.0, n + 1, dtype=np.float32)
+    vv, uu = np.meshgrid(xs, xs, indexing="ij")
+    verts = np.stack([uu, 0.08 * np.sin(3 * uu) * np.cos(3 * vv), vv],
+                     axis=-1).reshape(-1, 3)
+    idx = np.arange((n + 1) * (n + 1)).reshape(n + 1, n + 1)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[1:, :-1].ravel()
+    faces = np.concatenate(
+        [np.stack([a, b, c], 1), np.stack([a, c, d], 1)]).astype(np.int32)
+    return Mesh(vertices=verts[None], indices=faces,
+                material=mat or Material(diffuse=(0.6, 0.6, 0.6)))
+
+
+def _deep_instance_field(n_inst=18, seed=17):
+    """>4-level-at-16 instance scene: 3 mesh levels + 2 world levels."""
+    rng = np.random.default_rng(seed)
+    meshes = [_grid_mesh()]
+    inst = []
+    for _ in range(n_inst):
+        ang = rng.uniform(0, 2 * np.pi)
+        cc, ss = np.cos(ang), np.sin(ang)
+        sc = rng.uniform(0.5, 1.5)
+        t = np.asarray([[cc * sc, 0, ss * sc, rng.uniform(-10, 10)],
+                        [0, sc, 0, rng.uniform(0, 4)],
+                        [-ss * sc, 0, cc * sc, rng.uniform(-10, 10)]],
+                       np.float32)
+        inst.append(Instance(mesh_index=0, transforms=t))
+    return build_instanced_scene(meshes, inst)
+
+
+def test_inst_fanout_auto_resolution():
+    """_resolve_inst_fanout picks 32 only past 4 16-ary levels (the auto
+    rule behind the 562k instance-field win; forced-32 on the shallow
+    trace-time cornell measured 27.2 -> 16.9, ROADMAP)."""
+    from rendertoy3c_tpu.trace.hier_instanced import (
+        _resolve_inst_fanout, build_inst_hier_table,
+    )
+    from rendertoy3c_tpu.trace.hierwalk import FANOUT, FANOUT32
+
+    shallow, _cam = _instanced_cornell()
+    assert _resolve_inst_fanout(shallow) == FANOUT
+    deep = _deep_instance_field()
+    assert _resolve_inst_fanout(deep) == FANOUT32
+    tab = build_inst_hier_table(split_order_instanced(deep))
+    assert tab.fanout == FANOUT32
+
+
+def test_inst_fanout32_deep_field_exact():
+    """The 32-ary bf16-packed instanced table (the deep-field default
+    since r3) returns EXACTLY the unrolled instance loop's (t, prim,
+    inst) + occlusion: bf16 boxes round outward, so culling only
+    loosens (trace/hier_instanced.py:60-90)."""
+    _check(_deep_instance_field(), n_rays=512, seed=23, span=10.0)
+
+
+def test_inst_fanout32_matches_fanout16():
+    """Same deep field, forced 16-ary vs auto 32-ary tables: identical
+    hits lane for lane."""
+    import jax.numpy as jnp
+
+    from rendertoy3c_tpu.trace.hier_instanced import (
+        build_inst_hier_table, trace_closest_inst_hier,
+    )
+    from rendertoy3c_tpu.trace.hierwalk import FANOUT, FANOUT32
+
+    iscene = split_order_instanced(_deep_instance_field())
+    t16 = build_inst_hier_table(iscene, fanout=FANOUT)
+    t32 = build_inst_hier_table(iscene, fanout=FANOUT32)
+    assert t16.fanout == FANOUT and t32.fanout == FANOUT32
+    o, d = _rand_rays(512, -10.0, 10.0, 29)
+    h16 = trace_closest_inst_hier(t16, o, d, 1e-3, 1e16)
+    h32 = trace_closest_inst_hier(t32, o, d, 1e-3, 1e16)
+    np.testing.assert_array_equal(np.asarray(h16.prim), np.asarray(h32.prim))
+    np.testing.assert_array_equal(np.asarray(h16.inst), np.asarray(h32.inst))
+    np.testing.assert_allclose(np.asarray(h16.t), np.asarray(h32.t),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_auto_ladder_picks_inst_hierwalk():
     from rendertoy3c_tpu.integrate.config import RenderConfig
     from rendertoy3c_tpu.trace.auto import choose_tracer, tune_config
