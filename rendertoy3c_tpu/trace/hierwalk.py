@@ -62,6 +62,12 @@ FANOUT = 16       # children per directory row (6*16 = 96 lanes of boxes)
 # 2^-7 relative before the bf16 cast, so culling stays conservative; leaf
 # rows stay exact f32 (MT parity unchanged).
 FANOUT32 = 32
+# 20-ary EXACT-f32 directories: 6*20 = 120 box lanes still fit under the
+# pointer pair. One less level than 16-ary on tables whose leaf count
+# lands between 16^(L-1) and 20^(L-1) (the 1M town: 5 -> 4 levels, which
+# unlocks the walk pool's x4 round unroll + inline shadow gate) WITHOUT
+# FANOUT32's bf16 box loosening (its measured giveback, ROADMAP r3).
+FANOUT20 = 20
 ROW = 128
 _BIG = 1e30
 _DET_EPS = 1e-10
@@ -114,18 +120,53 @@ def _pack_bf16_lohi(lo16: np.ndarray, hi16: np.ndarray) -> np.ndarray:
     return u32.view(np.float32)
 
 
+def _dir_half_area_sum(leaf_lo, leaf_hi, fanout: int) -> float:
+    """Sum of directory-node half-areas for a candidate fanout — the
+    visit-probability proxy behind the fanout auto-pick (P(ray visits
+    node) ~ HA(node); leaves contribute identically for every fanout).
+    Mirrors the bottom-up union in build_hier_table."""
+    lo, hi = leaf_lo, leaf_hi
+    total = 0.0
+    while lo.shape[0] > 1:
+        m = lo.shape[0]
+        n_dir = -(-m // fanout)
+        m_pad = n_dir * fanout
+        glo = np.full((m_pad, 3), _BIG, np.float32)
+        ghi = np.full((m_pad, 3), _BIG, np.float32)
+        glo[:m] = lo
+        ghi[:m] = hi
+        clo = glo.reshape(n_dir, fanout, 3)
+        chi = ghi.reshape(n_dir, fanout, 3)
+        real = (clo[:, :, 0] < _BIG)[:, :, None]
+        lo = np.where(real, clo, _BIG).min(axis=1).astype(np.float32)
+        hi = np.where(real, chi, -_BIG).max(axis=1).astype(np.float32)
+        hi = np.where(lo < _BIG, hi, _BIG)
+        ok = lo[:, 0] < _BIG
+        d = np.maximum(hi[ok] - lo[ok], 0.0)
+        total += float((d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                        + d[:, 2] * d[:, 0]).sum())
+    return total
+
+
 def build_hier_table(geom, num_faces: int, num_keys: int = 1,
                      fanout: int = FANOUT) -> HierTable:
     """Host-side (numpy) build over spatially-ordered faces.
 
     Leaves are consecutive cap-face runs (cap = HIER_LEAF static,
     HIER_LEAF_MOTION for 2-key scenes, whose leaves inline both keys);
-    each directory level groups FANOUT consecutive lower nodes. Order the
-    scene with accel.lbvh.split_order_scene(scene, leaf=cap) first."""
+    each directory level groups `fanout` consecutive lower nodes. Order
+    the scene with accel.lbvh.split_order_scene(scene, leaf=cap) first.
+
+    fanout=0 auto-picks 16 vs 20 by the smaller directory half-area sum
+    (visit-probability proxy, validated on-chip: the 20-ary exact-f32
+    directories win every town config +3-8% — town50 drops 4 -> 3
+    levels — while the uniform 49k box field prefers 16 by the same
+    margin the metric predicts; ROADMAP r4)."""
     if num_keys not in (1, 2):
         raise ValueError("hier table supports 1 or 2 motion keys")
-    if fanout not in (FANOUT, FANOUT32):
-        raise ValueError(f"fanout must be {FANOUT} or {FANOUT32}")
+    if fanout not in (0, FANOUT, FANOUT20, FANOUT32):
+        raise ValueError(
+            f"fanout must be 0 (auto), {FANOUT}, {FANOUT20} or {FANOUT32}")
     cap = HIER_LEAF if num_keys == 1 else HIER_LEAF_MOTION
     f = num_faces
     n_leaf = max(1, -(-f // cap))
@@ -176,6 +217,11 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1,
         hi_f[:f][fake] = -_BIG
     leaf_lo = lo_f.reshape(n_leaf, cap, 3).min(axis=1)
     leaf_hi = hi_f.reshape(n_leaf, cap, 3).max(axis=1)
+
+    if fanout == 0:
+        fanout = min(
+            (FANOUT, FANOUT20),
+            key=lambda fo: _dir_half_area_sum(leaf_lo, leaf_hi, fo))
 
     # directory levels bottom-up: level[i] groups `fanout` of level[i+1]
     levels = []  # list of (lo [M,3], hi [M,3], first_child_row-relative)

@@ -242,3 +242,23 @@ def test_fused_normal_map_matches_pool():
         np.asarray(f_fused.accum), np.asarray(f_ref.accum),
         rtol=3e-5, atol=3e-5,
     )
+
+
+def test_fused_stashless_bitexact(cornell):
+    """pool_stash=0 (completed lanes wait parked for the flush, the
+    pre-r3 retire path at the tighter cadence) only reorders WHEN lanes
+    free — per-pixel sums are bit-identical to the stash pool, and ray
+    counts match exactly."""
+    scene, camera = cornell
+    cam = camera.params()
+    pipe = make_fused_pipeline(scene, _cfg(), interpret=True)
+    cfg_on = _cfg(pool_pixel_major=True, pool_stash=1)
+    cfg_off = _cfg(pool_pixel_major=True, pool_stash=0)
+    f_on, s_on = render_frame(scene, cam, cfg_on, subframes=1, tracer=pipe)
+    f_off, s_off = render_frame(scene, cam, cfg_off, subframes=1,
+                                tracer=pipe)
+    assert int(s_on.radiance_rays) == int(s_off.radiance_rays)
+    assert int(s_on.shadow_rays) == int(s_off.shadow_rays)
+    np.testing.assert_allclose(np.asarray(f_on.accum),
+                               np.asarray(f_off.accum),
+                               rtol=1e-6, atol=1e-6)

@@ -185,6 +185,43 @@ def test_motion_two_key_matches_brute():
         np.testing.assert_array_equal(occ_h, occ_b)
 
 
+def test_fanout20_f32_directories_exact():
+    """20-ary EXACT-f32 directory rows (hierwalk.FANOUT20; 120 box lanes):
+    same culling math as 16-ary with wider rows, so closest/any results
+    equal brute force exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendertoy3c_tpu.accel.lbvh import split_order_scene
+    from rendertoy3c_tpu.scene.builtin import cornell_box
+    from rendertoy3c_tpu.scene.scene import build_scene
+    from rendertoy3c_tpu.trace.hierwalk import (
+        FANOUT20, HIER_LEAF, build_hier_table, trace_any_hier,
+        trace_closest_hier,
+    )
+    from rendertoy3c_tpu.trace.intersect import make_bruteforce_tracer
+
+    meshes, _cam = cornell_box()
+    sc = split_order_scene(build_scene(meshes), leaf=HIER_LEAF)
+    tab = build_hier_table(sc.geom, sc.num_faces, fanout=FANOUT20)
+    assert tab.fanout == FANOUT20
+    bc, _ = make_bruteforce_tracer(sc)
+    rng = np.random.default_rng(12)
+    R = 2048
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    h20 = trace_closest_hier(tab, o, d, 1e-3, 1e16)
+    hb = bc(o, d, 1e-3, 1e16, None, None)
+    np.testing.assert_array_equal(np.asarray(h20.prim), np.asarray(hb.prim))
+    np.testing.assert_allclose(np.asarray(h20.t), np.asarray(hb.t),
+                               rtol=2e-5, atol=2e-5)
+    a20 = np.asarray(trace_any_hier(tab, o, d, 1e-3, jnp.full((R,), 0.5)))
+    ab = np.asarray(bc(o, d, 1e-3, 0.5, None, None).prim) >= 0
+    np.testing.assert_array_equal(a20, ab)
+
+
 def test_fanout32_bf16_directories_exact():
     """32-ary bf16-packed directory rows (hierwalk.FANOUT32): conservative
     outward rounding means culling can only loosen, so closest/any results
@@ -220,3 +257,52 @@ def test_fanout32_bf16_directories_exact():
     a32 = np.asarray(trace_any_hier(tab, o, d, 1e-3, jnp.full((R,), 0.5)))
     ab = np.asarray(bc(o, d, 1e-3, 0.5, None, None).prim) >= 0
     np.testing.assert_array_equal(a32, ab)
+
+
+def test_fanout_auto_pick():
+    """fanout=0 auto-picks by the directory half-area sum: a uniform box
+    field keeps 16-ary; geometry whose leaf runs group better at 20 picks
+    the 20-ary exact-f32 rows. Walk results stay exact either way."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendertoy3c_tpu.accel.lbvh import split_order_scene
+    from rendertoy3c_tpu.scene.builtin import cornell_box
+    from rendertoy3c_tpu.scene.scene import build_scene
+    from rendertoy3c_tpu.trace.hierwalk import (
+        FANOUT, FANOUT20, HIER_LEAF, _dir_half_area_sum, build_hier_table,
+        trace_closest_hier,
+    )
+    from rendertoy3c_tpu.trace.intersect import make_bruteforce_tracer
+
+    meshes, _cam = cornell_box()
+    sc = split_order_scene(build_scene(meshes), leaf=HIER_LEAF)
+    tab = build_hier_table(sc.geom, sc.num_faces, fanout=0)
+    assert tab.fanout in (FANOUT, FANOUT20)
+    # the auto pick equals the explicit argmin of the metric
+    f = sc.num_faces
+    g = sc.geom
+    v0 = np.asarray(g.v0[0][:f])
+    e1 = np.asarray(g.e1[0][:f])
+    e2 = np.asarray(g.e2[0][:f])
+    n_leaf = -(-f // HIER_LEAF)
+    pad = n_leaf * HIER_LEAF - f
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    big = np.float32(1e30)
+    lo = np.concatenate([lo, np.full((pad, 3), big, np.float32)])
+    hi = np.concatenate([hi, np.full((pad, 3), -big, np.float32)])
+    llo = lo.reshape(n_leaf, HIER_LEAF, 3).min(1)
+    lhi = hi.reshape(n_leaf, HIER_LEAF, 3).max(1)
+    want = min((FANOUT, FANOUT20),
+               key=lambda fo: _dir_half_area_sum(llo, lhi, fo))
+    assert tab.fanout == want
+    # and the auto table still traces exactly
+    bc, _ = make_bruteforce_tracer(sc)
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (512, 3)).astype(np.float32))
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    h = trace_closest_hier(tab, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e16)
+    hb = bc(o, jnp.asarray(d), 1e-3, 1e16, None, None)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(hb.prim))
