@@ -34,6 +34,7 @@ build bit-for-bit under matched seeds:
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -836,11 +837,27 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     """
     n_pix = pixel_idx.shape[0]
     pool = min(cfg.ray_block, _next_pow2(n_pix * cfg.samples_per_launch))
-    # Retire stash on/off (cfg.pool_stash; -1 auto = on). Stashless
+    # Retire stash on/off (cfg.pool_stash; -1 = auto). Stashless
     # completed lanes wait parked for the flush at the old tighter
     # cadence — recovers the stash's ~6 select/iteration cost on
-    # shade-bound small-pool configs (VERDICT r3 #4).
-    use_stash = cfg.pool_pixel_major and cfg.pool_stash != 0
+    # shade-bound configs (VERDICT r3 #4). Measured v5e (exp_fused_e2e,
+    # stash-on/off): Cornell 65.0/58.8 and baked TLAS 66.2/61.3 want the
+    # stash; Cornell 1080p 57.6/58.6 and the external-pipeline trace-time
+    # instanced 26.6/29.1 want it OFF — auto = off when the frame dwarfs
+    # the pool (n_pix > 32*pool) or the pipeline traces externally
+    # (shade-bound; the kernel-external closest dominates and the stash
+    # selects are pure overhead). RT3C_POOL_STASH env (0/1) overrides.
+    from ..trace.pallas_shade import ExternalPipeline as _ExtPipe
+
+    _stash_env = os.environ.get("RT3C_POOL_STASH", "")
+    if _stash_env in ("0", "1"):
+        use_stash = cfg.pool_pixel_major and _stash_env == "1"
+    elif cfg.pool_stash == -1:
+        use_stash = (cfg.pool_pixel_major
+                     and not (n_pix > 32 * pool
+                              or isinstance(fused, _ExtPipe)))
+    else:
+        use_stash = cfg.pool_pixel_major and cfg.pool_stash != 0
     # 0 = auto flush cadence. With the retire stash, completed lanes
     # refill without waiting for the flush, so the cadence only trades
     # scatter amortization vs stash-full parking (needs 2 completions of

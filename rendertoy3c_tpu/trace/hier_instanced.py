@@ -43,6 +43,7 @@ from .hierwalk import (
     _BIG,
     _WALK_CHUNK,
     FANOUT,
+    FANOUT20,
     FANOUT32,
     HIER_LEAF,
     ROW,
@@ -77,12 +78,21 @@ def _levels_at(n: int, fanout: int) -> int:
 
 def _resolve_inst_fanout(iscene) -> int:
     f = INST_DIR_FANOUT
-    if f == 0:  # auto by 16-ary depth (see INST_DIR_FANOUT)
-        mesh_lv16 = max(
-            _levels_at(-(-cnt // HIER_LEAF), FANOUT)
-            for _start, cnt in iscene.mesh_ranges)
-        depth16 = _levels_at(iscene.num_instances, FANOUT) + mesh_lv16
-        f = FANOUT32 if depth16 > 4 else FANOUT
+    if f == 0:  # auto by table depth (see INST_DIR_FANOUT)
+        def depth(fo):
+            mesh_lv = max(
+                _levels_at(-(-cnt // HIER_LEAF), fo)
+                for _start, cnt in iscene.mesh_ranges)
+            return _levels_at(iscene.num_instances, fo) + mesh_lv
+        if depth(FANOUT) <= 4:
+            f = FANOUT
+        elif depth(FANOUT20) <= 4:
+            # 20-ary exact-f32 rows (120 box lanes) achieve the level cut
+            # that unlocks the x4 unroll + inline gate WITHOUT the bf16
+            # box loosening the 32-ary rows pay (see hierwalk.FANOUT20)
+            f = FANOUT20
+        else:
+            f = FANOUT32
     return f
 
 # row lane map (extends hierwalk's; tri lanes fill 0..125 at HIER_LEAF=14)
@@ -285,8 +295,9 @@ def build_inst_hier_table(iscene, fanout: int | None = None
     (scene/instanced.py:44-45; cuda_accel.h motion IAS semantics)."""
     if fanout is None:
         fanout = _resolve_inst_fanout(iscene)
-    if fanout not in (FANOUT, FANOUT32):
-        raise ValueError(f"fanout must be {FANOUT} or {FANOUT32}")
+    if fanout not in (FANOUT, FANOUT20, FANOUT32):
+        raise ValueError(
+            f"fanout must be {FANOUT}, {FANOUT20} or {FANOUT32}")
     g = iscene.geom
     inst = iscene.instances
     n_inst = iscene.num_instances

@@ -343,10 +343,10 @@ def _grid_mesh(n=43, mat=None):
                 material=mat or Material(diffuse=(0.6, 0.6, 0.6)))
 
 
-def _deep_instance_field(n_inst=18, seed=17):
+def _deep_instance_field(n_inst=18, seed=17, grid_n=43):
     """>4-level-at-16 instance scene: 3 mesh levels + 2 world levels."""
     rng = np.random.default_rng(seed)
-    meshes = [_grid_mesh()]
+    meshes = [_grid_mesh(n=grid_n)]
     inst = []
     for _ in range(n_inst):
         ang = rng.uniform(0, 2 * np.pi)
@@ -361,28 +361,53 @@ def _deep_instance_field(n_inst=18, seed=17):
 
 
 def test_inst_fanout_auto_resolution():
-    """_resolve_inst_fanout picks 32 only past 4 16-ary levels (the auto
-    rule behind the 562k instance-field win; forced-32 on the shallow
-    trace-time cornell measured 27.2 -> 16.9, ROADMAP)."""
+    """_resolve_inst_fanout keeps 16 through 4 levels (forced-32 on the
+    shallow trace-time cornell measured 27.2 -> 16.9, ROADMAP), upgrades
+    to the 20-ary EXACT-f32 rows when that restores <= 4 levels, and
+    falls back to bf16 32-ary only past that."""
     from rendertoy3c_tpu.trace.hier_instanced import (
         _resolve_inst_fanout, build_inst_hier_table,
     )
-    from rendertoy3c_tpu.trace.hierwalk import FANOUT, FANOUT32
+    from rendertoy3c_tpu.trace.hierwalk import FANOUT, FANOUT20, FANOUT32
 
     shallow, _cam = _instanced_cornell()
     assert _resolve_inst_fanout(shallow) == FANOUT
-    deep = _deep_instance_field()
-    assert _resolve_inst_fanout(deep) == FANOUT32
+    deep = _deep_instance_field()       # 5 levels at 16, 3 at 20
+    assert _resolve_inst_fanout(deep) == FANOUT20
     tab = build_inst_hier_table(split_order_instanced(deep))
-    assert tab.fanout == FANOUT32
+    assert tab.fanout == FANOUT20
+    deeper = _deep_instance_field(n_inst=25, grid_n=55)  # 5 levels at 20
+    assert _resolve_inst_fanout(deeper) == FANOUT32
+
+
+def test_inst_fanout_auto_deep_field_exact():
+    """The auto-fanout deep-field table (20-ary exact-f32 since r4)
+    returns EXACTLY the unrolled instance loop's (t, prim, inst) +
+    occlusion (trace/hier_instanced.py:60-95)."""
+    _check(_deep_instance_field(), n_rays=512, seed=23, span=10.0)
 
 
 def test_inst_fanout32_deep_field_exact():
-    """The 32-ary bf16-packed instanced table (the deep-field default
-    since r3) returns EXACTLY the unrolled instance loop's (t, prim,
-    inst) + occlusion: bf16 boxes round outward, so culling only
-    loosens (trace/hier_instanced.py:60-90)."""
-    _check(_deep_instance_field(), n_rays=512, seed=23, span=10.0)
+    """The 32-ary bf16-packed instanced table returns EXACTLY the
+    unrolled instance loop's (t, prim, inst) + occlusion: bf16 boxes
+    round outward, so culling only loosens."""
+    import jax.numpy as jnp
+
+    from rendertoy3c_tpu.trace.hier_instanced import (
+        build_inst_hier_table, trace_closest_inst_hier,
+    )
+    from rendertoy3c_tpu.trace.hierwalk import FANOUT32
+    from rendertoy3c_tpu.trace.instanced import make_instanced_tracer
+
+    iscene = split_order_instanced(_deep_instance_field())
+    t32 = build_inst_hier_table(iscene, fanout=FANOUT32)
+    assert t32.fanout == FANOUT32
+    bc, _ba = make_instanced_tracer(iscene)
+    o, d = _rand_rays(512, -10.0, 10.0, 23)
+    h = trace_closest_inst_hier(t32, o, d, 1e-3, 1e16)
+    b = bc(o, d, 1e-3, 1e16, None, None)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(b.prim))
+    np.testing.assert_array_equal(np.asarray(h.inst), np.asarray(b.inst))
 
 
 def test_inst_fanout32_matches_fanout16():
