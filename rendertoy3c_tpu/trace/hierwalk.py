@@ -120,6 +120,60 @@ def _pack_bf16_lohi(lo16: np.ndarray, hi16: np.ndarray) -> np.ndarray:
     return u32.view(np.float32)
 
 
+import os as _os
+
+# Variable directory grouping (r4): directories get DP-chosen CONSECUTIVE
+# leaf runs (size <= fanout) minimizing sum(group half-area) + lam per
+# group, instead of fixed stride-fanout blocks. On structured scenes the
+# fixed blocks straddle objects (a town building's leaves split across
+# sibling dirs whose boxes then overlap and ordered DFS pops both):
+# simulated bounce visits 200k town 15.8 -> 7.7, town50 11.8 -> 8.2,
+# 49k field par (exp/exp_vardir.py); group boundaries stay run-aligned so
+# pointers and leaf order are untouched. 0 disables (fixed blocks).
+_VAR_DIR = int(_os.environ.get("RT3C_VAR_DIR", "1"))
+_VAR_DIR_LAM = float(_os.environ.get("RT3C_VAR_DIR_LAM", "0.5"))
+
+
+def _dp_group_sizes(lo: np.ndarray, hi: np.ndarray, fanout: int,
+                    lam: float) -> list:
+    """Boundary DP over the ordered node boxes: minimize
+    sum(HA(group)) + lam_abs * n_groups with group size <= fanout.
+    lam is in units of the mean real-box half-area (scale-free).
+    Returns the group sizes covering 0..n-1 in order."""
+    n = lo.shape[0]
+    d = np.maximum(hi - lo, 0.0)
+    ha1 = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+    real = lo[:, 0] < _BIG
+    lam_abs = lam * float(ha1[real].mean()) if real.any() else 0.0
+    # window-union half-areas: wha[i, k] = HA(union of boxes i-k..i)
+    wha = np.full((n, fanout), np.float32(_BIG))
+    run_lo = lo.copy()
+    run_hi = hi.copy()
+    wha[:, 0] = ha1
+    for k in range(1, fanout):
+        run_lo[k:] = np.minimum(run_lo[k:], lo[:-k])
+        run_hi[k:] = np.maximum(run_hi[k:], hi[:-k])
+        dk = np.maximum(run_hi[k:] - run_lo[k:], 0.0)
+        wha[k:, k] = (dk[:, 0] * dk[:, 1] + dk[:, 1] * dk[:, 2]
+                      + dk[:, 2] * dk[:, 0])
+    cost = np.full(n + 1, np.inf)
+    cost[0] = 0.0
+    back = np.zeros(n + 1, np.int32)
+    for i in range(1, n + 1):
+        kmax = min(fanout, i)
+        c = cost[i - kmax:i][::-1] + wha[i - 1, :kmax] + lam_abs
+        k = int(np.argmin(c))
+        cost[i] = c[k]
+        back[i] = k + 1
+    sizes = []
+    i = n
+    while i > 0:
+        sizes.append(int(back[i]))
+        i -= back[i]
+    sizes.reverse()
+    return sizes
+
+
 def _dir_half_area_sum(leaf_lo, leaf_hi, fanout: int) -> float:
     """Sum of directory-node half-areas for a candidate fanout — the
     visit-probability proxy behind the fanout auto-pick (P(ray visits
@@ -218,26 +272,53 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1,
     leaf_lo = lo_f.reshape(n_leaf, cap, 3).min(axis=1)
     leaf_hi = hi_f.reshape(n_leaf, cap, 3).max(axis=1)
 
+    var_dirs = bool(_VAR_DIR)
     if fanout == 0:
-        fanout = min(
-            (FANOUT, FANOUT20),
-            key=lambda fo: _dir_half_area_sum(leaf_lo, leaf_hi, fo))
+        # mode pick by the FIXED-grouping half-area metric: scenes whose
+        # stride-16 blocks already bound tightly (uniform fields — the
+        # 49k box field) keep fixed 16-ary grouping (measured 22.1 vs
+        # 20.2-20.7 for every variable/20-ary variant); everything else
+        # takes DP-grouped 20-ary directories (200k town 11.8 -> 15.8,
+        # town50 14.0 -> 15.5, 1M 9.1 -> 9.3 on v5e)
+        c16 = _dir_half_area_sum(leaf_lo, leaf_hi, FANOUT)
+        c20 = _dir_half_area_sum(leaf_lo, leaf_hi, FANOUT20)
+        if c16 <= c20:
+            fanout = FANOUT
+            var_dirs = False
+        else:
+            fanout = FANOUT20
 
-    # directory levels bottom-up: level[i] groups `fanout` of level[i+1]
-    levels = []  # list of (lo [M,3], hi [M,3], first_child_row-relative)
+    # directory levels bottom-up: level[i] groups consecutive runs of
+    # level[i+1] nodes — DP-chosen variable runs (<= fanout each, see
+    # _VAR_DIR) or fixed stride-fanout blocks
+    levels = []  # list of (clo, chi, first_rel [n_dir])
     lo, hi = leaf_lo, leaf_hi
     counts = [n_leaf]
     while counts[0] > 1:
         m = counts[0]
-        n_dir = -(-m // fanout)
-        m_pad = n_dir * fanout
-        glo = np.full((m_pad, 3), _BIG, np.float32)
-        ghi = np.full((m_pad, 3), _BIG, np.float32)  # degenerate far box
-        glo[:m] = lo
-        ghi[:m] = hi
-        clo = glo.reshape(n_dir, fanout, 3)
-        chi = ghi.reshape(n_dir, fanout, 3)
-        levels.insert(0, (clo, chi))
+        if var_dirs:
+            sizes = _dp_group_sizes(lo, hi, fanout, _VAR_DIR_LAM)
+            n_dir = len(sizes)
+            clo = np.full((n_dir, fanout, 3), _BIG, np.float32)
+            chi = np.full((n_dir, fanout, 3), _BIG, np.float32)
+            first_rel = np.zeros(n_dir, np.int64)
+            pos = 0
+            for gi, sz in enumerate(sizes):
+                clo[gi, :sz] = lo[pos:pos + sz]
+                chi[gi, :sz] = hi[pos:pos + sz]
+                first_rel[gi] = pos
+                pos += sz
+        else:
+            n_dir = -(-m // fanout)
+            m_pad = n_dir * fanout
+            glo = np.full((m_pad, 3), _BIG, np.float32)
+            ghi = np.full((m_pad, 3), _BIG, np.float32)  # degenerate far
+            glo[:m] = lo
+            ghi[:m] = hi
+            clo = glo.reshape(n_dir, fanout, 3)
+            chi = ghi.reshape(n_dir, fanout, 3)
+            first_rel = fanout * np.arange(n_dir, dtype=np.int64)
+        levels.insert(0, (clo, chi, first_rel))
         # union over REAL children only (padding slots carry degenerate far
         # boxes that would blow the parent's hi out to +BIG)
         real = (clo[:, :, 0] < _BIG)[:, :, None]
@@ -257,7 +338,7 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1,
 
     table = np.zeros((n_rows, ROW), np.float32)
     # directory rows
-    for li, (clo, chi) in enumerate(levels):
+    for li, (clo, chi, first_rel) in enumerate(levels):
         base = starts[li]
         child_base = starts[li + 1] if li + 1 < len(levels) else leaf_start
         n_dir = clo.shape[0]
@@ -274,8 +355,7 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1,
             for c in range(3):
                 rows[:, c * fanout:(c + 1) * fanout] = clo[:, :, c]
                 rows[:, (c + 3) * fanout:(c + 4) * fanout] = chi[:, :, c]
-        rows[:, _L_FIRST] = (child_base
-                             + fanout * np.arange(n_dir, dtype=np.float32))
+        rows[:, _L_FIRST] = (child_base + first_rel).astype(np.float32)
         rows[:, _L_TYPE] = 0.0
     # leaf rows
     lrows = table[leaf_start:]
