@@ -296,9 +296,17 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1,
     counts = [n_leaf]
     while counts[0] > 1:
         m = counts[0]
-        if var_dirs:
+        use_var = var_dirs
+        if use_var:
             sizes = _dp_group_sizes(lo, hi, fanout, _VAR_DIR_LAM)
-            n_dir = len(sizes)
+            # progress guard: a singleton-heavy DP solution (boxes so
+            # large that no union beats lam) must not stall the level
+            # recursion — fall back to fixed blocks for this level
+            if len(sizes) * 2 > m:
+                use_var = False
+            else:
+                n_dir = len(sizes)
+        if use_var:
             clo = np.full((n_dir, fanout, 3), _BIG, np.float32)
             chi = np.full((n_dir, fanout, 3), _BIG, np.float32)
             first_rel = np.zeros(n_dir, np.int64)
