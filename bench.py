@@ -329,6 +329,46 @@ def _auto_tracer(scene, cfg, on_tpu):
     return choose_tracer(scene, cfg, on_tpu=on_tpu)
 
 
+def _kernel_iter_seconds(tracer, cfg_c):
+    """Standalone per-iteration cost of a megakernel pipeline's
+    trace_shade (the fused pool's one-launch-per-iteration work unit;
+    the external pipeline's includes its kernel-external closest pass) —
+    the absolute floor the pool loop's refill/flush/glue overhead is
+    judged against. Measured with a fori-carried (rays, misc) pair on
+    zeroed state (the kernels are branchless, so cost is
+    data-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rendertoy3c_tpu.integrate.path import _next_pow2
+
+    pool = max(min(cfg_c.ray_block,
+                   _next_pow2(cfg_c.width * cfg_c.height
+                              * cfg_c.samples_per_launch)), 256)
+    misc_w = 24 if cfg_c.aov else 16
+    n_it = 50
+    time8 = (jnp.zeros((pool, 8), jnp.float32)
+             if getattr(tracer, "motion", False) else None)
+
+    @jax.jit
+    def k(r, m):
+        def body(i, c):
+            return tracer.trace_shade(c[0], c[1], pool, time8)
+        return jax.lax.fori_loop(0, n_it, body, (r, m))
+
+    r0 = jnp.zeros((pool, 8), jnp.float32)
+    m0 = jnp.zeros((pool, misc_w), jnp.float32)
+    out = k(r0, m0)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = k(r0, m0)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n_it)
+    return best
+
+
 def run_config_suite(cfg_kwargs, warmup, timed):
     """The BASELINE.md workloads; returns {name: stats}."""
     import jax
@@ -394,11 +434,32 @@ def run_config_suite(cfg_kwargs, warmup, timed):
                 "gather_floor_ms": round(gather_floor_s * 1e3, 2),
                 "pct_of_gather_floor": round(100.0 * gather_floor_s / mdt, 1),
             })
+        # Megakernel-band yardstick: kernel launches x standalone
+        # per-iteration trace_shade cost = the work floor; the remainder
+        # of the subframe is refill/flush/XLA glue (VERDICT r3 #3).
+        iters = int(getattr(stats, "pool_iters", 0) or 0)
+        if rounds == 0 and iters > 0 and on_tpu:
+            from rendertoy3c_tpu.trace.pallas_shade import (
+                ExternalPipeline, FusedPipeline,
+            )
+
+            if isinstance(tracer, (FusedPipeline, ExternalPipeline)):
+                t_it = _kernel_iter_seconds(tracer, cfg_c)
+                results[name].update({
+                    "pool_iters": iters,
+                    "kernel_ms_floor": round(iters * t_it * 1e3, 2),
+                    "glue_ms": round(mdt * 1e3 - iters * t_it * 1e3, 2),
+                    "pct_of_kernel_floor": round(
+                        100.0 * iters * t_it / mdt, 1),
+                })
         print(f"  {name}: best {best:.2f} / median {med:.2f} Mray/s "
               f"({time.perf_counter() - t0:.0f}s incl. build+compile)"
               + (f" | {results[name]['rows_gathered_per_ray']} rows/ray, "
                  f"{results[name]['pct_of_gather_floor']}% of gather floor"
-                 if rounds > 0 else ""),
+                 if rounds > 0 else "")
+              + (f" | {results[name]['pct_of_kernel_floor']}% of kernel "
+                 f"floor"
+                 if "pct_of_kernel_floor" in results[name] else ""),
               file=sys.stderr)
 
     # BASELINE config 1: single static .obj mesh, Lambertian + NEE, 1080p

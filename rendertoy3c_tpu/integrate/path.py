@@ -66,6 +66,12 @@ class RenderStats(NamedTuple):
     # import time and initialize the backend before
     # jax.distributed.initialize can run (parallel/multihost.py).
     walk_rounds: "jnp.ndarray | int" = 0
+    # fused/external megakernel pool iterations (kernel launches) this
+    # subframe; 0 elsewhere. kernel-floor accounting: bench multiplies by
+    # a standalone-timed per-iteration kernel cost to report the
+    # megakernel band's %-of-kernel-floor (the walk band's rows/ray
+    # analog — VERDICT r3 #3 asked for an absolute yardstick).
+    pool_iters: "jnp.ndarray | int" = 0
 
 
 def _miss_radiance(scene, bg, direction):
@@ -1201,7 +1207,9 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     rgb = final_img("image", 10)
     aov = ((final_img("image_alb", 16), final_img("image_nrm", 19))
            if cfg.aov else None)
-    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32), jnp.zeros((), jnp.int32)
+    # 5th slot = kernel-launch count (render_subframe routes it to
+    # RenderStats.pool_iters for megakernel tracers)
+    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32), s["iter"]
 
 
 def render_pixels(
@@ -1290,8 +1298,14 @@ def render_subframe(
     )
     rgb = rgb.reshape(cfg.height, cfg.width, 3)
     film = film_accumulate(film, rgb, aov=aov)
-    stats = RenderStats(radiance_rays=n_rad, shadow_rays=n_shad,
-                        walk_rounds=n_round)
+    from ..trace.pallas_shade import ExternalPipeline, FusedPipeline
+
+    if isinstance(tracer, (FusedPipeline, ExternalPipeline)):
+        stats = RenderStats(radiance_rays=n_rad, shadow_rays=n_shad,
+                            pool_iters=n_round)
+    else:
+        stats = RenderStats(radiance_rays=n_rad, shadow_rays=n_shad,
+                            walk_rounds=n_round)
     return film, stats
 
 

@@ -63,7 +63,7 @@ def tune_config(scene, cfg, on_tpu: bool | None = None):
             sort_rays=False,
             flush_every=cfg.flush_every or 8,
         )
-    if (not _is_instanced(scene) and scene.num_keys <= 2
+    if (not _is_instanced(scene)
             and scene.num_faces > LEAFWALK_MIN_FACES):
         # the walk pool ignores sort_rays (lanes never re-sort: walk state
         # rides in place). Width by scene size (v5e, SAH order, pipelined
@@ -146,7 +146,7 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
                    and cfg.ray_block % 256 == 0
                    and getattr(scene, "instances", None) is None)
 
-    if scene.num_keys <= 2 and scene.num_faces > LEAFWALK_MIN_FACES:
+    if scene.num_faces > LEAFWALK_MIN_FACES:
         from ..accel.lbvh import split_order_scene
         from .hierwalk import (
             HIER_LEAF, HIER_LEAF_MOTION, build_hier_table,
@@ -155,14 +155,19 @@ def choose_tracer(scene, cfg, on_tpu: bool | None = None,
 
         leaf = HIER_LEAF if scene.num_keys == 1 else HIER_LEAF_MOTION
         scene = split_order_scene(scene, leaf=leaf)
-        if want_pipeline and cfg.integrator == "pool":
+        if scene.num_keys <= 2 and want_pipeline and cfg.integrator == "pool":
             # walk-pool integrator: the traversal round is the pool step
             # (mean-visits-bound lane utilization, integrate/walkpool.py)
             from ..integrate.walkpool import make_walkpool_pipeline
 
             return scene, make_walkpool_pipeline(scene, cfg)
+        # >2-key piecewise-linear motion rides the stacked-segment
+        # hierwalk tables (hierwalk.build_hier_table_nkey) through the
+        # classic pool — the fast-path answer to the reference's N-key
+        # motion GAS (cuda_mesh.h:85-88)
         tracer = make_hierwalk_tracer(scene)
-        if pipeline_ok and external_shade_eligible(scene, cfg):
+        if (scene.num_keys <= 2 and pipeline_ok
+                and external_shade_eligible(scene, cfg)):
             return scene, make_external_pipeline(scene, cfg, tracer)
         return scene, tracer
 

@@ -35,7 +35,9 @@ keyframes' triangles inline; the leaf test lerps the raw row floats by the
 per-ray time (vertex lerp == row lerp, both linear) and directory boxes
 union the two keys' child boxes — correct for any t in [0,1] because
 lerped vertices are convex combinations (cuda_mesh.h:85-88 motion GAS
-semantics). >2-key scenes fall back to the pallas_mt kernels.
+semantics). >2-key scenes stack num_keys-1 structurally identical 2-key
+SEGMENT tables and walk with a per-ray row offset + local time
+(build_hier_table_nkey) — the piecewise-linear N-key motion GAS.
 """
 from __future__ import annotations
 
@@ -93,6 +95,14 @@ class HierTable:
     # children per directory row (FANOUT32 = bf16-packed boxes)
     fanout: int = dataclasses.field(metadata=dict(static=True),
                                     default=FANOUT)
+    # >2-key piecewise-linear vertex motion (cuda_mesh.h:85-88 N obj
+    # files = N keys): the table stacks num_keys-1 structurally identical
+    # 2-key segment tables; a ray at time t walks segment
+    # s = clip(floor(t*(K-1)), 0, K-2) via row offset s*seg_rows with
+    # local time t*(K-1)-s. seg_rows = 0 means a single-segment table.
+    seg_rows: int = dataclasses.field(metadata=dict(static=True),
+                                      default=0)
+    n_seg: int = dataclasses.field(metadata=dict(static=True), default=1)
 
 
 def _bf16_outward(x: np.ndarray, up: bool) -> np.ndarray:
@@ -203,7 +213,8 @@ def _dir_half_area_sum(leaf_lo, leaf_hi, fanout: int) -> float:
 
 
 def build_hier_table(geom, num_faces: int, num_keys: int = 1,
-                     fanout: int = FANOUT) -> HierTable:
+                     fanout: int = FANOUT,
+                     allow_var: bool = True) -> HierTable:
     """Host-side (numpy) build over spatially-ordered faces.
 
     Leaves are consecutive cap-face runs (cap = HIER_LEAF static,
@@ -272,7 +283,7 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1,
     leaf_lo = lo_f.reshape(n_leaf, cap, 3).min(axis=1)
     leaf_hi = hi_f.reshape(n_leaf, cap, 3).max(axis=1)
 
-    var_dirs = bool(_VAR_DIR)
+    var_dirs = bool(_VAR_DIR) and allow_var
     if fanout == 0:
         # mode pick by the FIXED-grouping half-area metric: scenes whose
         # stride-16 blocks already bound tightly (uniform fields — the
@@ -376,6 +387,47 @@ def build_hier_table(geom, num_faces: int, num_keys: int = 1,
                      leaf_start=leaf_start, num_faces=f, fanout=fanout)
 
 
+def build_hier_table_nkey(geom, num_faces: int, num_keys: int,
+                          fanout: int = FANOUT) -> HierTable:
+    """>2-key piecewise-linear vertex motion: stack num_keys-1 two-key
+    SEGMENT tables (keys k, k+1) into one row array. All segments share
+    the same face order and FIXED grouping (variable directories are
+    disabled — DP boundaries would differ per segment and break the
+    shared level structure), so level_starts/leaf_start/pointers are
+    segment-invariant and a per-ray row offset of seg*seg_rows selects
+    the segment (the fast-path answer to the reference's N-obj-files
+    motion GAS, cuda_mesh.h:85-88 / mesh.cpp:39-55). Directory boxes
+    bound only their segment's sweep — tighter than any global union."""
+    if num_keys <= 2:
+        raise ValueError("build_hier_table_nkey needs num_keys > 2")
+    tabs = []
+    for k in range(num_keys - 1):
+        gseg = geom._replace(
+            v0=geom.v0[k:k + 2], e1=geom.e1[k:k + 2], e2=geom.e2[k:k + 2],
+            n0=geom.n0[k:k + 2], n1=geom.n1[k:k + 2], n2=geom.n2[k:k + 2],
+        )
+        tabs.append(build_hier_table(gseg, num_faces, num_keys=2,
+                                     fanout=fanout, allow_var=False))
+    t0 = tabs[0]
+    assert all(t.level_starts == t0.level_starts
+               and t.leaf_start == t0.leaf_start for t in tabs[1:])
+    return HierTable(
+        table=jnp.concatenate([t.table for t in tabs], axis=0),
+        level_starts=t0.level_starts, leaf_start=t0.leaf_start,
+        num_faces=num_faces, fanout=t0.fanout,
+        seg_rows=int(t0.table.shape[0]), n_seg=num_keys - 1,
+    )
+
+
+def _seg_select(tab: HierTable, time, r):
+    """(seg_off [R] i32, local_time [R]) for an N-segment table."""
+    t = (jnp.zeros((r,), jnp.float32) if time is None
+         else jnp.broadcast_to(jnp.asarray(time, jnp.float32), (r,)))
+    ts = t * jnp.float32(tab.n_seg)
+    s = jnp.clip(jnp.floor(ts).astype(jnp.int32), 0, tab.n_seg - 1)
+    return s * tab.seg_rows, ts - s.astype(jnp.float32)
+
+
 def _leaf_mt(rows, o, d, tmin, tcur, time=None):
     """[R, cap] MT test of each ray vs its row's inline triangles.
 
@@ -465,10 +517,12 @@ def _prune_cut(best_t):
 
 
 def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool,
-          time=None):
+          time=None, seg_off=None):
     """The gather-round walk. All inputs [R(,3)]; returns best (t, prim,
     u, v) for closest mode, or found [R] bool for any mode. `time` [R]
-    selects the 2-key motion leaf layout (see _leaf_mt)."""
+    selects the 2-key motion leaf layout (see _leaf_mt); `seg_off` [R]
+    adds the per-ray segment row offset of an N-key stacked table
+    (build_hier_table_nkey) to every gather."""
     r = o.shape[0]
     n_levels = len(tab.level_starts)  # directory levels (root = level 0)
     fanout = tab.fanout
@@ -498,7 +552,10 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool,
     def body(s):
         cur = s["cur"]
         valid = cur >= 0
-        rows = jnp.take(tab.table, jnp.maximum(cur, 0), axis=0)
+        idx = jnp.maximum(cur, 0)
+        if seg_off is not None:
+            idx = idx + seg_off
+        rows = jnp.take(tab.table, idx, axis=0)
         is_leaf = rows[:, _L_TYPE] > 0.5
         first = rows[:, _L_FIRST]
 
@@ -589,16 +646,19 @@ def _walk(tab: HierTable, o, d, tmin, tmax, live, any_mode: bool,
 _WALK_CHUNK = 65536
 
 
-def _walk_chunked(tab, o, d, tmin, tmax, live, any_mode, time):
+def _walk_chunked(tab, o, d, tmin, tmax, live, any_mode, time,
+                  seg_off=None):
     r = o.shape[0]
     if r <= _WALK_CHUNK:
-        return _walk(tab, o, d, tmin, tmax, live, any_mode, time=time)
+        return _walk(tab, o, d, tmin, tmax, live, any_mode, time=time,
+                     seg_off=seg_off)
     outs = []
     for s in range(0, r, _WALK_CHUNK):
         e = min(s + _WALK_CHUNK, r)
         outs.append(_walk(
             tab, o[s:e], d[s:e], tmin[s:e], tmax[s:e], live[s:e],
-            any_mode, time=None if time is None else time[s:e]))
+            any_mode, time=None if time is None else time[s:e],
+            seg_off=None if seg_off is None else seg_off[s:e]))
     if any_mode:
         return jnp.concatenate(outs)
     return tuple(jnp.concatenate(parts) for parts in zip(*outs))
@@ -613,9 +673,12 @@ def trace_closest_hier(tab: HierTable, o, d, tmin, tmax, count=None,
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     live = jnp.arange(r) < (r if count is None else count)
+    seg_off = None
+    if tab.n_seg > 1:
+        seg_off, time = _seg_select(tab, time, r)
     t, prim, u, v = _walk_chunked(
         tab, o.astype(jnp.float32), d.astype(jnp.float32),
-        tmin, tmax, live, any_mode=False, time=time)
+        tmin, tmax, live, any_mode=False, time=time, seg_off=seg_off)
     valid = (prim >= 0) & (prim < tab.num_faces)
     return Hit(t=jnp.where(valid, t, tmax),
                prim=jnp.where(valid, prim, -1),
@@ -628,8 +691,12 @@ def trace_any_hier(tab: HierTable, o, d, tmin, tmax, count=None, time=None):
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     live = jnp.arange(r) < (r if count is None else count)
+    seg_off = None
+    if tab.n_seg > 1:
+        seg_off, time = _seg_select(tab, time, r)
     return _walk_chunked(tab, o.astype(jnp.float32), d.astype(jnp.float32),
-                         tmin, tmax, live, any_mode=True, time=time)
+                         tmin, tmax, live, any_mode=True, time=time,
+                         seg_off=seg_off)
 
 
 def make_hierwalk_tracer(scene):
@@ -639,11 +706,14 @@ def make_hierwalk_tracer(scene):
     accel.lbvh.split_order_scene(scene, leaf=HIER_LEAF or
     HIER_LEAF_MOTION) first so leaves and directories cover compact
     clusters (correct either way, slower on scrambled order)."""
-    if scene.num_keys not in (1, 2):
-        raise ValueError("hierwalk tracer supports 1- or 2-key scenes")
-    motion = scene.num_keys == 2
-    tab = build_hier_table(scene.geom, scene.num_faces,
-                           num_keys=scene.num_keys)
+    motion = scene.num_keys >= 2
+    if scene.num_keys > 2:
+        # N-key piecewise-linear motion: stacked segment tables
+        tab = build_hier_table_nkey(scene.geom, scene.num_faces,
+                                    scene.num_keys)
+    else:
+        tab = build_hier_table(scene.geom, scene.num_faces,
+                               num_keys=scene.num_keys)
 
     def _time_col(time, o):
         if not motion:

@@ -306,3 +306,81 @@ def test_fanout_auto_pick():
     h = trace_closest_hier(tab, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e16)
     hb = bc(o, jnp.asarray(d), 1e-3, 1e16, None, None)
     np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(hb.prim))
+
+
+def _nkey_field(n_side, num_keys, seed=0):
+    """num_keys-keyframe box field: piecewise-linear drift per key."""
+    scene = _box_field(n_side, seed=seed)
+    g = scene.geom
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed + 50)
+    v0s, e1s, e2s = [np.asarray(g.v0[0])], [np.asarray(g.e1[0])], \
+        [np.asarray(g.e2[0])]
+    for _k in range(1, num_keys):
+        sh = rng.uniform(-0.4, 0.4, 3).astype(np.float32)
+        v0s.append(v0s[-1] + sh)
+        e1s.append(e1s[-1])
+        e2s.append(e2s[-1])
+    geom = g._replace(
+        v0=jnp.asarray(np.stack(v0s)),
+        e1=jnp.asarray(np.stack(e1s)),
+        e2=jnp.asarray(np.stack(e2s)),
+        n0=jnp.concatenate([g.n0] * num_keys, axis=0),
+        n1=jnp.concatenate([g.n1] * num_keys, axis=0),
+        n2=jnp.concatenate([g.n2] * num_keys, axis=0),
+    )
+    return dataclasses.replace(scene, geom=geom, num_keys=num_keys)
+
+
+def test_nkey_motion_matches_brute():
+    """>2-key piecewise-linear motion on the stacked-segment hierwalk
+    (build_hier_table_nkey): exact prim parity with the brute tracer's
+    N-key segment lerp (intersect._tri_chunk) at random times and at
+    every key/segment boundary (cuda_mesh.h:85-88 N-key motion GAS)."""
+    import jax.numpy as jnp
+
+    from rendertoy3c_tpu.trace.hierwalk import HIER_LEAF_MOTION
+
+    scene = split_order_scene(_nkey_field(16, num_keys=4),
+                              leaf=HIER_LEAF_MOTION)
+    hc, ha = make_hierwalk_tracer(scene)
+    bc, ba = make_bruteforce_tracer(scene)
+    o, d = _rand_rays(scene, 2048, seed=41)
+    rng = np.random.default_rng(43)
+    times = [jnp.full((2048,), v, jnp.float32)
+             for v in (0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0)]
+    times.append(jnp.asarray(rng.random(2048).astype(np.float32)))
+    for time in times:
+        h = hc(o, d, 1e-3, 1e16, time, None)
+        b = bc(o, d, 1e-3, 1e16, time, None)
+        np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(b.prim))
+        np.testing.assert_allclose(np.asarray(h.t), np.asarray(b.t),
+                                   rtol=2e-4, atol=2e-4)
+        occ_h = np.asarray(ha(o, d, 1e-3, 5.0, time, None))
+        occ_b = np.asarray(ba(o, d, 1e-3, 5.0, time, None))
+        np.testing.assert_array_equal(occ_h, occ_b)
+
+
+def test_nkey_render_parity_vs_brute():
+    """End-to-end: a pool frame over the auto ladder's >2-key route
+    (stacked-segment hierwalk) == the same frame over brute force."""
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+    from rendertoy3c_tpu.scene.camera import Camera
+    from rendertoy3c_tpu.trace.hierwalk import HIER_LEAF_MOTION
+
+    scene = split_order_scene(_nkey_field(8, num_keys=3, seed=2),
+                              leaf=HIER_LEAF_MOTION)
+    cam = Camera(eye=(0, 6, 12), lookat=(0, 0, 0), fov_y=45.0,
+                 aspect_ratio=1.0)
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       max_depth=3, ray_block=512, integrator="pool")
+    f_h, s_h = render_frame(scene, cam.params(), cfg, subframes=1,
+                            tracer=make_hierwalk_tracer(scene))
+    f_b, s_b = render_frame(scene, cam.params(), cfg, subframes=1,
+                            tracer=make_bruteforce_tracer(scene))
+    np.testing.assert_allclose(np.asarray(f_h.accum), np.asarray(f_b.accum),
+                               rtol=2e-3, atol=2e-3)
