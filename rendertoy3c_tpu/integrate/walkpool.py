@@ -968,6 +968,11 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         k_phase = cfg.walk_phase_every
     elif num_faces > 512 * 1024:
         k_phase = 32
+    elif instanced:
+        # instanced TLAS walks run longer per node (space switches), so
+        # the boundary amortizes over more rounds (v5e K 16/20/24 on the
+        # 562k tower field: 12.8/13.0/12.2; motion 10.8/10.9)
+        k_phase = 20
     else:
         k_phase = 16
     width = jnp.float32(cfg.width)
