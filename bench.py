@@ -329,44 +329,22 @@ def _auto_tracer(scene, cfg, on_tpu):
     return choose_tracer(scene, cfg, on_tpu=on_tpu)
 
 
-def _kernel_iter_seconds(tracer, cfg_c):
-    """Standalone per-iteration cost of a megakernel pipeline's
-    trace_shade (the fused pool's one-launch-per-iteration work unit;
-    the external pipeline's includes its kernel-external closest pass) —
-    the absolute floor the pool loop's refill/flush/glue overhead is
-    judged against. Measured with a fori-carried (rays, misc) pair on
-    zeroed state (the kernels are branchless, so cost is
-    data-independent)."""
-    import jax
-    import jax.numpy as jnp
+def _kernel_floor_profiled(step, cam_p, mk_film):
+    """(kernel_ms, total_ms) for one profiled megakernel subframe: the
+    device-side sum of the pallas trace_shade ops ('shade.*' — the only
+    kernel in the fused/external pool loop) vs the whole jitted step.
+    Device timings sidestep the remote tunnel's wall-clock jitter, and
+    the in-loop kernel keeps its real live-count tile early-exit and
+    cull behavior (a zeroed standalone micro measured 2x slower: rays
+    (0,0,0) defeat the tri-tile cull)."""
+    from rendertoy3c_tpu.utils.profiling import profile_step
 
-    from rendertoy3c_tpu.integrate.path import _next_pow2
-
-    pool = max(min(cfg_c.ray_block,
-                   _next_pow2(cfg_c.width * cfg_c.height
-                              * cfg_c.samples_per_launch)), 256)
-    misc_w = 24 if cfg_c.aov else 16
-    n_it = 50
-    time8 = (jnp.zeros((pool, 8), jnp.float32)
-             if getattr(tracer, "motion", False) else None)
-
-    @jax.jit
-    def k(r, m):
-        def body(i, c):
-            return tracer.trace_shade(c[0], c[1], pool, time8)
-        return jax.lax.fori_loop(0, n_it, body, (r, m))
-
-    r0 = jnp.zeros((pool, 8), jnp.float32)
-    m0 = jnp.zeros((pool, misc_w), jnp.float32)
-    out = k(r0, m0)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = k(r0, m0)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n_it)
-    return best
+    rows = profile_step(lambda f: step(cam_p, f), top=400,
+                        rearm=lambda: (mk_film(),))
+    kernel = sum(ms for name, ms, _c in rows if name.startswith("shade"))
+    total = max((ms for name, ms, _c in rows
+                 if name.startswith("jit_step")), default=0.0)
+    return kernel, total
 
 
 def run_config_suite(cfg_kwargs, warmup, timed):
@@ -444,14 +422,30 @@ def run_config_suite(cfg_kwargs, warmup, timed):
             )
 
             if isinstance(tracer, (FusedPipeline, ExternalPipeline)):
-                t_it = _kernel_iter_seconds(tracer, cfg_c)
-                results[name].update({
-                    "pool_iters": iters,
-                    "kernel_ms_floor": round(iters * t_it * 1e3, 2),
-                    "glue_ms": round(mdt * 1e3 - iters * t_it * 1e3, 2),
-                    "pct_of_kernel_floor": round(
-                        100.0 * iters * t_it / mdt, 1),
-                })
+                k_ms, tot_ms = _kernel_floor_profiled(
+                    step, cam.params(),
+                    lambda: film_create(cfg_c.height, cfg_c.width))
+                if tot_ms > 0:
+                    if isinstance(tracer, FusedPipeline):
+                        # one megakernel per iteration: its share IS the
+                        # work floor; the rest is refill/flush/XLA glue
+                        results[name].update({
+                            "pool_iters": iters,
+                            "kernel_ms_floor": round(k_ms, 2),
+                            "glue_ms": round(tot_ms - k_ms, 2),
+                            "pct_of_kernel_floor": round(
+                                100.0 * k_ms / tot_ms, 1),
+                        })
+                    else:
+                        # external pipeline: the closest pass rides XLA
+                        # ops the profiler can't attribute by name, so
+                        # only the SHADE kernel's share is reported
+                        results[name].update({
+                            "pool_iters": iters,
+                            "shade_kernel_ms": round(k_ms, 2),
+                            "pct_shade_kernel": round(
+                                100.0 * k_ms / tot_ms, 1),
+                        })
         print(f"  {name}: best {best:.2f} / median {med:.2f} Mray/s "
               f"({time.perf_counter() - t0:.0f}s incl. build+compile)"
               + (f" | {results[name]['rows_gathered_per_ray']} rows/ray, "
@@ -459,7 +453,9 @@ def run_config_suite(cfg_kwargs, warmup, timed):
                  if rounds > 0 else "")
               + (f" | {results[name]['pct_of_kernel_floor']}% of kernel "
                  f"floor"
-                 if "pct_of_kernel_floor" in results[name] else ""),
+                 if "pct_of_kernel_floor" in results[name] else "")
+              + (f" | shade kernel {results[name]['pct_shade_kernel']}%"
+                 if "pct_shade_kernel" in results[name] else ""),
               file=sys.stderr)
 
     # BASELINE config 1: single static .obj mesh, Lambertian + NEE, 1080p
