@@ -72,6 +72,12 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
     w2 = v[:, None]
     g = scene.geom
     ng = normalize(w0 * g.n0[0, prim] + w1 * g.n1[0, prim] + w2 * g.n2[0, prim])
+    if hit.inst is not None:
+        # Two-level AS under the direct stack: object-space normal -> world
+        # via the instance inverse-transpose (key 0; the direct stack always
+        # traces at time 0, shading.cu:338 optixTransformNormal... parity).
+        it = scene.instances.inv_t[jnp.maximum(hit.inst, 0), 0]
+        ng = normalize(jnp.einsum("rij,rj->ri", it, ng))
     texcoord = w0 * g.uv0[prim] + w1 * g.uv1[prim] + w2 * g.uv2[prim]
 
     mat = scene.materials
@@ -253,10 +259,17 @@ def trace_shadow_transmission(scene, trace_closest, o, d, tmin, tmax, time,
         trans = jnp.where(live & opaque_lane, 0.0, trans)
         attenuate = live & ~opaque_lane & ~glass_lane & ~mask_pass
         trans = jnp.where(attenuate, trans * (1.0 - a), trans)
-        # glass shell: fresnel-graded attenuation on |N.D| (shading.cu:340)
+        # glass shell: fresnel-graded attenuation on |N.D| (shading.cu:340);
+        # the reference transforms the object normal to world space first
+        # (optixTransformNormalFromObjectToWorldSpace, shading.cu:338) —
+        # apply the instance inverse-transpose on instanced hits. Key-0
+        # normals are exact: the direct stack always traces at time 0.
         w0 = (1.0 - hit.u - hit.v)[:, None]
         nrm = normalize(w0 * g.n0[0, prim] + hit.u[:, None] * g.n1[0, prim]
                         + hit.v[:, None] * g.n2[0, prim])
+        if hit.inst is not None:
+            it = scene.instances.inv_t[jnp.maximum(hit.inst, 0), 0]
+            nrm = normalize(jnp.einsum("rij,rj->ri", it, nrm))
         n_di = jnp.abs(dot(nrm, d))
         sa = mat.shadow_att[mid]
         glass_f = 1.0 - ((1.0 - sa) + sa * (1.0 - n_di) ** 5.0)

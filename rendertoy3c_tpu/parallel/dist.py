@@ -286,13 +286,24 @@ def make_render_fn_dist(
         n_round = jax.lax.psum(n_round, ("tile", "spp"))
         return rgb, aov, n_rad, n_shad, n_round
 
+    # render_pixels' 5th output is pool_iters for megakernel pipelines and
+    # walk_rounds otherwise (integrate/path.py render_subframe routing);
+    # probe the factory once host-side so distributed stats agree and the
+    # bench's rows/ray / kernel-floor accounting stays valid under the mesh.
+    from ..trace.pallas_shade import ExternalPipeline, FusedPipeline
+
+    probe = tracer_factory(scene, tracer_aux, cfg_local)
+    round_field = ("pool_iters"
+                   if isinstance(probe, (FusedPipeline, ExternalPipeline))
+                   else "walk_rounds")
+
     def step(cam: CameraParams, film: Film):
         rgb, aov, n_rad, n_shad, n_round = subframe_shard(
             scene, cam, film.subframe_index
         )
         film = film_accumulate(film, rgb, aov=aov)
         return film, RenderStats(radiance_rays=n_rad, shadow_rays=n_shad,
-                                 walk_rounds=n_round)
+                                 **{round_field: n_round})
 
     return jax.jit(step, donate_argnames=("film",)), mesh
 

@@ -400,6 +400,13 @@ def build_hier_table_nkey(geom, num_faces: int, num_keys: int,
     bound only their segment's sweep — tighter than any global union."""
     if num_keys <= 2:
         raise ValueError("build_hier_table_nkey needs num_keys > 2")
+    if fanout == 0:
+        # auto-pick (fanout=0) could resolve differently per segment from
+        # the segments' differing leaf boxes, breaking the shared level
+        # structure the stacked table requires — require a fixed fanout.
+        raise ValueError(
+            "build_hier_table_nkey requires a fixed fanout (got 0=auto); "
+            "all motion segments must share one level structure")
     tabs = []
     for k in range(num_keys - 1):
         gseg = geom._replace(
