@@ -297,11 +297,16 @@ def reorder_scene_by_bvh(scene, perm: np.ndarray):
                 out[pad] = 0
         return jnp.asarray(out)
 
+    def take_opt(arr):
+        return None if arr is None else take(arr, False)
+
     geom = GeometrySoA(
         v0=take(g.v0, True), e1=take(g.e1, True), e2=take(g.e2, True),
         n0=take(g.n0, True), n1=take(g.n1, True), n2=take(g.n2, True),
         uv0=take(g.uv0, False), uv1=take(g.uv1, False), uv2=take(g.uv2, False),
         mat_id=take(g.mat_id, False),
+        uv0b=take_opt(g.uv0b), uv1b=take_opt(g.uv1b), uv2b=take_opt(g.uv2b),
+        c0=take_opt(g.c0), c1=take_opt(g.c1), c2=take_opt(g.c2),
     )
     # only the face SoA is permuted; every other Scene field (env map,
     # instances, light table, flags...) carries over untouched

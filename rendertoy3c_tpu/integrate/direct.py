@@ -79,6 +79,13 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
         it = scene.instances.inv_t[jnp.maximum(hit.inst, 0), 0]
         ng = normalize(jnp.einsum("rij,rj->ri", it, ng))
     texcoord = w0 * g.uv0[prim] + w1 * g.uv1[prim] + w2 * g.uv2[prim]
+    # second texcoord set (GeometryData.h:71-79 num_texcoords=2); each
+    # texture picks its set by MaterialData::Texture.texcoord
+    # (LocalShading.h:41 geom.texcoord[tex.texcoord].UV)
+    texcoord_b = None
+    if g.uv0b is not None:
+        texcoord_b = (w0 * g.uv0b[prim] + w1 * g.uv1b[prim]
+                      + w2 * g.uv2b[prim])
 
     mat = scene.materials
     mid = g.mat_id[prim]
@@ -86,18 +93,37 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
         is_prim, p_n, p_uv, p_mat = prim_override
         ng = jnp.where(is_prim[:, None], p_n, ng)
         texcoord = jnp.where(is_prim[:, None], p_uv, texcoord)
+        if texcoord_b is not None:
+            texcoord_b = jnp.where(is_prim[:, None], p_uv, texcoord_b)
         mid = jnp.where(is_prim, p_mat, mid)
+
+    def tex_uv_for(slot):
+        # texcoord-set select per texture slot (0=diffuse, 1=roughness,
+        # 2=emissive, 3=normal)
+        if texcoord_b is None:
+            return texcoord
+        use_b = (mat.tex_uv[mid, slot] == 1)[:, None]
+        return jnp.where(use_b, texcoord_b, texcoord)
 
     ns = faceforward(ng, -direction, ng)
     p = org + hit.t[:, None] * direction
     wo = -direction
 
     tex_id = mat.diffuse_tex[mid]
+    uv_d = tex_uv_for(0)
     tex_rgb = sample_texture_bilinear(
-        scene.atlas, tex_id, texcoord[..., 0], texcoord[..., 1]
+        scene.atlas, tex_id, uv_d[..., 0], uv_d[..., 1]
     )
     base = jnp.where((tex_id >= 0)[:, None], tex_rgb * mat.diffuse[mid],
                      mat.diffuse[mid])
+    # COLOR_0 vertex-color modulation: base_color *= interpolated color
+    # (whitted.cu:157 base_color = pbr.base_color * geom.color; the .w
+    # component folds into the BLEND alpha at the compositing site)
+    if g.c0 is not None:
+        vcol = w0 * g.c0[prim] + w1 * g.c1[prim] + w2 * g.c2[prim]
+        if prim_override is not None:
+            vcol = jnp.where(prim_override[0][:, None], 1.0, vcol)
+        base = base * vcol[..., :3]
     metallic = mat.metallic[mid]
     rough = mat.roughness[mid]
     if checker:
@@ -109,8 +135,9 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
         rough = jnp.where(use2, mat.checker_rough2[mid], rough)
     rtex = mat.roughness_tex[mid]
     # glTF metallicRoughness texture: G = roughness, B = metallic
+    uv_r = tex_uv_for(1)
     mr_rgb = sample_texture_bilinear(
-        scene.atlas, rtex, texcoord[..., 0], texcoord[..., 1]
+        scene.atlas, rtex, uv_r[..., 0], uv_r[..., 1]
     )
     rough = jnp.where(rtex >= 0, rough * mr_rgb[..., 1], rough)
     metallic = jnp.where(rtex >= 0, metallic * mr_rgb[..., 2], metallic)
@@ -118,8 +145,9 @@ def shade_direct(scene: Scene, cfg: RenderConfig, trace_any, hit, org,
 
     emitted = mat.emission[mid]
     etex = mat.emissive_tex[mid]
+    uv_e = tex_uv_for(2)
     emis_rgb = sample_texture_bilinear(
-        scene.atlas, etex, texcoord[..., 0], texcoord[..., 1]
+        scene.atlas, etex, uv_e[..., 0], uv_e[..., 1]
     )
     emitted = jnp.where((etex >= 0)[:, None], emitted * emis_rgb, emitted)
 
@@ -184,6 +212,13 @@ def _sampled_alpha(scene, hit):
     w0 = (1.0 - hit.u - hit.v)[:, None]
     texcoord = (w0 * g.uv0[prim] + hit.u[:, None] * g.uv1[prim]
                 + hit.v[:, None] * g.uv2[prim])
+    if g.uv0b is not None:
+        # the base-color texture samples its own texcoord set
+        # (LocalShading.h:41 via MaterialData::Texture.texcoord)
+        texcoord_b = (w0 * g.uv0b[prim] + hit.u[:, None] * g.uv1b[prim]
+                      + hit.v[:, None] * g.uv2b[prim])
+        texcoord = jnp.where((mat.tex_uv[mid, 0] == 1)[:, None],
+                             texcoord_b, texcoord)
     a = sample_texture_alpha(
         scene.atlas, mat.diffuse_tex[mid], texcoord[..., 0], texcoord[..., 1]
     ) * mat.alpha[mid]
@@ -578,6 +613,15 @@ def render_direct_pixels(scene, cfg, cam, tracer, pixel_idx, subframe_index,
                 n_sh_total = n_sh_total + n_sh_g
             if alpha_blended:
                 a, _, blend_lane, _ = _sampled_alpha(scene, hit)
+                if scene.geom.c0 is not None:
+                    # BLEND alpha includes the interpolated COLOR_0 .w
+                    # (whitted.cu:157/268 base_color.w = factor.w *
+                    # geom.color.w * tex.w drives the composite)
+                    gg = scene.geom
+                    pm = jnp.maximum(hit.prim, 0)
+                    wb = (1.0 - hit.u - hit.v)
+                    a = a * (wb * gg.c0[pm, 3] + hit.u * gg.c1[pm, 3]
+                             + hit.v * gg.c2[pm, 3])
                 if prim_override is not None:
                     blend_lane = blend_lane & ~prim_override[0]  # prims opaque
                 a = jnp.where(blend_lane, a, 1.0)

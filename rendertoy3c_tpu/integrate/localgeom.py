@@ -25,12 +25,15 @@ import jax.numpy as jnp
 _DET_EPS = 1e-12
 
 
-def local_geometry_derivs(geom, prim, key: int = 0):
+def local_geometry_derivs(geom, prim, key: int = 0, uv_set: int = 0):
     """(dpdu, dpdv, dndu, dndv) at each hit primitive, each [R, 3] f32.
 
     geom: GeometrySoA; prim: [R] int32 face indices (callers clamp to >= 0);
     key: motion key for the positional slab (normals/UVs are key-invariant,
-    matching the shading-attribute convention)."""
+    matching the shading-attribute convention); uv_set: which texcoord set
+    parameterizes the derivatives (LocalGeometry.h:132-139 computes them
+    per set, j < num_texcoords=2; set 1 without a second UV set takes the
+    barycentric fallback like the reference's missing-texcoord branch)."""
     e1 = geom.e1[key, prim]
     e2 = geom.e2[key, prim]
     dp1 = -e2                # P0 - P2
@@ -41,9 +44,17 @@ def local_geometry_derivs(geom, prim, key: int = 0):
     dn1 = n0 - n2
     dn2 = n1 - n2
 
-    uv0 = geom.uv0[prim]
-    uv1 = geom.uv1[prim]
-    uv2 = geom.uv2[prim]
+    if uv_set == 1 and geom.uv0b is not None:
+        uv0 = geom.uv0b[prim]
+        uv1 = geom.uv1b[prim]
+        uv2 = geom.uv2b[prim]
+    elif uv_set == 1:
+        # no second set: zero UVs -> degenerate det -> barycentric fallback
+        uv0 = uv1 = uv2 = jnp.zeros_like(geom.uv0[prim])
+    else:
+        uv0 = geom.uv0[prim]
+        uv1 = geom.uv1[prim]
+        uv2 = geom.uv2[prim]
     du1 = uv0[:, 0] - uv2[:, 0]
     du2 = uv1[:, 0] - uv2[:, 0]
     dv1 = uv0[:, 1] - uv2[:, 1]

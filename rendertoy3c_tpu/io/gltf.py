@@ -334,6 +334,15 @@ def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
             wt = wrap_from_gl(smp.get("wrapT", 10497))
         return texture_of_image(src, ws, wt)
 
+    def tex_uv(tinfo):
+        # per-texture texcoord-set index (glTF textureInfo.texCoord;
+        # sutil/Scene.cpp:220 carries it into MaterialData::Texture and
+        # :254-257 clamps indices past num_texcoords=2 back to 0)
+        if tinfo is None:
+            return 0
+        i = int(tinfo.get("texCoord", 0))
+        return i if i in (0, 1) else 0
+
     # KHR_texture_transform on the base color texture -> material uv xform
     xform = (
         pbr.get("baseColorTexture", {})
@@ -369,6 +378,10 @@ def _material_from_gltf(doc: _GltfDoc, mat_idx: Optional[int],
                        for c in m.get("emissiveFactor", [0, 0, 0])),
         emissive_texture_id=tex_id(m.get("emissiveTexture")),
         normal_texture_id=tex_id(m.get("normalTexture")),
+        diffuse_tex_uv=tex_uv(pbr.get("baseColorTexture")),
+        roughness_tex_uv=tex_uv(pbr.get("metallicRoughnessTexture")),
+        emissive_tex_uv=tex_uv(m.get("emissiveTexture")),
+        normal_tex_uv=tex_uv(m.get("normalTexture")),
         tex_offset=tuple(xform.get("offset", [0.0, 0.0])),
         tex_rotation=float(xform.get("rotation", 0.0)),
         tex_scale=tuple(xform.get("scale", [1.0, 1.0])),
@@ -490,14 +503,22 @@ def load_gltf(path: str, times=None, animation: int = 0):
             if nk is not None:
                 nrm_keys.append(nk.astype(np.float32))
 
-        uv = (
-            doc.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
-            if "TEXCOORD_0" in attrs else None
-        )
-        if uv is not None:
+        def read_uv(name):
+            if name not in attrs:
+                return None
+            a = doc.accessor(attrs[name]).astype(np.float32)
             # glTF uv origin is top-left; flipped textures expect
             # bottom-left (matches the OBJ/stbi convention)
-            uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)
+            return np.stack([a[:, 0], 1.0 - a[:, 1]], axis=1)
+
+        uv = read_uv("TEXCOORD_0")
+        # second UV set (GeometryData.h num_texcoords=2,
+        # sutil/Scene.cpp:503-516 loads TEXCOORD_0..1)
+        uv1 = read_uv("TEXCOORD_1")
+        # COLOR_0 vertex colors (sutil/Scene.cpp:520-529); VEC3 widens to
+        # RGBA w=1 and normalized u8/u16 rescale in accessor()
+        colors = (doc.accessor(attrs["COLOR_0"]).astype(np.float32)
+                  if "COLOR_0" in attrs else None)
         if "indices" in prim:
             idx = doc.accessor(prim["indices"]).reshape(-1)
             idx = idx.astype(np.int32).reshape(-1, 3)
@@ -511,6 +532,8 @@ def load_gltf(path: str, times=None, animation: int = 0):
             indices=idx,
             normals=np.stack(nrm_keys) if nrm_keys else None,
             texcoords=uv,
+            texcoords1=uv1,
+            colors=colors,
             material=material,
         )
         if not nrm_keys:

@@ -100,6 +100,10 @@ def build_instanced_scene(
     # would waste ~4x their sweep cost at the baked path's 512 alignment)
     slabs = {k: [] for k in ("v0", "e1", "e2", "n0", "n1", "n2")}
     uv0s, uv1s, uv2s, mat_ids = [], [], [], []
+    any_uv2 = any(m.texcoords1 is not None for m in meshes)
+    any_vcolor = any(m.colors is not None for m in meshes)
+    uvb0s, uvb1s, uvb2s = [], [], []
+    c0s, c1s, c2s = [], [], []
     materials: list[Material] = []
     mesh_ranges: list[Tuple[int, int]] = []
     cursor = 0
@@ -131,6 +135,18 @@ def build_instanced_scene(
         uv0s.append(np.pad(uvs[f[:, 0]], ((0, padded - nf), (0, 0))))
         uv1s.append(np.pad(uvs[f[:, 1]], ((0, padded - nf), (0, 0))))
         uv2s.append(np.pad(uvs[f[:, 2]], ((0, padded - nf), (0, 0))))
+        if any_uv2:
+            uvb = (mesh.texcoords1 if mesh.texcoords1 is not None
+                   else np.zeros((v.shape[0], 2), np.float32))
+            uvb0s.append(np.pad(uvb[f[:, 0]], ((0, padded - nf), (0, 0))))
+            uvb1s.append(np.pad(uvb[f[:, 1]], ((0, padded - nf), (0, 0))))
+            uvb2s.append(np.pad(uvb[f[:, 2]], ((0, padded - nf), (0, 0))))
+        if any_vcolor:
+            cols = (mesh.colors if mesh.colors is not None
+                    else np.ones((v.shape[0], 4), np.float32))
+            c0s.append(np.pad(cols[f[:, 0]], ((0, padded - nf), (0, 0))))
+            c1s.append(np.pad(cols[f[:, 1]], ((0, padded - nf), (0, 0))))
+            c2s.append(np.pad(cols[f[:, 2]], ((0, padded - nf), (0, 0))))
         mat_ids.append(
             np.pad(np.full(nf, mat_index, np.int32), (0, padded - nf))
         )
@@ -148,6 +164,12 @@ def build_instanced_scene(
         uv1=jnp.asarray(np.concatenate(uv1s)),
         uv2=jnp.asarray(np.concatenate(uv2s)),
         mat_id=jnp.asarray(np.concatenate(mat_ids)),
+        uv0b=jnp.asarray(np.concatenate(uvb0s)) if any_uv2 else None,
+        uv1b=jnp.asarray(np.concatenate(uvb1s)) if any_uv2 else None,
+        uv2b=jnp.asarray(np.concatenate(uvb2s)) if any_uv2 else None,
+        c0=jnp.asarray(np.concatenate(c0s)) if any_vcolor else None,
+        c1=jnp.asarray(np.concatenate(c1s)) if any_vcolor else None,
+        c2=jnp.asarray(np.concatenate(c2s)) if any_vcolor else None,
     )
 
     # instance table + world AABBs + world-space light triangles

@@ -72,6 +72,21 @@ class Material:
     checker_color2: tuple | None = None
     checker_roughness2: float | None = None
     checker_inv_size: tuple = (1.0, 1.0)
+    # per-texture texcoord-set index (cuda/MaterialData.h:68 Texture.texcoord
+    # selecting among GeometryData's num_texcoords=2 sets; indices >= 2 clamp
+    # to 0 like sutil/Scene.cpp:254-257). Order: diffuse (base color),
+    # metallic-roughness, emissive, normal.
+    diffuse_tex_uv: int = 0
+    roughness_tex_uv: int = 0
+    emissive_tex_uv: int = 0
+    normal_tex_uv: int = 0
+
+    def tex_uv_row(self):
+        """Clamped (diffuse, roughness, emissive, normal) UV-set indices."""
+        def clamp(i):
+            return i if i in (0, 1) else 0
+        return (clamp(self.diffuse_tex_uv), clamp(self.roughness_tex_uv),
+                clamp(self.emissive_tex_uv), clamp(self.normal_tex_uv))
 
     def uv_transform_row(self):
         """Packed (m00, m01, m10, m11, ox, oy) row for the device table."""
@@ -114,6 +129,9 @@ class MaterialTable(NamedTuple):
     checker_color2: jnp.ndarray  # [M, 3] f32 (check-0 diffuse)
     checker_rough2: jnp.ndarray  # [M] f32 (check-0 roughness)
     checker_inv: jnp.ndarray  # [M, 2] f32 inv_checker_size
+    # [M, 4] i32 per-texture UV-set index (diffuse, roughness, emissive,
+    # normal) — 0 or 1 into the geometry's two texcoord sets
+    tex_uv: jnp.ndarray
 
 
 def build_material_table(materials: Sequence[Material]) -> MaterialTable:
@@ -159,6 +177,7 @@ def build_material_table(materials: Sequence[Material]) -> MaterialTable:
             else m.roughness for m in materials
         ]),
         checker_inv=f32([m.checker_inv_size for m in materials]),
+        tex_uv=i32([m.tex_uv_row() for m in materials]),
     )
 
 

@@ -21,6 +21,12 @@ class Mesh:
     indices: np.ndarray  # [F, 3] int32
     normals: Optional[np.ndarray] = None  # [K, V, 3] float32
     texcoords: Optional[np.ndarray] = None  # [V, 2] float32
+    # second texture-coordinate set (glTF TEXCOORD_1; the reference carries
+    # num_texcoords=2 sets per mesh, cuda/GeometryData.h:71-79)
+    texcoords1: Optional[np.ndarray] = None  # [V, 2] float32
+    # per-vertex RGBA color (glTF COLOR_0, cuda/GeometryData.h:80;
+    # interpolated into base color by the whitted shade, whitted.cu:157)
+    colors: Optional[np.ndarray] = None  # [V, 4] float32
     material: Material = field(default_factory=Material)
 
     def __post_init__(self):
@@ -34,6 +40,15 @@ class Mesh:
                 self.normals = self.normals[None]
         if self.texcoords is not None:
             self.texcoords = np.asarray(self.texcoords, np.float32).reshape(-1, 2)
+        if self.texcoords1 is not None:
+            self.texcoords1 = np.asarray(
+                self.texcoords1, np.float32).reshape(-1, 2)
+        if self.colors is not None:
+            c = np.asarray(self.colors, np.float32)
+            if c.shape[-1] == 3:  # VEC3 COLOR_0: opaque (spec default w=1)
+                c = np.concatenate(
+                    [c, np.ones((*c.shape[:-1], 1), np.float32)], axis=-1)
+            self.colors = c.reshape(-1, 4)
 
     @property
     def num_keys(self) -> int:
@@ -62,5 +77,7 @@ class Mesh:
             indices=self.indices,
             normals=normals,
             texcoords=self.texcoords,
+            texcoords1=self.texcoords1,
+            colors=self.colors,
             material=self.material,
         )

@@ -59,6 +59,18 @@ class GeometrySoA(NamedTuple):
     uv1: jnp.ndarray  # [F, 2]
     uv2: jnp.ndarray  # [F, 2]
     mat_id: jnp.ndarray  # [F] int32
+    # second texcoord set (glTF TEXCOORD_1; cuda/GeometryData.h:71-79
+    # num_texcoords=2) — present only when some mesh carries one (None
+    # otherwise, so scenes without it pay no memory)
+    uv0b: Optional[jnp.ndarray] = None  # [F, 2]
+    uv1b: Optional[jnp.ndarray] = None  # [F, 2]
+    uv2b: Optional[jnp.ndarray] = None  # [F, 2]
+    # per-corner RGBA vertex color (glTF COLOR_0, cuda/GeometryData.h:80;
+    # LocalGeometry.h:97-104 interpolates it, whitted.cu:157 folds it into
+    # base color) — None when no mesh carries COLOR_0
+    c0: Optional[jnp.ndarray] = None  # [F, 4]
+    c1: Optional[jnp.ndarray] = None  # [F, 4]
+    c2: Optional[jnp.ndarray] = None  # [F, 4]
 
 
 @dataclass
@@ -158,6 +170,15 @@ def build_scene(
 
     slabs = {k: [] for k in ("v0", "e1", "e2", "n0", "n1", "n2")}
     uv0s, uv1s, uv2s, mat_ids = [], [], [], []
+    # second UV set / vertex colors: only materialized when some mesh has
+    # them (reference defaults: missing TEXCOORD_1 -> UV 0, missing COLOR_0
+    # -> white, LocalGeometry.h:105-107/132-139)
+    any_uv2 = any(meshes[i.mesh_index].texcoords1 is not None
+                  for i in instances)
+    any_vcolor = any(meshes[i.mesh_index].colors is not None
+                     for i in instances)
+    uvb0s, uvb1s, uvb2s = [], [], []
+    c0s, c1s, c2s = [], [], []
     materials: list[Material] = []
     light_v0, light_v1, light_v2, light_e = [], [], [], []
 
@@ -193,6 +214,18 @@ def build_scene(
         uv0s.append(uvs[f[:, 0]])
         uv1s.append(uvs[f[:, 1]])
         uv2s.append(uvs[f[:, 2]])
+        if any_uv2:
+            uvb = (mesh.texcoords1 if mesh.texcoords1 is not None
+                   else np.zeros((mesh.vertices.shape[1], 2), np.float32))
+            uvb0s.append(uvb[f[:, 0]])
+            uvb1s.append(uvb[f[:, 1]])
+            uvb2s.append(uvb[f[:, 2]])
+        if any_vcolor:
+            cols = (mesh.colors if mesh.colors is not None
+                    else np.ones((mesh.vertices.shape[1], 4), np.float32))
+            c0s.append(cols[f[:, 0]])
+            c1s.append(cols[f[:, 1]])
+            c2s.append(cols[f[:, 2]])
         mat_ids.append(np.full(mesh.num_faces, mat_index, np.int32))
 
         # Light table entries from key-0 world vertices of emissive meshes
@@ -234,6 +267,12 @@ def build_scene(
         uv1=cat(uv1s, False),
         uv2=cat(uv2s, False),
         mat_id=jnp.asarray(mat_cat.astype(np.int32)),
+        uv0b=cat(uvb0s, False) if any_uv2 else None,
+        uv1b=cat(uvb1s, False) if any_uv2 else None,
+        uv2b=cat(uvb2s, False) if any_uv2 else None,
+        c0=cat(c0s, False) if any_vcolor else None,
+        c1=cat(c1s, False) if any_vcolor else None,
+        c2=cat(c2s, False) if any_vcolor else None,
     )
 
     num_lights = sum(len(x) for x in light_v0)

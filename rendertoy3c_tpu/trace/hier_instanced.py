@@ -291,6 +291,9 @@ def split_order_instanced(iscene):
         n0=take(g.n0, True), n1=take(g.n1, True), n2=take(g.n2, True),
         uv0=take(g.uv0, False), uv1=take(g.uv1, False),
         uv2=take(g.uv2, False), mat_id=take(g.mat_id, False),
+        **{k: take(getattr(g, k), False)
+           for k in ("uv0b", "uv1b", "uv2b", "c0", "c1", "c2")
+           if getattr(g, k) is not None},
     )
 
     # also order the INSTANCES spatially: the world directory levels group
