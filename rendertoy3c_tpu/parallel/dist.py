@@ -149,7 +149,8 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
 
     pool_ok = (cfg.integrator == "pool" and cfg.ray_block % 256 == 0
                and getattr(scene, "instances", None) is None)
-    large = scene.num_keys <= 2 and scene.num_faces > LEAFWALK_MIN_FACES
+    big = scene.num_faces > LEAFWALK_MIN_FACES
+    large = scene.num_keys <= 2 and big
     if kind == "auto":
         if large:
             if (cfg.integrator == "pool"
@@ -159,6 +160,11 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
                 kind = ("external"
                         if pool_ok and external_shade_eligible(scene, cfg)
                         else "leafwalk")
+        elif big:
+            # >2-key piecewise-linear vertex motion at scale: the
+            # stacked-segment hierwalk tables (trace/auto.py's ladder
+            # routing, hierwalk.build_hier_table_nkey)
+            kind = "hierwalk"
         elif pool_ok and fused_shade_eligible(scene, cfg):
             kind = "fused"
         elif pool_ok and external_shade_eligible(scene, cfg):
@@ -191,8 +197,7 @@ def prepare_tracer_factory(scene: Scene, cfg: RenderConfig, kind: str = "auto",
 
         scene = split_order_scene(scene)
         pair = make_leafwalk_tracer(scene)
-    elif ((kind == "hierwalk" and scene.num_keys <= 2)
-            or (kind == "external" and large)):
+    elif kind == "hierwalk" or (kind == "external" and large):
         from ..accel.lbvh import split_order_scene
         from ..trace.hierwalk import (
             HIER_LEAF, HIER_LEAF_MOTION, make_hierwalk_tracer,
