@@ -129,6 +129,10 @@ class WalkPoolPipeline:
     #                           pallas_shade.inst_attr_pack — per-instance
     #                           transform rows gathered by hit instance id
     attr_w: int = 0           # real attr column count before the packing
+    # textured kernel path: XLA-side texture pre-sampler over the gathered
+    # attr block (pallas_shade.make_tex_presampler); its rgb columns append
+    # to attr_g so the kernel skips the in-kernel atlas matmuls
+    presample: Any = None
 
 
 def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
@@ -150,11 +154,12 @@ def make_walkpool_pipeline(scene, cfg: RenderConfig) -> WalkPoolPipeline:
                   num_faces=tab.num_faces, motion=motion,
                   misc_w=misc_w, shadow_w=shadow_w, fanout=tab.fanout)
     if external_shade_eligible(scene, cfg):
-        shade, attr_rows = make_external_shader(scene, cfg, motion=motion,
-                                                transposed=True)
+        shade, attr_rows, presample = make_external_shader(
+            scene, cfg, motion=motion, transposed=True)
         return WalkPoolPipeline(shade=shade,
                                 attr_rows=pack_rows128(attr_rows)[0],
                                 attr_w=attr_rows.shape[1],
+                                presample=presample,
                                 kernel=True, **common)
     shade = _make_xla_shade_stage(scene, cfg, misc_w, shadow_w)
     return WalkPoolPipeline(shade=shade, attr_rows=None, kernel=False,
@@ -191,11 +196,12 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
     if external_shade_eligible(iscene, cfg):
         from ..trace.pallas_shade import inst_attr_pack
 
-        shade, attr_rows = make_external_shader(iscene, cfg, motion=motion,
-                                                transposed=True)
+        shade, attr_rows, presample = make_external_shader(
+            iscene, cfg, motion=motion, transposed=True)
         return WalkPoolPipeline(shade=shade,
                                 attr_rows=pack_rows128(attr_rows)[0],
                                 attr_w=attr_rows.shape[1],
+                                presample=presample,
                                 inst_it=inst_attr_pack(iscene),
                                 kernel=True, **common)
     # XLA fallback: no kernel transform rows needed (and the eager
@@ -653,18 +659,24 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         # back into lane-strided column slices on the way out)
         misc_in = jnp.stack(
             mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=0)
+        hit_u = jnp.where(valid, s["wb_u"], 0.0)
+        hit_v = jnp.where(valid, s["wb_v"], 0.0)
         if pipe.kernel and pipe.instanced:
             # per-hit transform rows (identity for misses) for the
             # kernel's in-kernel instance normal/tangent transforms
             from ..trace.pallas_shade import instanced_attr_t
 
             attr_t = instanced_attr_t(pipe.attr_rows, pipe.attr_w,
-                                      pipe.inst_it, hit_prim, hit_inst)
+                                      pipe.inst_it, hit_prim, hit_inst,
+                                      presample=pipe.presample,
+                                      bu=hit_u, bv=hit_v)
         elif pipe.kernel:
-            attr_t = jnp.transpose(
-                take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
-                            pipe.attr_w),
-                (1, 0))
+            attr_g = take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
+                                 pipe.attr_w)
+            if pipe.presample is not None:
+                attr_g = jnp.concatenate(
+                    [attr_g, pipe.presample(attr_g, hit_u, hit_v)], axis=1)
+            attr_t = jnp.transpose(attr_g, (1, 0))
         else:
             attr_t = None
         rays2, misc_e, sh = pipe.shade(rays, hit8, misc_in, attr_t, pool)
@@ -857,7 +869,10 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     # 49k 8.43->8.53, 200k 5.27->5.39, inst field 6.61->6.66, but LOSES on
     # the 5-level 1M table (4.13->3.95; full unroll also lost at 49k,
     # 8.34), so deep tables keep the rolled loop.
-    round_unroll = 4 if n_levels <= 4 else False
+    round_unroll = 4 if n_levels <= 5 else False
+    if _os.environ.get("RT3C_ROUND_UNROLL", ""):  # A/B override
+        _v = int(_os.environ["RT3C_ROUND_UNROLL"])
+        round_unroll = _v if _v > 1 else False
 
     def super_step(i, s):
         # boundary (drains lanes the previous rounds finished), then K
@@ -942,11 +957,13 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     num_faces = pipe.num_faces
     # Inline shadow gating (see pipe_round's stash step) trades ~16 extra
     # per-round selects for the held-walk boundary waits. Measured on v5e:
-    # 49k field 19.4 -> 20.7-21.1, 200k town ~par (11.8), but the 5-level
-    # 1M table REGRESSES 8.6 -> 8.0 (its rounds run unrolled=False and
-    # every extra op is a launch gap) — so deep tables keep the classic
-    # held-shadow path.
-    inline_gate = n_levels <= 4
+    # 49k field 19.4 -> 20.7-21.1, 200k town ~par (11.8). The 5-level
+    # tables (1M DP-grouped dirs) need the FULL combination — gate + x4
+    # round unroll + K=16 — measured r5: base 9.3, gate alone 9.1, gate+
+    # unroll 10.1, gate+unroll+K16 12.7 Mray/s; gate without unroll loses
+    # (every extra op is a launch gap in a rolled loop), so both flip
+    # together on n_levels <= 5.
+    inline_gate = n_levels <= 5
     if _os.environ.get("RT3C_INLINE_GATE", "") in ("0", "1"):
         inline_gate = _os.environ["RT3C_INLINE_GATE"] == "1"  # A/B override
     n_pix = pixel_idx.shape[0]
@@ -966,7 +983,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                          "pool loop never terminates")
     if cfg.walk_phase_every:
         k_phase = cfg.walk_phase_every
-    elif num_faces > 512 * 1024:
+    elif n_levels > 5:
+        # only tables too deep for the inline gate + x4 unroll amortize
+        # the boundary over 32 rounds; gated/unrolled tables want K=16
+        # (r5, 1M 5-level: K 16/24/32 = 12.7/11.4/10.1)
         k_phase = 32
     elif instanced:
         # instanced TLAS walks run longer per node (space switches), so
@@ -1226,16 +1246,22 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
              tail4], axis=1)
         misc_in = jnp.stack(
             mc[:9] + [m_a.astype(jnp.float32)] + mc[10:], axis=0)
+        hit_u = jnp.where(valid, s["hu"][p], 0.0)
+        hit_v = jnp.where(valid, s["hv"][p], 0.0)
         if pipe.kernel and instanced:
             from ..trace.pallas_shade import instanced_attr_t
 
             attr_t = instanced_attr_t(pipe.attr_rows, pipe.attr_w,
-                                      pipe.inst_it, hit_prim, hit_inst)
+                                      pipe.inst_it, hit_prim, hit_inst,
+                                      presample=pipe.presample,
+                                      bu=hit_u, bv=hit_v)
         elif pipe.kernel:
-            attr_t = jnp.transpose(
-                take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
-                            pipe.attr_w),
-                (1, 0))
+            attr_g = take_packed(pipe.attr_rows, jnp.maximum(hit_prim, 0),
+                                 pipe.attr_w)
+            if pipe.presample is not None:
+                attr_g = jnp.concatenate(
+                    [attr_g, pipe.presample(attr_g, hit_u, hit_v)], axis=1)
+            attr_t = jnp.transpose(attr_g, (1, 0))
         else:
             attr_t = None
         rays2, misc_e, sh = pipe.shade(s["hray"][p], hit8, misc_in, attr_t,
@@ -1419,7 +1445,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                 nw=s["next_work"])
         return dict(s, **out)
 
-    round_unroll = 4 if n_levels <= 4 else False
+    round_unroll = 4 if n_levels <= 5 else False
+    if _os.environ.get("RT3C_ROUND_UNROLL", ""):  # A/B override
+        _v = int(_os.environ["RT3C_ROUND_UNROLL"])
+        round_unroll = _v if _v > 1 else False
 
     def super_step(i, s):
         s = boundary(s)

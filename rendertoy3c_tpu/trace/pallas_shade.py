@@ -272,7 +272,8 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                        dispatch=False, params_base=16, power_cdf=None,
                        motion=False, closest_in_kernel=False, aov=False,
                        uv_xform=False, nmap_base=0, normal_maps=False,
-                       external=False, inst_base=0, t_misc=False):
+                       external=False, inst_base=0, t_misc=False,
+                       pre_tex=False, pre_base=0, refill_cfg=None):
     """power_cdf: static tuple of per-light CDF values enables the power
     light sampler (in-kernel searchsorted as an unrolled compare-sum);
     None = uniform pick. dispatch: full 4-type material dispatch
@@ -298,11 +299,20 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
     bgx, bgy, bgz = (float(b) for b in bg)
     _E7 = 1e-7
 
-    def kernel(count_ref, rays_ref, *rest):
+    def kernel(count_ref, *rest):
         rest = list(rest)
+        if refill_cfg is not None:
+            # in-kernel refill scalars: sci = (next_work, pixel_base,
+            # subframe_index, pad) i32; scf = (eye, u, v, w) f32 rows
+            sci_ref = rest.pop(0)
+            scf_ref = rest.pop(0)
+        rays_ref = rest.pop(0)
         time_ref = rest.pop(0) if (closest_in_kernel and motion) else None
         hit_ref = None if closest_in_kernel else rest.pop(0)
         misc_ref = rest.pop(0)
+        stash_ref = (rest.pop(0)
+                     if refill_cfg is not None and refill_cfg["use_stash"]
+                     else None)
         if external:
             # external mode: the soup never enters the kernel — closest
             # and the shadow occlusion run OUTSIDE (any tracer backend);
@@ -315,10 +325,18 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
             super_ref = rest.pop(0)
         attr_ref = rest.pop(0)
         lights_ref = rest.pop(0)
-        if textured:
+        if textured and not pre_tex:
             quad_ref = rest.pop(0)
             meta_ref = rest.pop(0)
-        if external:
+        time_out = None
+        if refill_cfg is not None:
+            scr_ref = rest.pop()     # SMEM scratch rides after the outputs
+            stats_out = rest.pop()
+            if motion:
+                time_out = rest.pop()
+            stash_out = rest.pop() if refill_cfg["use_stash"] else None
+            rays_out, misc_out = rest
+        elif external:
             rays_out, misc_out, shadow_out = rest
         else:
             rays_out, misc_out = rest
@@ -438,21 +456,27 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
                    + row(a, inst_base + 8) * ngz)
             ngx, ngy, ngz, _ = _normalize3(nx2, ny2, nz2)
         if textured:
-            tu = w0 * row(a, 16) + bu * row(a, 18) + bv * row(a, 20)
-            tv = w0 * row(a, 17) + bu * row(a, 19) + bv * row(a, 21)
             tid = row(a, 22)
-            if uv_xform:
-                # uv' = offset + M @ uv (MaterialData.h texture desc /
-                # KHR_texture_transform), same op order as path.py:113-115
-                tu2 = row(a, 23) * tu + row(a, 24) * tv + row(a, 27)
-                tv2 = row(a, 25) * tu + row(a, 26) * tv + row(a, 28)
-                tu, tv = tu2, tv2
+            if not pre_tex:
+                tu = w0 * row(a, 16) + bu * row(a, 18) + bv * row(a, 20)
+                tv = w0 * row(a, 17) + bu * row(a, 19) + bv * row(a, 21)
+                if uv_xform:
+                    # uv' = offset + M @ uv (MaterialData.h texture desc /
+                    # KHR_texture_transform), op order as path.py:113-115
+                    tu2 = row(a, 23) * tu + row(a, 24) * tv + row(a, 27)
+                    tv2 = row(a, 25) * tu + row(a, 26) * tv + row(a, 28)
+                    tu, tv = tu2, tv2
         if normal_maps:
             # tangent-space normal mapping on the interpolated normal,
             # pre-faceforward (path.py:116-148 order; raw tangents baked
             # per face, Gram-Schmidt against ng in-kernel)
             ntex = row(a, nmap_base + 3)
-            n_rgb = _tex_fetch(tu, tv, ntex, meta_ref, quad_ref, ah, aw)
+            if pre_tex:
+                # pre-sampled normal-map texel rows (tex fetch ran outside
+                # the kernel over the gathered attrs — see make_tex_presampler)
+                n_rgb = [row(a, pre_base + 3 + c) for c in range(3)]
+            else:
+                n_rgb = _tex_fetch(tu, tv, ntex, meta_ref, quad_ref, ah, aw)
             ntsx = n_rgb[0] * 2.0 - 1.0
             ntsy = n_rgb[1] * 2.0 - 1.0
             ntsz = n_rgb[2] * 2.0 - 1.0
@@ -501,7 +525,10 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         emitted = [row(a, 9 + c) * emit_gate * hit_f for c in range(3)]
         albedo = [row(a, 12 + c) for c in range(3)]
         if textured:
-            tex_rgb = _tex_fetch(tu, tv, tid, meta_ref, quad_ref, ah, aw)
+            if pre_tex:
+                tex_rgb = [row(a, pre_base + c) for c in range(3)]
+            else:
+                tex_rgb = _tex_fetch(tu, tv, tid, meta_ref, quad_ref, ah, aw)
             present = tid >= 0.0
             albedo = [jnp.where(present, tex_rgb[c], albedo[c])
                       for c in range(3)]
@@ -850,50 +877,222 @@ def _make_shade_kernel(n_tiles_static, num_lights, bg, shadow_tmin,
         pdelta_new = jnp.where(alive, is_delta.astype(jnp.float32),
                                prev_delta)
 
-        rays_o = jnp.concatenate(
-            [
-                jnp.where(survive, px, ox),
-                jnp.where(survive, py, oy),
-                jnp.where(survive, pz, oz),
-                jnp.where(survive, ndx, dx),
-                jnp.where(survive, ndy, dy),
-                jnp.where(survive, ndz, dz),
-                rays_t[6:8, :],
-            ],
-            axis=0,
-        )  # [8, RT]
-        rays_out[:, :] = jnp.transpose(rays_o, (1, 0))
-
-        misc_rows = (
-            [seed] + new_at + new_last + [pdelta_new, depth_new, alive_new]
-            + acc_new + [
-                row(misc_t, 13),  # pixel: pass-through
-                row(misc_t, 14),  # samp: pass-through
-                want_shadow.astype(jnp.float32),
-            ]
-        )
+        aov_rows = None
         if aov:
             first = adv & (depth == 0.0)
             ns_rows = (nsx, nsy, nsz)
-            misc_rows += [
+            aov_rows = [
                 row(misc_t, 16 + c) + jnp.where(first, albedo[c], 0.0)
                 for c in range(3)
             ] + [
                 row(misc_t, 19 + c) + jnp.where(first, ns_rows[c], 0.0)
                 for c in range(3)
-            ] + [jnp.zeros((2, rt), jnp.float32)]
-        if external:
-            # pending NEE contribution rides extra output columns
-            # (misc_w..misc_w+2), zero-padded to the 8-aligned out width
-            misc_rows += nee_out
-        misc_o = jnp.concatenate(misc_rows, axis=0)  # [16|24(+3), RT]
-        out_w = misc_out.shape[0] if t_misc else misc_out.shape[1]
-        if external and misc_o.shape[0] < out_w:
-            misc_o = jnp.concatenate(
-                [misc_o, jnp.zeros(
-                    (out_w - misc_o.shape[0], rt),
-                    jnp.float32)], axis=0)
-        misc_out[:, :] = misc_o if t_misc else jnp.transpose(misc_o, (1, 0))
+            ]
+
+        if refill_cfg is None:
+            rays_o = jnp.concatenate(
+                [
+                    jnp.where(survive, px, ox),
+                    jnp.where(survive, py, oy),
+                    jnp.where(survive, pz, oz),
+                    jnp.where(survive, ndx, dx),
+                    jnp.where(survive, ndy, dy),
+                    jnp.where(survive, ndz, dz),
+                    rays_t[6:8, :],
+                ],
+                axis=0,
+            )  # [8, RT]
+            rays_out[:, :] = jnp.transpose(rays_o, (1, 0))
+
+            misc_rows = (
+                [seed] + new_at + new_last
+                + [pdelta_new, depth_new, alive_new]
+                + acc_new + [
+                    row(misc_t, 13),  # pixel: pass-through
+                    row(misc_t, 14),  # samp: pass-through
+                    want_shadow.astype(jnp.float32),
+                ]
+            )
+            if aov:
+                misc_rows += aov_rows + [jnp.zeros((2, rt), jnp.float32)]
+            if external:
+                # pending NEE contribution rides extra output columns
+                # (misc_w..misc_w+2), zero-padded to the 8-aligned width
+                misc_rows += nee_out
+            misc_o = jnp.concatenate(misc_rows, axis=0)  # [16|24(+3), RT]
+            out_w = misc_out.shape[0] if t_misc else misc_out.shape[1]
+            if external and misc_o.shape[0] < out_w:
+                misc_o = jnp.concatenate(
+                    [misc_o, jnp.zeros(
+                        (out_w - misc_o.shape[0], rt),
+                        jnp.float32)], axis=0)
+            misc_out[:, :] = (misc_o if t_misc
+                              else jnp.transpose(misc_o, (1, 0)))
+            return
+
+        # ==== in-kernel retire + refill epilogue (megakernel only) ====
+        # The XLA pool body's whole work-assignment stage — retire stash,
+        # work-counter pixel claim, tea seeding, per-sample LCG jump,
+        # camera-ray generation — runs HERE, so the loop body outside is
+        # just the kernel launch (+ the per-window flush). An SMEM scratch
+        # carries the work counter across the sequential grid: tile claim
+        # order equals the XLA cumsum's lane order, and pixel->stream
+        # mapping is by PIXEL id (tea), so per-pixel RNG streams and the
+        # accumulated image are unchanged (wavefront.cpp:203-222
+        # persistent-threads analog).
+        rc = refill_cfg
+        spp_n = rc["spp"]
+        n_pix = rc["n_pix"]
+        use_stash = rc["use_stash"]
+        jump = rc["jump"]
+        width_i = rc["width"]
+        pixf = row(misc_t, 13)
+        sampf = row(misc_t, 14)
+        alive_b = alive_new > 0.0
+        deadr = ~alive_b
+        accs = list(acc_new)
+
+        if use_stash:
+            st_t = jnp.transpose(stash_ref[:], (1, 0))  # [16, RT]
+            completed = deadr & (pixf >= 0.0) & (sampf >= float(spp_n))
+            can_stash = completed & (st_t[0:1] < 0.0)
+            new_st = [jnp.where(can_stash, pixf, st_t[0:1])]
+            new_st += [jnp.where(can_stash, accs[c], st_t[1 + c:2 + c])
+                       for c in range(3)]
+            accs = [jnp.where(can_stash, 0.0, a) for a in accs]
+            if aov:
+                new_st += [jnp.where(can_stash, aov_rows[c],
+                                     st_t[4 + c:5 + c]) for c in range(6)]
+                aov_rows = [jnp.where(can_stash, 0.0, a) for a in aov_rows]
+            pad_n = 16 - len(new_st)
+            new_st.append(jnp.zeros((pad_n, rt), jnp.float32))
+            stash_out[:, :] = jnp.transpose(
+                jnp.concatenate(new_st, axis=0), (1, 0))
+            pixf = jnp.where(can_stash, -1.0, pixf)
+            sampf = jnp.where(can_stash, 0.0, sampf)
+
+        @pl.when(i == 0)
+        def _seed_scratch():
+            scr_ref[0] = sci_ref[0]  # work counter resumes from next_work
+            scr_ref[1] = 0           # count hint (max live lane + 1)
+            scr_ref[2] = 0           # live-lane count (n_rad increment)
+
+        ctr = scr_ref[0]
+        idle = deadr & (pixf < 0.0)
+        # prefix-sum rank along lanes via a triangular MXU matmul (one-hot
+        # exact); incl[i] = #idle lanes at or before i
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
+        tri = (iota_r <= iota_c).astype(jnp.float32)
+        incl = jnp.dot(idle.astype(jnp.float32), tri,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [1, RT]
+        wpixf = ctr.astype(jnp.float32) + (incl - 1.0)
+        take_px = idle & (wpixf < float(n_pix))
+        base_f = sci_ref[1].astype(jnp.float32)
+        pixf = jnp.where(
+            take_px, base_f + jnp.clip(wpixf, 0.0, float(n_pix - 1)), pixf)
+        sampf = jnp.where(take_px, 0.0, sampf)
+        scr_ref[0] = ctr + jnp.sum(take_px.astype(jnp.int32))
+
+        take = deadr & (pixf >= 0.0) & (sampf < float(spp_n))
+        samp_idx = sampf  # this sample's index feeds the RNG jump
+        sampf = jnp.where(take, sampf + 1.0, sampf)
+        npix_i = jnp.maximum(pixf, 0.0).astype(jnp.int32)
+
+        # tea(new_pixel, subframe_index) on uint32 rows (math/rng.py:26-48)
+        v0r = pltpu.bitcast(npix_i, jnp.uint32)
+        v1r = pltpu.bitcast(jnp.zeros((1, rt), jnp.int32) + sci_ref[2],
+                            jnp.uint32)
+        for k in range(4):
+            s0 = jnp.uint32((0x9E3779B9 * (k + 1)) & 0xFFFFFFFF)
+            v0r = v0r + (((v1r << 4) + jnp.uint32(0xA341316C))
+                         ^ (v1r + s0)
+                         ^ ((v1r >> 5) + jnp.uint32(0xC8013EA4)))
+            v1r = v1r + (((v0r << 4) + jnp.uint32(0xAD90777D))
+                         ^ (v0r + s0)
+                         ^ ((v0r >> 5) + jnp.uint32(0x7E95761E)))
+        st = v0r
+        if rc["seed_rot"]:
+            st = st ^ jnp.uint32(rc["seed_rot"])
+        # per-sample LCG jump: static constants, select chain
+        aj = jnp.zeros((1, rt), jnp.uint32) + jnp.uint32(jump[0][0])
+        cj = jnp.zeros((1, rt), jnp.uint32) + jnp.uint32(jump[0][1])
+        for si in range(1, spp_n):
+            sel = samp_idx == float(si)
+            aj = jnp.where(sel, jnp.uint32(jump[si][0]), aj)
+            cj = jnp.where(sel, jnp.uint32(jump[si][1]), cj)
+        st = aj * st + cj
+
+        def _draw(s_u):
+            s_u = jnp.uint32(_LCG_A) * s_u + jnp.uint32(_LCG_C)
+            bits = pltpu.bitcast(s_u & jnp.uint32(0x00FFFFFF), jnp.int32)
+            return s_u, bits.astype(jnp.float32) * _INV_2_24
+
+        st, jxr = _draw(st)
+        st, jyr = _draw(st)
+        pxc = (npix_i % width_i).astype(jnp.float32)
+        pyc = (npix_i // width_i).astype(jnp.float32)
+        dxc = 2.0 * ((pxc + jxr) / rc["width_f"]) - 1.0
+        dyc = 2.0 * ((pyc + jyr) / rc["height_f"]) - 1.0
+        cdx = dxc * scf_ref[3] + dyc * scf_ref[6] + scf_ref[9]
+        cdy = dxc * scf_ref[4] + dyc * scf_ref[7] + scf_ref[10]
+        cdz = dxc * scf_ref[5] + dyc * scf_ref[8] + scf_ref[11]
+        cdx, cdy, cdz, _ = _normalize3(cdx, cdy, cdz)
+
+        seed_u = pltpu.bitcast(seed, jnp.uint32)
+        seed_u = jnp.where(take, st, seed_u)
+        alive2 = alive_b | take
+        # per-ray motion time draw (masked, integrate/path.py:1038)
+        s_adv, t_draw = _draw(seed_u)
+        seed_u = jnp.where(alive2, s_adv, seed_u)
+        seed_f = pltpu.bitcast(seed_u, jnp.float32)
+        if time_out is not None:
+            time_out[:, :] = jnp.broadcast_to(
+                jnp.transpose(t_draw, (1, 0)), (rt, 8))
+
+        rays_o = jnp.concatenate(
+            [
+                jnp.where(take, scf_ref[0], jnp.where(survive, px, ox)),
+                jnp.where(take, scf_ref[1], jnp.where(survive, py, oy)),
+                jnp.where(take, scf_ref[2], jnp.where(survive, pz, oz)),
+                jnp.where(take, cdx, jnp.where(survive, ndx, dx)),
+                jnp.where(take, cdy, jnp.where(survive, ndy, dy)),
+                jnp.where(take, cdz, jnp.where(survive, ndz, dz)),
+                jnp.full((1, rt), rc["tmin"], jnp.float32),
+                jnp.full((1, rt), rc["tmax"], jnp.float32),
+            ],
+            axis=0,
+        )
+        rays_out[:, :] = jnp.transpose(rays_o, (1, 0))
+
+        misc_rows = (
+            [seed_f]
+            + [jnp.where(take, 1.0, new_at[c]) for c in range(3)]
+            + [jnp.where(take, 1.0, new_last[c]) for c in range(3)]
+            + [jnp.where(take, 0.0, pdelta_new),
+               jnp.where(take, 0.0, depth_new),
+               alive2.astype(jnp.float32)]
+            + accs
+            + [pixf, sampf, want_shadow.astype(jnp.float32)]
+        )
+        if aov:
+            misc_rows += aov_rows + [jnp.zeros((2, rt), jnp.float32)]
+        misc_out[:, :] = jnp.transpose(
+            jnp.concatenate(misc_rows, axis=0), (1, 0))
+
+        # per-tile stats into SMEM; every tile writes the outputs (the
+        # last tile's values are the launch totals)
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, rt), 1)
+        live_idx = jnp.max(jnp.where(alive2, lane_row, -1))
+        scr_ref[1] = jnp.maximum(
+            scr_ref[1],
+            jnp.where(live_idx >= 0, i * RAY_TILE + live_idx + 1, 0))
+        scr_ref[2] = scr_ref[2] + jnp.sum(alive2.astype(jnp.int32))
+        stats_out[0] = scr_ref[0]
+        stats_out[1] = scr_ref[1]
+        stats_out[2] = scr_ref[2]
+        stats_out[3] = 0
 
     return kernel
 
@@ -929,15 +1128,40 @@ def fused_shade_eligible(scene, cfg) -> bool:
 
 
 def make_fused_shader(scene, cfg, soup, soup1=None,
-                      interpret: bool | None = None, merged=False):
+                      interpret: bool | None = None, merged=False,
+                      refill=None):
     """Returns shade(rays, hit4, misc16, count) -> (rays_out, misc_out16),
     or with merged=True the megakernel trace_shade(rays, misc16, count)
     (closest sweep in-kernel; static scenes only).
+
+    refill (merged only): dict(n_pix=, use_stash=) — builds the
+    IN-KERNEL-REFILL megakernel instead: the work-assignment stage
+    (retire stash, pixel claim via an SMEM work counter, tea seeding,
+    camera-ray generation) runs in the kernel epilogue, so the XLA loop
+    body is one launch. Returns trace_shade_refill(rays, misc, stash,
+    count, sci, scf[, time8]) -> (rays2, misc2[, stash2][, time8b],
+    stats i32[4] = (next_work, count_hint, n_live, 0)).
 
     soup: the closest kernel's TriSoup (tiles + cull AABBs, shared).
     soup1: key-1 soup for 2-key motion scenes (shadow rays lerp)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    refill_cfg = None
+    if refill is not None:
+        assert merged, "in-kernel refill requires the megakernel path"
+        from ..integrate.path import _lcg_advance_table
+
+        jump_np = _lcg_advance_table(cfg.samples_per_launch)
+        refill_cfg = dict(
+            n_pix=int(refill["n_pix"]),
+            spp=int(cfg.samples_per_launch),
+            use_stash=bool(refill["use_stash"]),
+            jump=tuple((int(a), int(c)) for a, c in jump_np),
+            width=int(cfg.width), width_f=float(cfg.width),
+            height_f=float(cfg.height),
+            tmin=float(cfg.primary_tmin), tmax=float(cfg.primary_tmax),
+            seed_rot=int(cfg.seed or 0),
+        )
     motion = soup1 is not None
     textured = _fused_texture_state(scene) == "diffuse"
     dispatch = not getattr(scene, "all_diffuse", False)
@@ -984,6 +1208,7 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
         power_cdf=power_cdf, motion=motion, closest_in_kernel=merged,
         aov=cfg.aov, uv_xform=uv_xform,
         nmap_base=(29 if uv_xform else 23), normal_maps=normal_maps,
+        refill_cfg=refill_cfg,
     )
     misc_w = 24 if cfg.aov else 16
     hit_specs = [] if merged else [
@@ -1048,6 +1273,77 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
         )(count, rays, *time_ops, *hit_ops, misc16, *tris_tables,
           soup_aabb, soup_super, attr, lights, *tex_tables)
 
+    if refill_cfg is not None:
+        use_stash = refill_cfg["use_stash"]
+
+        @jax.jit
+        def trace_shade_refill(rays, misc16, stash, count, sci, scf,
+                               time8=None):
+            r_pad = rays.shape[0]
+            count = jnp.asarray(count, jnp.int32).reshape(1)
+            sci = jnp.asarray(sci, jnp.int32).reshape(4)
+            scf = jnp.asarray(scf, jnp.float32).reshape(12)
+            time_in = (time8,) if motion else ()
+            stash_in = (stash,) if use_stash else ()
+            io_spec = lambda w: pl.BlockSpec(  # noqa: E731
+                (RAY_TILE, w), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM)
+            out_specs = [io_spec(8), io_spec(misc_w)]
+            out_shape = [
+                jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, misc_w), jnp.float32),
+            ]
+            if use_stash:
+                out_specs.append(io_spec(16))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((r_pad, 16), jnp.float32))
+            if motion:
+                out_specs.append(io_spec(8))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((r_pad, 8), jnp.float32))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            out_shape.append(jax.ShapeDtypeStruct((4,), jnp.int32))
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(r_pad // RAY_TILE,),
+                    in_specs=[io_spec(8)] + (
+                        [io_spec(8)] if motion else []
+                    ) + [io_spec(misc_w)] + (
+                        [io_spec(16)] if use_stash else []
+                    ) + [
+                        pl.BlockSpec((n_tiles, 9, soup_tris.shape[2]),
+                                     lambda i, *_: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _t in tris_tables
+                    ] + [
+                        pl.BlockSpec((soup_aabb.shape[0], 8),
+                                     lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((soup_super.shape[0], 8),
+                                     lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(attr.shape, lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(lights.shape, lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ] + [
+                        pl.BlockSpec(t.shape, lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for t in tex_tables
+                    ],
+                    out_specs=tuple(out_specs),
+                    scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
+                ),
+                out_shape=tuple(out_shape),
+                interpret=interpret,
+            )(count, sci, scf, rays, *time_in, misc16, *stash_in,
+              *tris_tables, soup_aabb, soup_super, attr, lights,
+              *tex_tables)
+
+        return trace_shade_refill
+
     if merged:
         def trace_shade(rays, misc16, count, time8=None):
             return shade(rays, None, misc16, count, time8)
@@ -1080,6 +1376,12 @@ class FusedPipeline:
         self.num_faces = scene.num_faces
         self.motion = scene.num_keys == 2
         self.merged = True
+        # in-kernel-refill megakernels, built lazily per (n_pix, stash)
+        # (n_pix is only known at render time; XLA caches the compiles)
+        self._scene = scene
+        self._cfg = cfg
+        self._interpret = interpret
+        self._refill_cache = {}
         # megakernel: closest + shade + NEE + shadow + RR in ONE launch
         # per pool iteration (motion lerps the closest sweep by the per-ray
         # time column)
@@ -1107,6 +1409,23 @@ class FusedPipeline:
             return self._closest_motion_raw(self.soup, self.soup1,
                                             rays_padded, time_col, count)
         return self._closest_raw(self.soup, rays_padded, count)
+
+    def refill_shader(self, n_pix: int, use_stash: bool):
+        """The in-kernel-refill megakernel for this pipeline (see
+        make_fused_shader's refill doc); cached per pool geometry.
+
+        Built lazily (n_pix is a render-time shape) but possibly under an
+        active jit trace — ensure_compile_time_eval keeps the table build
+        concrete (its inputs are the pipeline's concrete scene arrays)."""
+        key = (int(n_pix), bool(use_stash))
+        if key not in self._refill_cache:
+            with jax.ensure_compile_time_eval():
+                self._refill_cache[key] = make_fused_shader(
+                    self._scene, self._cfg, self.soup,
+                    soup1=self.soup1 if self.motion else None,
+                    interpret=self._interpret, merged=True,
+                    refill=dict(n_pix=n_pix, use_stash=use_stash))
+        return self._refill_cache[key]
 
 
 def make_fused_pipeline(scene, cfg, interpret: bool | None = None):
@@ -1194,14 +1513,19 @@ def gather_inst_rows(packed, w, iden, hit_inst):
     return jnp.where((hit_inst >= 0)[:, None], g, iden[None, :])
 
 
-def instanced_attr_t(attr_rows, attr_w, inst_pack, hit_prim, hit_inst):
+def instanced_attr_t(attr_rows, attr_w, inst_pack, hit_prim, hit_inst,
+                     presample=None, bu=None, bv=None):
     """Assemble the transposed per-ray attr block for an instanced shade
-    kernel call: per-face attrs gathered by prim id + the per-instance
-    transform rows (inst_attr_pack) gathered by instance id."""
+    kernel call: per-face attrs gathered by prim id + optional pre-sampled
+    texel columns (make_tex_presampler over the gathered block and the
+    barycentrics) + the per-instance transform rows (inst_attr_pack)
+    gathered by instance id — the kernel's pre_base / inst_base layout."""
     attr_g = take_packed(attr_rows, jnp.maximum(hit_prim, 0), attr_w)
     packed, w, iden = inst_pack
     rows = gather_inst_rows(packed, w, iden, hit_inst)
-    return jnp.transpose(jnp.concatenate([attr_g, rows], axis=1), (1, 0))
+    parts = ([attr_g] if presample is None
+             else [attr_g, presample(attr_g, bu, bv)]) + [rows]
+    return jnp.transpose(jnp.concatenate(parts, axis=1), (1, 0))
 
 
 def take_packed(packed, idx, h):
@@ -1216,6 +1540,97 @@ def take_packed(packed, idx, h):
     lane = jax.lax.iota(jnp.int32, k)[None, :, None]
     sel = lane == (idx % k)[:, None, None]
     return jnp.sum(jnp.where(sel, g, 0.0), axis=1)[:, :h]
+
+
+def _np_pack_rows128(tab: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) pack_rows128 — scene-load packing without paying
+    eager remote-device round trips per op (CLAUDE.md environment rule)."""
+    f, h = tab.shape
+    hp = h
+    while 128 % hp:
+        hp += 1
+    k = 128 // hp
+    fp = -(-f // k) * k
+    buf = np.zeros((fp, hp), tab.dtype)
+    buf[:f, :h] = tab
+    return buf.reshape(fp // k, 128)
+
+
+def _wrap_axis_xla(c, size, mode):
+    """XLA mirror of the kernel's _wrap_axis (f32 arithmetic, float modes):
+    base texel index + frac along one axis."""
+    cm = jnp.where(mode == 2.0, 1.0 - jnp.abs(jnp.mod(c, 2.0) - 1.0), c)
+    repeat = mode == 0.0
+    cc = jnp.where(repeat, cm - jnp.floor(cm), cm)
+    sc = cc * size - 0.5
+    sc = jnp.where(repeat, sc, jnp.clip(sc, 0.0, size - 1.0))
+    i0 = jnp.floor(sc)
+    frac = sc - i0
+    i0 = jnp.where(repeat, jnp.mod(i0, size), i0)
+    return i0, frac
+
+
+def make_tex_presampler(scene, uv_xform: bool, normal_maps: bool,
+                        nmap_base: int):
+    """XLA-side texture pre-sampling for the EXTERNAL shade kernel.
+
+    The in-kernel _tex_fetch is a pair of one-hot matmuls over the WHOLE
+    atlas per ray tile (~2*RT*AH*12*AW flops) — measured ~25% of the
+    textured walk-pool subframe as two full-width launches per boundary
+    (round-4 profile). In external mode the attrs already arrive
+    pre-gathered per ray, so the texture fetch moves out too: interpolate
+    UV from the gathered attr columns, then ONE packed row-gather from the
+    quad table (same single-gather footprint as
+    scene/texture.py sample_texture_bilinear) per texture — O(W) instead
+    of O(W * atlas texels). Arithmetic mirrors the kernel's _wrap_axis +
+    quad combine, so results are unchanged.
+
+    Returns (presample, n_pre): presample(attr_g [W,H], bu [W], bv [W]) ->
+    [W, n_pre] extra attr columns (diffuse rgb, + normal-map rgb when the
+    scene carries normal maps) appended to the gathered block; the kernel
+    reads them at pre_base (rows are zero where tid < 0, matching
+    _tex_fetch's black-out, and the kernel's present mask gates use)."""
+    atlas = scene.atlas
+    aw = int(atlas.data.shape[1])
+    quad_packed = jnp.asarray(
+        _np_pack_rows128(np.asarray(atlas.quad, np.float32)))
+    meta_packed = jnp.asarray(
+        _np_pack_rows128(np.asarray(atlas.meta, np.float32)))
+
+    def sample(tid, u, v):
+        m = take_packed(meta_packed,
+                        jnp.maximum(tid, 0.0).astype(jnp.int32), 6)
+        y0, x0 = m[:, 0], m[:, 1]
+        th, tw = m[:, 2], m[:, 3]
+        ws_m, wt_m = m[:, 4], m[:, 5]
+        iu0, fu = _wrap_axis_xla(u, tw, ws_m)
+        iv0, fv = _wrap_axis_xla(v, th, wt_m)
+        flat = ((y0 + iv0) * float(aw) + (x0 + iu0)).astype(jnp.int32)
+        q = take_packed(quad_packed, flat, 12)
+        fu = fu[:, None]
+        fv = fv[:, None]
+        rgb = (q[:, 0:3] * (1.0 - fu) * (1.0 - fv)
+               + q[:, 3:6] * fu * (1.0 - fv)
+               + q[:, 6:9] * (1.0 - fu) * fv
+               + q[:, 9:12] * fu * fv)
+        return jnp.where((tid >= 0.0)[:, None], rgb, 0.0)
+
+    def presample(attr_g, bu, bv):
+        w0 = 1.0 - bu - bv
+        tu = w0 * attr_g[:, 16] + bu * attr_g[:, 18] + bv * attr_g[:, 20]
+        tv = w0 * attr_g[:, 17] + bu * attr_g[:, 19] + bv * attr_g[:, 21]
+        if uv_xform:
+            tu2 = (attr_g[:, 23] * tu + attr_g[:, 24] * tv
+                   + attr_g[:, 27])
+            tv2 = (attr_g[:, 25] * tu + attr_g[:, 26] * tv
+                   + attr_g[:, 28])
+            tu, tv = tu2, tv2
+        cols = [sample(attr_g[:, 22], tu, tv)]
+        if normal_maps:
+            cols.append(sample(attr_g[:, nmap_base + 3], tu, tv))
+        return jnp.concatenate(cols, axis=1)
+
+    return presample, (6 if normal_maps else 3)
 
 
 def make_external_shader(scene, cfg, motion: bool,
@@ -1258,9 +1673,22 @@ def make_external_shader(scene, cfg, motion: bool,
             float(c)
             for c in np.asarray(scene.lights.power_cdf)[: scene.num_lights]
         )
+    # pre-sampled textures (default): the tex fetch runs OUTSIDE the kernel
+    # over the gathered attrs (make_tex_presampler) and its rgb rides extra
+    # attr rows — the kernel shrinks to the untextured cost. RT3C_PRETEX=0
+    # keeps the in-kernel one-hot fetch for A/B.
+    import os as _os
+
+    pre_tex = textured and _os.environ.get("RT3C_PRETEX", "1") == "1"
+    presample = None
+    n_pre = 0
+    nmap_base = 29 if uv_xform else 23
+    if pre_tex:
+        presample, n_pre = make_tex_presampler(
+            scene, uv_xform, normal_maps, nmap_base)
     tex_tables = ()
     ah = aw = 0
-    if textured:
+    if textured and not pre_tex:
         quad_t, meta_t = build_texture_tables(scene.atlas)
         tex_tables = (quad_t, meta_t)
         ah, aw = scene.atlas.data.shape[:2]
@@ -1272,18 +1700,21 @@ def make_external_shader(scene, cfg, motion: bool,
         params_base=attr_params_base(textured, uv_xform, normal_maps),
         power_cdf=power_cdf, motion=motion, closest_in_kernel=False,
         aov=cfg.aov, uv_xform=uv_xform,
-        nmap_base=(29 if uv_xform else 23), normal_maps=normal_maps,
+        nmap_base=nmap_base, normal_maps=normal_maps,
         external=True,
-        inst_base=attr_t.shape[0] if instanced else 0,
+        inst_base=(attr_t.shape[0] + n_pre) if instanced else 0,
         t_misc=transposed,
+        pre_tex=pre_tex, pre_base=attr_t.shape[0],
     )
     misc_w = 24 if cfg.aov else 16
     misc_out_w = misc_w + 8  # +3 pending-NEE columns, 8-aligned
     shadow_w = 16 if motion else 8
     # instanced scenes append 9 inverse-transpose rows per ray (gathered
     # by hit instance id alongside the per-face attrs); with normal maps
-    # the key-0 forward linear rides 9 more (in-kernel tangent transform)
-    h = attr_t.shape[0] + ((18 if normal_maps else 9) if instanced else 0)
+    # the key-0 forward linear rides 9 more (in-kernel tangent transform);
+    # pre-sampled texel rgb rows sit between the attrs and the inst rows
+    h = (attr_t.shape[0] + n_pre
+         + ((18 if normal_maps else 9) if instanced else 0))
 
     misc_in_spec = (
         pl.BlockSpec((misc_w, RAY_TILE), lambda i, *_: (0, i),
@@ -1341,7 +1772,7 @@ def make_external_shader(scene, cfg, motion: bool,
             interpret=interpret,
         )(count, rays, hit8, misc, attr_g_t, lights, *tex_tables)
 
-    return shade, attr_rows
+    return shade, attr_rows, presample
 
 
 class ExternalPipeline:
@@ -1367,7 +1798,7 @@ class ExternalPipeline:
         self.motion = scene.num_keys == 2
         self.merged = True  # pool loop contract: one trace_shade per iter
         self._closest, self._any = tracer
-        self._shade, attr_rows = make_external_shader(
+        self._shade, attr_rows, self._presample = make_external_shader(
             scene, cfg, motion=self.motion, interpret=interpret
         )
         self._attr_w = attr_rows.shape[1]
@@ -1397,11 +1828,16 @@ class ExternalPipeline:
         )
         if self._inst_pack is not None:
             attr_t = instanced_attr_t(self._attr_rows, self._attr_w,
-                                      self._inst_pack, hit.prim, hit.inst)
+                                      self._inst_pack, hit.prim, hit.inst,
+                                      presample=self._presample,
+                                      bu=hit.u, bv=hit.v)
         else:
-            attr_t = jnp.transpose(
-                take_packed(self._attr_rows, jnp.maximum(hit.prim, 0),
-                            self._attr_w), (1, 0))
+            attr_g = take_packed(self._attr_rows, jnp.maximum(hit.prim, 0),
+                                 self._attr_w)
+            if self._presample is not None:
+                attr_g = jnp.concatenate(
+                    [attr_g, self._presample(attr_g, hit.u, hit.v)], axis=1)
+            attr_t = jnp.transpose(attr_g, (1, 0))
         rays2, misc_e, sh = self._shade(rays, hit8, misc, attr_t, count)
         occ = self._any(sh[:, 0:3], sh[:, 3:6], sh[:, 6], sh[:, 7],
                         sh[:, 8] if self.motion else None, count)
