@@ -829,6 +829,166 @@ def _render_pool(scene, cfg, cam, tracer, pixel_idx, subframe_index):
     return rgb, aov, s["n_rad"], s["n_shad"], jnp.zeros((), jnp.int32)
 
 
+def _render_pool_fused_krefill(scene, cfg, cam, pixel_idx, subframe_index,
+                               fused, pool, use_stash, flush_every):
+    """Megakernel pool with IN-KERNEL refill (pallas_shade refill mode).
+
+    The XLA loop body is ONE kernel launch: retire, the work-counter
+    pixel claim, tea seeding, the per-sample LCG jump, and camera-ray
+    generation all run in the kernel's epilogue over an SMEM work counter
+    that persists across the sequential grid. Per-pixel RNG streams are
+    keyed by PIXEL id (tea), so the accumulated image matches the XLA
+    -refill pool to float-op order regardless of lane assignment. The
+    flush scatter stays XLA at the flush_every cadence (persistent
+    threads vs optixLaunch-per-frame, wavefront.cpp:203-222)."""
+    n_pix = pixel_idx.shape[0]
+    spp = cfg.samples_per_launch
+    pixel_base = pixel_idx[0]
+    shader = fused.refill_shader(n_pix, use_stash)
+    misc_w = 24 if cfg.aov else 16
+
+    state = dict(
+        rays=jnp.zeros((pool, 8), jnp.float32),
+        misc=jnp.zeros((pool, misc_w), jnp.float32).at[:, 13].set(-1.0),
+        image=jnp.zeros((n_pix + 1, 3), jnp.float32),
+        next_work=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        iter=jnp.zeros((), jnp.int32),
+        n_rad=jnp.zeros((), jnp.int32),
+        n_shad=jnp.zeros((), jnp.float32),
+    )
+    if use_stash:
+        state["stash16"] = (jnp.zeros((pool, 16), jnp.float32)
+                            .at[:, 0].set(-1.0))
+    if fused.motion:
+        state["time8"] = jnp.zeros((pool, 8), jnp.float32)
+    if cfg.aov:
+        state.update(
+            image_alb=jnp.zeros((n_pix + 1, 3), jnp.float32),
+            image_nrm=jnp.zeros((n_pix + 1, 3), jnp.float32),
+        )
+    _IMGS = ((("image", 10), ("image_alb", 16), ("image_nrm", 19))
+             if cfg.aov else (("image", 10),))
+    _IMG_KEYS = tuple(k for k, _c in _IMGS)
+
+    scf = jnp.concatenate([
+        jnp.asarray(cam.eye, jnp.float32).reshape(3),
+        jnp.asarray(cam.u, jnp.float32).reshape(3),
+        jnp.asarray(cam.v, jnp.float32).reshape(3),
+        jnp.asarray(cam.w, jnp.float32).reshape(3),
+    ])
+    sub_i = jnp.asarray(subframe_index, jnp.int32).reshape(())
+    base_i = jnp.asarray(pixel_base, jnp.int32).reshape(())
+
+    def cond(s):
+        m = s["misc"]
+        pending = (m[:, 13] >= 0) & (m[:, 14] < spp)
+        return ((s["next_work"] < n_pix) | jnp.any(m[:, 9] > 0)
+                | jnp.any(pending))
+
+    def body(i, s):
+        sci = jnp.stack([s["next_work"], base_i, sub_i,
+                         jnp.zeros((), jnp.int32)])
+        args = [s["rays"], s["misc"],
+                s["stash16"] if use_stash else None,
+                s["count"], sci, scf]
+        if fused.motion:
+            args.append(s["time8"])
+        outs = list(shader(*args))
+        rays2 = outs.pop(0)
+        misc2 = outs.pop(0)
+        upd = {}
+        if use_stash:
+            upd["stash16"] = outs.pop(0)
+        if fused.motion:
+            upd["time8"] = outs.pop(0)
+        stats = outs.pop(0)
+        return dict(
+            s, rays=rays2, misc=misc2,
+            next_work=stats[0], count=stats[1],
+            iter=s["iter"] + 1,
+            n_rad=s["n_rad"] + stats[2],
+            n_shad=s["n_shad"] + jnp.sum(misc2[:, 15]),
+            **upd,
+        )
+
+    def flush_stage(s):
+        # unconditional stash + parked-lane scatter once per outer
+        # iteration (mirrors _render_pool_fused's flush_stage; the stash
+        # rides one [pool, 16] blob: px | rgb | aov6 | pad)
+        misc = s["misc"]
+        pixel = misc[:, 13]
+        completed = ((misc[:, 9] <= 0) & (pixel >= 0)
+                     & (misc[:, 14] >= spp))
+        target = jnp.where(
+            completed, pixel.astype(jnp.int32) - pixel_base, n_pix + 1)
+        if use_stash:
+            st = s["stash16"]
+            sp = st[:, 0]
+            starget = jnp.where(sp >= 0,
+                                sp.astype(jnp.int32) - pixel_base,
+                                n_pix + 1)
+            stash_accs = ((st[:, 1:4],)
+                          + ((st[:, 4:7], st[:, 7:10]) if cfg.aov else ()))
+            out = {
+                k: s[k].at[starget].add(sa, mode="drop",
+                                        unique_indices=True)
+                      .at[target].add(misc[:, c:c + 3], mode="drop",
+                                      unique_indices=True)
+                for (k, c), sa in zip(_IMGS, stash_accs)
+            }
+            out["stash16"] = (jnp.zeros((pool, 16), jnp.float32)
+                              .at[:, 0].set(-1.0))
+        else:
+            out = {
+                k: s[k].at[target].add(misc[:, c:c + 3], mode="drop",
+                                       unique_indices=True)
+                for k, c in _IMGS
+            }
+        misc = misc.at[:, 10:13].set(
+            jnp.where(completed[:, None], 0.0, misc[:, 10:13]))
+        if cfg.aov:
+            misc = misc.at[:, 16:22].set(
+                jnp.where(completed[:, None], 0.0, misc[:, 16:22]))
+        misc = misc.at[:, 13].set(jnp.where(completed, -1.0, pixel))
+        misc = misc.at[:, 14].set(jnp.where(completed, 0.0, misc[:, 14]))
+        return dict(s, misc=misc, **out)
+
+    def outer(s):
+        s = flush_stage(s)
+        lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
+        lanes = jax.lax.fori_loop(0, flush_every, body, lanes,
+                                  unroll=False)
+        return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
+
+    s = jax.lax.while_loop(cond, outer, state)
+    misc = s["misc"]
+    pixel = misc[:, 13]
+    target = jnp.where(pixel >= 0, pixel.astype(jnp.int32) - pixel_base,
+                       n_pix + 1)
+    inv_spp = 1.0 / jnp.float32(spp)
+
+    def final_img(key, c):
+        img = s[key]
+        if use_stash:
+            st = s["stash16"]
+            sp = st[:, 0]
+            starget = jnp.where(sp >= 0,
+                                sp.astype(jnp.int32) - pixel_base,
+                                n_pix + 1)
+            off = {"image": 1, "image_alb": 4, "image_nrm": 7}[key]
+            img = img.at[starget].add(st[:, off:off + 3], mode="drop",
+                                      unique_indices=True)
+        img = img.at[target].add(misc[:, c:c + 3], mode="drop",
+                                 unique_indices=True)
+        return img[:n_pix] * inv_spp
+
+    rgb = final_img("image", 10)
+    aov = ((final_img("image_alb", 16), final_img("image_nrm", 19))
+           if cfg.aov else None)
+    return rgb, aov, s["n_rad"], s["n_shad"].astype(jnp.int32), s["iter"]
+
+
 def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     """Persistent ray pool over the fused kernel pair with PACKED state.
 
@@ -855,9 +1015,19 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
     # selects are pure overhead). RT3C_POOL_STASH env (0/1) overrides.
     from ..trace.pallas_shade import ExternalPipeline as _ExtPipe
 
+    kernel_refill = (cfg.pool_pixel_major and not cfg.sort_rays
+                     and hasattr(fused, "refill_shader")
+                     and os.environ.get("RT3C_KREFILL", "1") == "1")
     _stash_env = os.environ.get("RT3C_POOL_STASH", "")
     if _stash_env in ("0", "1"):
         use_stash = cfg.pool_pixel_major and _stash_env == "1"
+    elif kernel_refill:
+        # in-kernel refill always stashes: the kernel epilogue frees a
+        # completed lane in the SAME launch, while a stashless park now
+        # waits an extra launch (the flush frees lanes BETWEEN launches
+        # but refill moved in-kernel) — measured v5e Cornell 1080p 51.2
+        # stashless vs 62.8 stash under krefill (r5)
+        use_stash = True
     elif cfg.pool_stash == -1:
         use_stash = (cfg.pool_pixel_major
                      and not (n_pix > 32 * pool
@@ -876,6 +1046,17 @@ def _render_pool_fused(scene, cfg, cam, pixel_idx, subframe_index, fused):
         flush_every = 16 if n_pix > 32 * pool else 32
     else:
         flush_every = 8 if n_pix > 32 * pool else 16
+
+    # in-kernel-refill megakernel (pallas_shade refill mode): the whole
+    # XLA refill block moves into the kernel epilogue, leaving one launch
+    # per iteration. Pixel-major unsorted FusedPipeline only (sorting and
+    # the sample-major schedule keep the XLA refill). Measured v5e (r5):
+    # Cornell 768 66.3 -> 74.0, 1080p 59.2 -> 62.8, baked TLAS 66.4 ->
+    # 75.1 Mray/s. RT3C_KREFILL=0 reverts for A/B.
+    if kernel_refill:
+        return _render_pool_fused_krefill(
+            scene, cfg, cam, pixel_idx, subframe_index, fused,
+            pool, use_stash, flush_every)
     spp = cfg.samples_per_launch
     total_work = n_pix * spp
     width = jnp.float32(cfg.width)
