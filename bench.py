@@ -412,6 +412,33 @@ def run_config_suite(cfg_kwargs, warmup, timed):
                 "gather_floor_ms": round(gather_floor_s * 1e3, 2),
                 "pct_of_gather_floor": round(100.0 * gather_floor_s / mdt, 1),
             })
+            if on_tpu:
+                # boundary/shade breakdown (VERDICT r5 #8): the walk-pool
+                # loop nests outer-while > flush-window fori > K-round
+                # fori, so the three largest while.* device times split
+                # the subframe into rounds / boundary stages / flush+glue,
+                # and the shade.* kernels are the boundary's Pallas share.
+                from rendertoy3c_tpu.utils.profiling import profile_step
+
+                prows = profile_step(lambda f: step(cam.params(), f),
+                                     top=400,
+                                     rearm=lambda: (film_create(
+                                         cfg_c.height, cfg_c.width),))
+                shade_ms = sum(ms for nm, ms, _c in prows
+                               if nm.startswith("shade"))
+                tot_ms = max((ms for nm, ms, _c in prows
+                              if nm.startswith("jit_step")), default=0.0)
+                whiles = sorted((ms for nm, ms, _c in prows
+                                 if nm.startswith("while.")), reverse=True)
+                if tot_ms > 0 and len(whiles) >= 3:
+                    results[name].update({
+                        "rounds_ms": round(whiles[2], 2),
+                        "boundary_ms": round(whiles[1] - whiles[2], 2),
+                        "flush_glue_ms": round(tot_ms - whiles[1], 2),
+                        "shade_kernel_ms": round(shade_ms, 2),
+                        "pct_shade_kernel": round(
+                            100.0 * shade_ms / tot_ms, 1),
+                    })
         # Megakernel-band yardstick: kernel launches x standalone
         # per-iteration trace_shade cost = the work floor; the remainder
         # of the subframe is refill/flush/XLA glue (VERDICT r3 #3).

@@ -125,6 +125,11 @@ class WalkPoolPipeline:
     shadow_w: int         # shadow-ray column count (8, 16 for motion)
     fanout: int = FANOUT  # pending-children slot width (= table fanout)
     instanced: bool = False   # trace-time two-level AS (inst TLAS walk)
+    # > 0: the walk rides a PRE-TRANSFORMED world-space baked table
+    # (hier_instanced.build_baked_world_table) — plain hierwalk rounds, no
+    # per-round space switch; leaf hits encode eff = inst * stride + face
+    # and the boundary decodes them for the instanced shade stage
+    inst_stride: int = 0
     inst_it: Any = None       # kernel path: (packed, width, identity) from
     #                           pallas_shade.inst_attr_pack — per-instance
     #                           transform rows gathered by hit instance id
@@ -183,16 +188,40 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
     if iscene.num_keys > 2:
         raise ValueError("instanced walk pool supports <= 2 transform "
                          "keys; more ride the pallas_instanced kernels")
-    itab = build_inst_hier_table(iscene)
-    motion = bool(itab.motion)
-    n_levels = len(itab.world_starts) + len(itab.mesh_starts)
+    from ..trace.auto import LEAFWALK_MIN_FACES
+    from ..trace.hier_instanced import (
+        baked_world_eligible,
+        build_baked_world_table,
+    )
+
+    motion = iscene.num_keys == 2
     misc_w = 24 if cfg.aov else 16
     shadow_w = 16 if motion else 8
-    common = dict(walk_round=functools.partial(_walk_round_inst, itab,
-                                               motion=motion),
-                  n_levels=n_levels, num_faces=itab.num_faces,
-                  motion=motion, misc_w=misc_w, shadow_w=shadow_w,
-                  instanced=True, fanout=itab.fanout)
+    eff_faces = sum(iscene.mesh_ranges[m][1] for m in iscene.instance_mesh)
+    # static instance fields past the walk-band threshold trade memory for
+    # round cost: a pre-transformed WORLD-SPACE table (duplicated leaf
+    # rows, plain hierwalk rounds) drops the ~9-op/round space switch the
+    # instanced walk pays (VERDICT r4 item 4). RT3C_INST_BAKE=2 forces it
+    # on small scenes (tests); shading stays instanced either way.
+    bake = baked_world_eligible(iscene) and (
+        eff_faces > LEAFWALK_MIN_FACES
+        or _os.environ.get("RT3C_INST_BAKE", "") == "2")
+    if bake:
+        btab, stride = build_baked_world_table(iscene)
+        common = dict(walk_round=functools.partial(_walk_round, btab,
+                                                   motion=False),
+                      n_levels=len(btab.level_starts),
+                      num_faces=stride, motion=False, misc_w=misc_w,
+                      shadow_w=shadow_w, instanced=True,
+                      inst_stride=stride, fanout=btab.fanout)
+    else:
+        itab = build_inst_hier_table(iscene)
+        n_levels = len(itab.world_starts) + len(itab.mesh_starts)
+        common = dict(walk_round=functools.partial(_walk_round_inst, itab,
+                                                   motion=motion),
+                      n_levels=n_levels, num_faces=itab.num_faces,
+                      motion=motion, misc_w=misc_w, shadow_w=shadow_w,
+                      instanced=True, fanout=itab.fanout)
     if external_shade_eligible(iscene, cfg):
         from ..trace.pallas_shade import inst_attr_pack
 
@@ -545,6 +574,9 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     from .path import _camera_ray, _lcg_advance_table, _next_pow2
 
     motion = pipe.motion
+    # baked world-space tables shade as instanced but walk as plain
+    # hierwalk — no per-lane space state (see _render_pipepool)
+    spacewalk = pipe.instanced and pipe.inst_stride == 0
     misc_w = pipe.misc_w
     n_levels = pipe.n_levels
     num_faces = pipe.num_faces
@@ -579,7 +611,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         wb_v=jnp.zeros((pool,), jnp.float32),
         ents=[jnp.full((pool, pipe.fanout), jnp.float32(_BIG))
               for _ in range(n_levels)],
-        **({} if not pipe.instanced else dict(
+        **({} if not spacewalk else dict(
             # instanced TLAS walk: the current-space ray (object space
             # inside an instance subtree) + the owning instance ids
             o_cur=jnp.zeros((pool, 3), jnp.float32),
@@ -637,11 +669,21 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
 
         # ---- phase A: shade lanes whose closest walk finished ----
         m_a = s["phase"] == _AWAIT_SHADE
-        valid = m_a & (s["wb_prim"] >= 0) & (s["wb_prim"] < num_faces)
+        if pipe.inst_stride:
+            # baked world table: decode eff = inst*stride + face (see
+            # hier_instanced.build_baked_world_table)
+            eff = s["wb_prim"]
+            w_inst = jnp.where(eff >= 0, eff // pipe.inst_stride, -1)
+            w_prim = jnp.where(eff >= 0, eff - w_inst * pipe.inst_stride,
+                               -1)
+        else:
+            w_prim = s["wb_prim"]
+            w_inst = s["wb_inst"] if pipe.instanced else None
+        valid = m_a & (w_prim >= 0) & (w_prim < num_faces)
         hit_t = jnp.where(valid, s["wb_t"], rays[:, 7])
-        hit_prim = jnp.where(valid, s["wb_prim"], -1)
+        hit_prim = jnp.where(valid, w_prim, -1)
         if pipe.instanced:
-            hit_inst = jnp.where(valid, s["wb_inst"], -1)
+            hit_inst = jnp.where(valid, w_inst, -1)
             hit8 = jnp.concatenate(
                 [hit_t[:, None], hit_prim.astype(jnp.float32)[:, None],
                  jnp.where(valid, s["wb_u"], 0.0)[:, None],
@@ -699,7 +741,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         wb_t = jnp.where(ws, sh[:, 7], s["wb_t"])
         cur = jnp.where(ws, 0, jnp.where(m_a, -1, s["cur"]))
         inst_extra = {}
-        if pipe.instanced:
+        if spacewalk:
             # shadow walks start in world space
             inst_extra = dict(
                 o_cur=jnp.where(ws[:, None], sh[:, 0:3], s["o_cur"]),
@@ -813,7 +855,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         ents = [jnp.where(launch[:, None], jnp.float32(_BIG), e)
                 for e in ents]
         n_rad = s["n_rad"] + jnp.sum(launch.astype(jnp.int32))
-        if pipe.instanced:
+        if spacewalk:
             # closest walks start at the world root in world space
             inst_extra = dict(
                 o_cur=jnp.where(launch[:, None], rays[:, 0:3],
@@ -951,6 +993,9 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     from .path import _camera_ray, _lcg_advance_table, _next_pow2
 
     instanced = pipe.instanced
+    # baked world-space tables shade as instanced but WALK as plain
+    # hierwalk (no per-lane space state; hits decode at the stash step)
+    spacewalk = instanced and pipe.inst_stride == 0
     motion = pipe.motion
     misc_w = pipe.misc_w
     n_levels = pipe.n_levels
@@ -988,7 +1033,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         # the boundary over 32 rounds; gated/unrolled tables want K=16
         # (r5, 1M 5-level: K 16/24/32 = 12.7/11.4/10.1)
         k_phase = 32
-    elif instanced:
+    elif spacewalk:
         # instanced TLAS walks run longer per node (space switches), so
         # the boundary amortizes over more rounds (v5e K 16/20/24 on the
         # 562k tower field: 12.8/13.0/12.2; motion 10.8/10.9)
@@ -1020,7 +1065,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         ents=[jnp.full((pool, pipe.fanout), jnp.float32(_BIG))
               for _ in range(n_levels)],
         bases=[jnp.zeros((pool,), jnp.int32) for _ in range(n_levels)],
-        **({} if not instanced else dict(
+        **({} if not spacewalk else dict(
             # instanced TLAS walk: current-space ray + instance ids
             o_cur=jnp.zeros((pool, 3), jnp.float32),
             d_cur=jnp.zeros((pool, 3), jnp.float32),
@@ -1125,7 +1170,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             # no ents reset: the walk round's pop write-back persists its
             # pruning, so a finished walk leaves its ents all-_BIG
             pvalid=[s["pvalid"][p] & ~ls[p] for p in range(P)],
-            **({} if not instanced else dict(
+            **({} if not spacewalk else dict(
                 # every walk (closest or shadow) launches in world space
                 o_cur=jnp.where(start[:, None], rays[:, 0:3], s["o_cur"]),
                 d_cur=jnp.where(start[:, None], rays[:, 3:6], s["d_cur"]),
@@ -1169,13 +1214,24 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         fin_cl = fin & ~fin_sh
         f = [fin_cl & (s2["wslot"] == p) for p in range(P)]
         fs = [fin_sh & (s2["wslot"] == p) for p in range(P)]
+        if pipe.inst_stride:
+            # baked world table: leaf hits carry eff = inst*stride + face;
+            # decode here so the boundary/shade sees (face, instance) ids
+            # identical to the space-switching walk's
+            eff = s2["wb_prim"]
+            w_inst = jnp.where(eff >= 0, eff // pipe.inst_stride, -1)
+            w_prim = jnp.where(eff >= 0, eff - w_inst * pipe.inst_stride,
+                               -1)
+        else:
+            w_prim = s2["wb_prim"]
+            w_inst = s2["wb_inst"] if instanced else None
         out = dict(
             s2,
             wslot=jnp.where(fin, -1, s2["wslot"]),
             hray=[jnp.where(f[p][:, None], s2["rays"], s2["hray"][p])
                   for p in range(P)],
             ht=[jnp.where(f[p], s2["wb_t"], s2["ht"][p]) for p in range(P)],
-            hprim=[jnp.where(f[p], s2["wb_prim"], s2["hprim"][p])
+            hprim=[jnp.where(f[p], w_prim, s2["hprim"][p])
                    for p in range(P)],
             hu=[jnp.where(f[p], s2["wb_u"], s2["hu"][p]) for p in range(P)],
             hv=[jnp.where(f[p], s2["wb_v"], s2["hv"][p]) for p in range(P)],
@@ -1185,7 +1241,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
                    for p in range(P)],
             hvalid=[s2["hvalid"][p] | f[p] for p in range(P)],
             **({} if not instanced else dict(
-                hinst=[jnp.where(f[p], s2["wb_inst"], s2["hinst"][p])
+                hinst=[jnp.where(f[p], w_inst, s2["hinst"][p])
                        for p in range(P)],
             )),
         )

@@ -56,10 +56,19 @@ def tune_config(scene, cfg, on_tpu: bool | None = None):
     if _is_instanced(scene) and scene.num_keys <= 2:
         # instanced TLAS walk: sort costs more than its gather locality
         # buys on the small shared tables (9.8 vs 7.3 Mray/s on the
-        # trace-time cornell config)
+        # trace-time cornell config). Static fields that take the baked
+        # world-space table walk like flat scenes and amortize per-op
+        # launch gaps over wider rounds (v5e 562k towers: 18.5@16k vs
+        # 17.8@8k; sort measured par — the instance-major leaf order is
+        # already camera-coherent).
+        from .hier_instanced import baked_world_eligible
+
+        eff = sum(scene.mesh_ranges[m][1] for m in scene.instance_mesh)
+        wide = baked_world_eligible(scene) and eff > LEAFWALK_MIN_FACES
         return dataclasses.replace(
             cfg,
-            ray_block=min(cfg.ray_block, POOL_BLOCK_LARGE),
+            ray_block=min(cfg.ray_block,
+                          2 * POOL_BLOCK_LARGE if wide else POOL_BLOCK_LARGE),
             sort_rays=False,
             flush_every=cfg.flush_every or 8,
         )

@@ -722,3 +722,160 @@ def make_inst_hierwalk_tracer(iscene):
                                    motion=motion)
 
     return closest, any_hit
+
+
+# ---------------------------------------------------------------------------
+# Pre-transformed world-space tables (the "flatten the IAS" memory trade)
+# ---------------------------------------------------------------------------
+
+# Baked-table budget: effective (instance-expanded) leaf rows in the flat
+# world-space table, ~512 B each. The default admits ~5.7M effective faces
+# (~200 MB of HBM) — far past the bench's 562k-face tower field and a tiny
+# slice of a v5e's 16 GB. RT3C_INST_BAKE=0 disables, =2 forces (tests).
+INST_BAKE_MAX_ROWS = int(_os.environ.get("RT3C_INST_BAKE_ROWS", "409600"))
+_INST_BAKE = _os.environ.get("RT3C_INST_BAKE", "1")
+
+
+def baked_world_eligible(iscene) -> bool:
+    """STATIC instanced scenes whose instance-expanded world-space table
+    fits the bake budget and whose encoded hit ids stay f32-exact.
+
+    The OptiX analog is flattening an IAS into one GAS when memory allows
+    (cuda_accel.h:92-150 keeps the two-level IAS because GPU hardware
+    traversal makes the per-instance transform free; the TPU gather walk
+    pays ~9 XLA ops per round for the space switch, so buying them out
+    with duplicated world-space leaf rows is the right trade)."""
+    mode = _os.environ.get("RT3C_INST_BAKE", _INST_BAKE)
+    if mode == "0":
+        return False
+    if iscene.num_keys != 1:
+        return False
+    stride = int(iscene.geom.mat_id.shape[0])
+    if iscene.num_instances * stride >= 1 << 24:  # f32-exact hit ids
+        return False
+    rows = sum(
+        -(-iscene.mesh_ranges[m][1] // HIER_LEAF)
+        for m in iscene.instance_mesh)
+    return rows <= INST_BAKE_MAX_ROWS
+
+
+def build_baked_world_table(iscene, fanout: int = 0):
+    """Flat world-space hier table over the instance-EXPANDED geometry.
+
+    Every instance's mesh triangles are pre-transformed by its (static)
+    forward transform and emitted as ordinary hierwalk leaf rows, so the
+    walk is exactly trace/hierwalk.py's — no instance rows, no per-round
+    object-space switch (measured the non-gather half of the instanced
+    band's subframe, VERDICT r4 item 4). Leaf ids encode
+    eff = instance * stride + global_face (stride = stored face count);
+    the walk-pool boundary decodes (face, instance) for the shade stage's
+    per-instance inverse-transpose normal transform, so shading semantics
+    are IDENTICAL to the space-switching walk — only traversal arithmetic
+    runs in world space.
+
+    Returns (hierwalk.HierTable, stride). Instances/faces must already be
+    split_order_instanced-ordered (instance-major leaf order then rides
+    the SAH instance permutation)."""
+    from .hierwalk import (
+        HierTable,
+        _dir_half_area_sum,
+        _L_FIRST as _H_FIRST,
+        _L_TYPE as _H_TYPE,
+    )
+
+    g = iscene.geom
+    inst = iscene.instances
+    n_inst = iscene.num_instances
+    stride = int(g.mat_id.shape[0])
+    if iscene.num_keys != 1:
+        raise ValueError("baked world tables are static-only; motion "
+                         "scenes keep the per-ray inverse-of-lerp walk")
+    m = np.asarray(inst.m)[:, 0]  # [I, 3, 4] forward key 0
+    cap = HIER_LEAF
+
+    # per-mesh real-face slices (object space, split-ordered)
+    mesh_faces = {}
+    for mi, (start, cnt) in enumerate(iscene.mesh_ranges):
+        v0 = np.asarray(g.v0[0][start:start + cnt], np.float32)
+        e1 = np.asarray(g.e1[0][start:start + cnt], np.float32)
+        e2 = np.asarray(g.e2[0][start:start + cnt], np.float32)
+        real = ~((np.abs(v0).sum(1) == 0) & (np.abs(e1).sum(1) == 0)
+                 & (np.abs(e2).sum(1) == 0))
+        nf = max(1, int(real.sum()))
+        mesh_faces[mi] = (start, v0[:nf], e1[:nf], e2[:nf])
+
+    rows_per_inst = []
+    lo_per_inst = []
+    hi_per_inst = []
+    for i in range(n_inst):
+        start, v0, e1, e2 = mesh_faces[iscene.instance_mesh[i]]
+        lin_t = m[i, :, :3].T
+        v0w = v0 @ lin_t + m[i, :, 3]
+        e1w = e1 @ lin_t
+        e2w = e2 @ lin_t
+        nf = v0.shape[0]
+        nl = -(-nf // cap)
+        f_pad = nl * cap
+        comp = np.zeros((9, f_pad), np.float32)
+        comp[0:3, :nf] = v0w.T
+        comp[3:6, :nf] = e1w.T
+        comp[6:9, :nf] = e2w.T
+        rows = np.zeros((nl, ROW), np.float32)
+        rows[:, :9 * cap] = (comp.reshape(9, nl, cap).transpose(1, 0, 2)
+                             .reshape(nl, 9 * cap))
+        rows[:, _H_FIRST] = (float(i * stride + start)
+                             + cap * np.arange(nl, dtype=np.float32))
+        rows[:, _H_TYPE] = 1.0
+        rows_per_inst.append(rows)
+        lo_f = np.full((f_pad, 3), _BIG, np.float32)
+        hi_f = np.full((f_pad, 3), -_BIG, np.float32)
+        lo_f[:nf] = np.minimum(np.minimum(v0w, v0w + e1w), v0w + e2w)
+        hi_f[:nf] = np.maximum(np.maximum(v0w, v0w + e1w), v0w + e2w)
+        lo_per_inst.append(lo_f.reshape(nl, cap, 3).min(axis=1))
+        hi_per_inst.append(hi_f.reshape(nl, cap, 3).max(axis=1))
+
+    leaf_rows = np.concatenate(rows_per_inst, axis=0)
+    leaf_lo = np.concatenate(lo_per_inst, axis=0)
+    leaf_hi = np.concatenate(hi_per_inst, axis=0)
+    n_leaf = leaf_rows.shape[0]
+
+    # directory fanout/grouping: the same fixed-16-vs-20 half-area
+    # comparator as build_hier_table (uniform fields keep fixed 16-ary;
+    # irregular layouts take DP-grouped 20-ary runs)
+    var = bool(_VAR_DIR)
+    if fanout == 0:
+        if (_dir_half_area_sum(leaf_lo, leaf_hi, FANOUT)
+                <= _dir_half_area_sum(leaf_lo, leaf_hi, FANOUT20)):
+            fanout = FANOUT
+            var = False
+        else:
+            fanout = FANOUT20
+    if n_leaf > 1:
+        levels, _rl, _rh = _build_levels(leaf_lo, leaf_hi, fanout, var)
+    else:
+        levels = []
+
+    starts = []
+    acc = 0
+    for clo, _chi, _fr in levels:
+        starts.append(acc)
+        acc += clo.shape[0]
+    leaf_start = acc  # no levels: row 0 IS the single leaf (walk root)
+    table = np.zeros((leaf_start + n_leaf, ROW), np.float32)
+    for li, (clo, chi, first_rel) in enumerate(levels):
+        base = starts[li]
+        child = starts[li + 1] if li + 1 < len(levels) else leaf_start
+        rows = table[base:base + clo.shape[0]]
+        for c in range(3):
+            rows[:, c * fanout:(c + 1) * fanout] = clo[:, :, c]
+            rows[:, (c + 3) * fanout:(c + 4) * fanout] = chi[:, :, c]
+        rows[:, _H_FIRST] = (child + first_rel).astype(np.float32)
+        rows[:, _H_TYPE] = 0.0
+    table[leaf_start:] = leaf_rows
+
+    return (HierTable(table=jnp.asarray(table),
+                      level_starts=tuple(starts) if levels else (),
+                      leaf_start=leaf_start,
+                      num_faces=n_inst * stride,  # eff-id validity bound
+                      fanout=fanout),
+            stride)

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -1455,9 +1456,26 @@ def external_shade_eligible(scene, cfg) -> bool:
     )
 
 
+def _pack_hp(h: int) -> int:
+    """Packed row width for pack_rows128/take_packed (must agree).
+
+    Default: the tightest divisor of 128 >= h (k = 128/hp rows per
+    gathered 128-lane row). RT3C_ATTR_PACK_K forces a smaller k (wider
+    hp): the gather's output traffic is unchanged ([W, 128] either way),
+    but the k-way sub-row select tree after it halves per halving of k —
+    HBM capacity (k x smaller packing density) is the only cost."""
+    hp = h
+    while 128 % hp:
+        hp += 1
+    k_env = int(_os.environ.get("RT3C_ATTR_PACK_K", "0"))
+    if k_env and 128 // k_env >= hp:
+        hp = 128 // k_env
+    return hp
+
+
 def pack_rows128(tab):
     """Pack a narrow [F, H] row table into [F/k, 128] rows of k consecutive
-    source rows (k = 128 // H', H' = H zero-padded to a divisor of 128).
+    source rows (k = 128 // H', H' = H zero-padded per _pack_hp).
 
     Measured on v5e inside the walk-pool loop (384^2 profile): a 16k-row
     gather from the [F,16] attr table cost 209us per boundary while the
@@ -1470,9 +1488,7 @@ def pack_rows128(tab):
     f, h = tab.shape
     if h >= 128:
         return tab, h
-    hp = h
-    while 128 % hp:
-        hp += 1
+    hp = _pack_hp(h)
     k = 128 // hp
     fp = -(-f // k) * k
     buf = jnp.zeros((fp, hp), tab.dtype)
@@ -1531,11 +1547,16 @@ def instanced_attr_t(attr_rows, attr_w, inst_pack, hit_prim, hit_inst,
 def take_packed(packed, idx, h):
     """Row fetch from a pack_rows128 table: [R] ids -> [R, h] rows."""
     r = idx.shape[0]
-    # recover the padded row width the packer chose
-    hp = h
-    while 128 % hp:
-        hp += 1
+    # recover the padded row width the packer chose (same _pack_hp rule —
+    # pack and take always run in one process, so the env agrees)
+    hp = _pack_hp(h)
     k = 128 // hp
+    if k == 1:
+        # barrier the full-width gather: without it the gather simplifier
+        # shrinks slice_sizes to the consumed [:, :h] prefix and the fetch
+        # falls off the wide-row fast path (the 209us narrow-gather cliff)
+        g = jax.lax.optimization_barrier(jnp.take(packed, idx, axis=0))
+        return g[:, :h]
     g = jnp.take(packed, idx // k, axis=0).reshape(r, k, hp)
     lane = jax.lax.iota(jnp.int32, k)[None, :, None]
     sel = lane == (idx % k)[:, None, None]
@@ -1546,9 +1567,7 @@ def _np_pack_rows128(tab: np.ndarray) -> np.ndarray:
     """Host-side (numpy) pack_rows128 — scene-load packing without paying
     eager remote-device round trips per op (CLAUDE.md environment rule)."""
     f, h = tab.shape
-    hp = h
-    while 128 % hp:
-        hp += 1
+    hp = _pack_hp(h)
     k = 128 // hp
     fp = -(-f // k) * k
     buf = np.zeros((fp, hp), tab.dtype)

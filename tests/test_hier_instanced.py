@@ -458,3 +458,96 @@ def test_auto_ladder_picks_inst_hierwalk():
     assert int(h.prim[0]) >= 0
     # the wrapped pair must be the instanced TLAS walk (carries inst ids)
     assert h.inst is not None
+
+
+def test_baked_world_table_hits():
+    """The pre-transformed world-space baked table (plain hierwalk rounds
+    over instance-expanded leaf rows, hier_instanced.
+    build_baked_world_table) finds the hits of the brute instanced tracer.
+
+    World-space MT arithmetic differs from the object-space walk's in the
+    last ulps, so shared-edge ties may resolve to a different (face,
+    instance) — a small disagreement budget covers those; t must agree
+    closely wherever ids agree."""
+    from rendertoy3c_tpu.trace.hier_instanced import (
+        baked_world_eligible,
+        build_baked_world_table,
+    )
+    from rendertoy3c_tpu.trace.hierwalk import (
+        trace_any_hier,
+        trace_closest_hier,
+    )
+
+    iscene = split_order_instanced(_many_boxes(24, seed=5))
+    assert baked_world_eligible(iscene)
+    tab, stride = build_baked_world_table(iscene)
+    bc, ba = make_instanced_tracer(iscene)
+    o, d = _rand_rays(2048, -8.0, 8.0, seed=3)
+    h = trace_closest_hier(tab, o, d, 1e-3, 1e16)
+    b = bc(o, d, 1e-3, 1e16, None, None)
+    eff = np.asarray(h.prim)
+    inst = np.where(eff >= 0, eff // stride, -1)
+    prim = np.where(eff >= 0, eff - inst * stride, -1)
+    mism = (prim != np.asarray(b.prim)) | (inst != np.asarray(b.inst))
+    assert mism.mean() < 0.01, f"{mism.sum()} id mismatches"
+    ok = ~mism & (prim >= 0)
+    np.testing.assert_allclose(np.asarray(h.t)[ok], np.asarray(b.t)[ok],
+                               rtol=2e-4, atol=2e-4)
+    occ_h = np.asarray(trace_any_hier(tab, o, d, 1e-3, 4.0))
+    occ_b = np.asarray(ba(o, d, 1e-3, 4.0, None, None))
+    assert (occ_h != occ_b).mean() < 0.01
+
+
+def test_baked_walkpool_matches_instanced():
+    """The walk pool over the baked world table (RT3C_INST_BAKE=2 forces
+    the bake on a test-sized scene) renders the same image as the classic
+    pool over the brute instanced tracer, and the ray accounting stays
+    consistent."""
+    import jax
+    import jax.numpy as jnp
+
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame, render_pixels
+    from rendertoy3c_tpu.integrate.walkpool import (
+        make_inst_walkpool_pipeline,
+    )
+    from rendertoy3c_tpu.scene.camera import Camera
+
+    iscene = split_order_instanced(_many_boxes(16, seed=9))
+    cam = Camera(eye=(0.0, 6.0, 16.0), lookat=(0.0, 1.0, 0.0),
+                 fov_y=45.0, aspect_ratio=1.0)
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       max_depth=4, ray_block=512, integrator="pool",
+                       pool_pixel_major=True)
+    import os
+
+    os.environ["RT3C_INST_BAKE"] = "2"
+    try:
+        wp = make_inst_walkpool_pipeline(iscene, cfg)
+    finally:
+        del os.environ["RT3C_INST_BAKE"]
+    assert wp.inst_stride > 0 and wp.instanced and not wp.motion
+    f_w, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=wp)
+    f_b, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=make_instanced_tracer(iscene))
+    d = np.abs(np.asarray(f_w.accum[..., :3])
+               - np.asarray(f_b.accum[..., :3]))
+    # world-space traversal arithmetic: a couple of edge-tie pixels may
+    # flip, everything else matches to float noise (the bench-gate bound)
+    assert d.mean() < 5e-3 and d.max() < 0.35, (d.mean(), d.max())
+    # the single-path loop decodes at its own boundary — cover it too
+    cfg1 = dataclasses_replace_pool_paths(cfg)
+    pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+    out1, _aov, _nr, _ns, _rounds = jax.jit(
+        lambda c: render_pixels(iscene, cfg1, c, wp, pix, jnp.uint32(0))
+    )(cam.params())
+    d1 = np.abs(np.asarray(out1).reshape(cfg.height, cfg.width, 3)
+                - np.asarray(f_b.accum[..., :3]))
+    assert d1.mean() < 5e-3 and d1.max() < 0.35, (d1.mean(), d1.max())
+
+
+def dataclasses_replace_pool_paths(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, pool_paths=1)
