@@ -207,11 +207,14 @@ def make_inst_walkpool_pipeline(iscene, cfg: RenderConfig):
         eff_faces > LEAFWALK_MIN_FACES
         or _os.environ.get("RT3C_INST_BAKE", "") == "2")
     if bake:
+        # 2-key matrix motion bakes to 2-key vertex-motion leaves: a
+        # lerped affine is linear in its entries, so the in-row vertex
+        # lerp by ray time reproduces the transform lerp exactly
         btab, stride = build_baked_world_table(iscene)
         common = dict(walk_round=functools.partial(_walk_round, btab,
-                                                   motion=False),
+                                                   motion=motion),
                       n_levels=len(btab.level_starts),
-                      num_faces=stride, motion=False, misc_w=misc_w,
+                      num_faces=stride, motion=motion, misc_w=misc_w,
                       shadow_w=shadow_w, instanced=True,
                       inst_stride=stride, fanout=btab.fanout)
     else:

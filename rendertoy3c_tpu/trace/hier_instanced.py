@@ -49,6 +49,7 @@ from .hierwalk import (
     FANOUT20,
     FANOUT32,
     HIER_LEAF,
+    HIER_LEAF_MOTION,
     ROW,
     _bf16_outward,
     _dir_entries,
@@ -737,24 +738,37 @@ _INST_BAKE = _os.environ.get("RT3C_INST_BAKE", "1")
 
 
 def baked_world_eligible(iscene) -> bool:
-    """STATIC instanced scenes whose instance-expanded world-space table
-    fits the bake budget and whose encoded hit ids stay f32-exact.
+    """Instanced scenes whose instance-expanded world-space table fits
+    the bake budget and whose encoded hit ids stay f32-exact.
 
     The OptiX analog is flattening an IAS into one GAS when memory allows
     (cuda_accel.h:92-150 keeps the two-level IAS because GPU hardware
     traversal makes the per-instance transform free; the TPU gather walk
     pays ~9 XLA ops per round for the space switch, so buying them out
-    with duplicated world-space leaf rows is the right trade)."""
+    with duplicated world-space leaf rows is the right trade).
+
+    2-key matrix motion CAN bake (a lerped affine is linear in its
+    entries, so lerp(m0,m1,t) @ v == lerp(m0 @ v, m1 @ v, t) EXACTLY and
+    the per-key world vertices form an ordinary 2-key vertex-motion leaf
+    table) but measured SLOWER on the bench tower field (8.4 vs 11.4
+    Mray/s, r5): baked boxes must bound ALL t — leaf-granularity key
+    unions inflate under per-instance yaw — while the space-switching
+    walk gets tight per-t object-space boxes at every level. So the auto
+    path bakes STATIC scenes only; RT3C_INST_BAKE=2 forces motion bakes
+    for parity tests/A-B."""
     mode = _os.environ.get("RT3C_INST_BAKE", _INST_BAKE)
     if mode == "0":
         return False
-    if iscene.num_keys != 1:
+    if iscene.num_keys not in (1, 2):
+        return False
+    if iscene.num_keys == 2 and mode != "2":
         return False
     stride = int(iscene.geom.mat_id.shape[0])
     if iscene.num_instances * stride >= 1 << 24:  # f32-exact hit ids
         return False
+    cap = HIER_LEAF if iscene.num_keys == 1 else HIER_LEAF_MOTION
     rows = sum(
-        -(-iscene.mesh_ranges[m][1] // HIER_LEAF)
+        -(-iscene.mesh_ranges[m][1] // cap)
         for m in iscene.instance_mesh)
     return rows <= INST_BAKE_MAX_ROWS
 
@@ -787,11 +801,14 @@ def build_baked_world_table(iscene, fanout: int = 0):
     inst = iscene.instances
     n_inst = iscene.num_instances
     stride = int(g.mat_id.shape[0])
-    if iscene.num_keys != 1:
-        raise ValueError("baked world tables are static-only; motion "
-                         "scenes keep the per-ray inverse-of-lerp walk")
-    m = np.asarray(inst.m)[:, 0]  # [I, 3, 4] forward key 0
-    cap = HIER_LEAF
+    if iscene.num_keys not in (1, 2):
+        raise ValueError("baked world tables support 1 or 2 transform "
+                         "keys (lerped affines are linear in their "
+                         "entries, so 2-key matrix motion bakes to "
+                         "2-key vertex-motion leaves)")
+    n_keys = iscene.num_keys
+    m_all = np.asarray(inst.m)  # [I, K, 3, 4] forward keys
+    cap = HIER_LEAF if n_keys == 1 else HIER_LEAF_MOTION
 
     # per-mesh real-face slices (object space, split-ordered)
     mesh_faces = {}
@@ -809,28 +826,35 @@ def build_baked_world_table(iscene, fanout: int = 0):
     hi_per_inst = []
     for i in range(n_inst):
         start, v0, e1, e2 = mesh_faces[iscene.instance_mesh[i]]
-        lin_t = m[i, :, :3].T
-        v0w = v0 @ lin_t + m[i, :, 3]
-        e1w = e1 @ lin_t
-        e2w = e2 @ lin_t
         nf = v0.shape[0]
         nl = -(-nf // cap)
         f_pad = nl * cap
-        comp = np.zeros((9, f_pad), np.float32)
-        comp[0:3, :nf] = v0w.T
-        comp[3:6, :nf] = e1w.T
-        comp[6:9, :nf] = e2w.T
         rows = np.zeros((nl, ROW), np.float32)
-        rows[:, :9 * cap] = (comp.reshape(9, nl, cap).transpose(1, 0, 2)
-                             .reshape(nl, 9 * cap))
+        lo_f = np.full((f_pad, 3), _BIG, np.float32)
+        hi_f = np.full((f_pad, 3), -_BIG, np.float32)
+        for k in range(n_keys):
+            lin_t = m_all[i, k, :, :3].T
+            v0w = v0 @ lin_t + m_all[i, k, :, 3]
+            e1w = e1 @ lin_t
+            e2w = e2 @ lin_t
+            comp = np.zeros((9, f_pad), np.float32)
+            comp[0:3, :nf] = v0w.T
+            comp[3:6, :nf] = e1w.T
+            comp[6:9, :nf] = e2w.T
+            rows[:, 9 * cap * k:9 * cap * (k + 1)] = (
+                comp.reshape(9, nl, cap).transpose(1, 0, 2)
+                .reshape(nl, 9 * cap))
+            # leaf boxes: union over keys (lerped verts are convex combos)
+            lo_f[:nf] = np.minimum(
+                lo_f[:nf],
+                np.minimum(np.minimum(v0w, v0w + e1w), v0w + e2w))
+            hi_f[:nf] = np.maximum(
+                hi_f[:nf],
+                np.maximum(np.maximum(v0w, v0w + e1w), v0w + e2w))
         rows[:, _H_FIRST] = (float(i * stride + start)
                              + cap * np.arange(nl, dtype=np.float32))
         rows[:, _H_TYPE] = 1.0
         rows_per_inst.append(rows)
-        lo_f = np.full((f_pad, 3), _BIG, np.float32)
-        hi_f = np.full((f_pad, 3), -_BIG, np.float32)
-        lo_f[:nf] = np.minimum(np.minimum(v0w, v0w + e1w), v0w + e2w)
-        hi_f[:nf] = np.maximum(np.maximum(v0w, v0w + e1w), v0w + e2w)
         lo_per_inst.append(lo_f.reshape(nl, cap, 3).min(axis=1))
         hi_per_inst.append(hi_f.reshape(nl, cap, 3).max(axis=1))
 

@@ -551,3 +551,69 @@ def dataclasses_replace_pool_paths(cfg):
     import dataclasses
 
     return dataclasses.replace(cfg, pool_paths=1)
+
+
+def test_baked_world_table_motion_hits():
+    """2-key matrix motion through the baked world table: per-key world
+    vertices + in-row lerp == the brute inverse-of-lerp tracer (a lerped
+    affine is linear in its entries, so the surfaces are identical; only
+    float order differs)."""
+    from rendertoy3c_tpu.trace.hier_instanced import (
+        baked_world_eligible,
+        build_baked_world_table,
+    )
+    from rendertoy3c_tpu.trace.hierwalk import trace_closest_hier
+
+    iscene = split_order_instanced(_many_boxes_motion(16, seed=7))
+    assert iscene.num_keys == 2 and baked_world_eligible(iscene)
+    tab, stride = build_baked_world_table(iscene)
+    bc, _ba = make_instanced_tracer(iscene)
+    o, d = _rand_rays(2048, -8.0, 8.0, seed=4)
+    import jax.numpy as jnp
+
+    for tv in (0.0, 0.37, 1.0):
+        t_col = jnp.full((o.shape[0],), jnp.float32(tv))
+        h = trace_closest_hier(tab, o, d, 1e-3, 1e16, time=t_col)
+        b = bc(o, d, 1e-3, 1e16, t_col, None)
+        eff = np.asarray(h.prim)
+        inst = np.where(eff >= 0, eff // stride, -1)
+        prim = np.where(eff >= 0, eff - inst * stride, -1)
+        mism = (prim != np.asarray(b.prim)) | (inst != np.asarray(b.inst))
+        assert mism.mean() < 0.01, f"t={tv}: {mism.sum()} id mismatches"
+        ok = ~mism & (prim >= 0)
+        np.testing.assert_allclose(np.asarray(h.t)[ok],
+                                   np.asarray(b.t)[ok],
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_baked_walkpool_motion_matches_instanced():
+    """The motion walk pool over the baked 2-key world table renders the
+    brute instanced tracer's image (RT3C_INST_BAKE=2 forces the bake)."""
+    from rendertoy3c_tpu.integrate.config import RenderConfig
+    from rendertoy3c_tpu.integrate.path import render_frame
+    from rendertoy3c_tpu.integrate.walkpool import (
+        make_inst_walkpool_pipeline,
+    )
+    from rendertoy3c_tpu.scene.camera import Camera
+
+    iscene = split_order_instanced(_many_boxes_motion(12, seed=31))
+    cam = Camera(eye=(0.0, 6.0, 14.0), lookat=(0.0, 1.0, 0.0),
+                 fov_y=45.0, aspect_ratio=1.0)
+    cfg = RenderConfig(width=24, height=24, samples_per_launch=2,
+                       max_depth=4, ray_block=512, integrator="pool",
+                       pool_pixel_major=True)
+    import os
+
+    os.environ["RT3C_INST_BAKE"] = "2"
+    try:
+        wp = make_inst_walkpool_pipeline(iscene, cfg)
+    finally:
+        del os.environ["RT3C_INST_BAKE"]
+    assert wp.inst_stride > 0 and wp.motion and wp.shadow_w == 16
+    f_w, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=wp)
+    f_b, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
+                          tracer=make_instanced_tracer(iscene))
+    d = np.abs(np.asarray(f_w.accum[..., :3])
+               - np.asarray(f_b.accum[..., :3]))
+    assert d.mean() < 5e-3 and d.max() < 0.35, (d.mean(), d.max())
