@@ -97,11 +97,23 @@ def _parity_gate(cfg_kwargs):
     img_fused = render(make_fused_pipeline(scene, cfg))
     img_xla = render(None)
     diff = np.abs(img_fused - img_xla)
-    if diff.mean() > 5e-3 or diff.max() > 0.35:
+    # The two integrators share per-path semantics but not float op order
+    # (Mosaic vs XLA rsqrt/fma, and the in-kernel refill computes the
+    # camera ray in-kernel), so a last-ulp RR/p_rr difference occasionally
+    # flips one sample's survival and that pixel diverges by O(L) at
+    # 2 spp. Measured r5: 4-5 isolated pixels per 96^2 frame either way
+    # (max 0.21 XLA-refill, 2.31 in-kernel refill); a 64-subframe average
+    # converges to mean|d| 1.8e-6, max 9.6e-4 — unbiased noise, not a
+    # bug. The gate therefore bounds the MEAN tightly and allows a
+    # handful of isolated outlier pixels; systematic disagreement (wrong
+    # shading, dropped/duplicated samples) moves the mean or floods the
+    # outlier count.
+    outliers = int((diff.max(axis=-1) > 0.35).sum())
+    if diff.mean() > 2e-3 or outliers > 8:
         raise RuntimeError(
             f"fused-vs-XLA parity gate FAILED: mean|d|={diff.mean():.4g} "
-            f"max|d|={diff.max():.4g} — Mosaic kernels disagree with the "
-            "XLA integrator on hardware"
+            f"max|d|={diff.max():.4g} outliers={outliers} — Mosaic "
+            "kernels disagree with the XLA integrator on hardware"
         )
     print(f"parity gate ok: mean|d|={diff.mean():.2e} "
           f"max|d|={diff.max():.2e}", file=sys.stderr)
