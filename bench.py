@@ -353,7 +353,10 @@ def _kernel_floor_profiled(step, cam_p, mk_film):
 
     rows = profile_step(lambda f: step(cam_p, f), top=400,
                         rearm=lambda: (mk_film(),))
-    kernel = sum(ms for name, ms, _c in rows if name.startswith("shade"))
+    # the in-kernel-refill megakernel lowers as trace_shade_refill.*;
+    # the classic fused/external kernels as shade.*
+    kernel = sum(ms for name, ms, _c in rows
+                 if name.startswith(("shade", "trace_shade")))
     total = max((ms for name, ms, _c in rows
                  if name.startswith("jit_step")), default=0.0)
     return kernel, total

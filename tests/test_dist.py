@@ -200,6 +200,24 @@ def test_instanced_walkpool_factory_dist(inst_cornell):
     _dist_vs_single(scene2, camera, cfg, fac, strict=False)
 
 
+def test_baked_instanced_walkpool_factory_dist(inst_cornell,
+                                               monkeypatch):
+    """The BAKED world-space instanced walk pool under the mesh
+    (RT3C_INST_BAKE=2 forces the bake at test scale): the plain-round
+    walk + eff-id boundary decode must shard bit-identically."""
+    from rendertoy3c_tpu.integrate.walkpool import WalkPoolPipeline
+    from rendertoy3c_tpu.parallel.dist import prepare_tracer_factory
+
+    monkeypatch.setenv("RT3C_INST_BAKE", "2")
+    iscene, camera = inst_cornell
+    cfg = _small_cfg(integrator="pool", ray_block=256, max_depth=3)
+    scene2, fac = prepare_tracer_factory(iscene, cfg, kind="walkpool")
+    tracer = fac(scene2, None, cfg)
+    assert isinstance(tracer, WalkPoolPipeline)
+    assert tracer.instanced and tracer.inst_stride > 0
+    _dist_vs_single(scene2, camera, cfg, fac, strict=False)
+
+
 @pytest.fixture(scope="module")
 def town16k(tmp_path_factory):
     """A reduced genassets town: >=16k faces -> a multi-level hier table
