@@ -866,6 +866,10 @@ def build_baked_world_table(iscene, fanout: int = 0):
     # directory fanout/grouping: the same fixed-16-vs-20 half-area
     # comparator as build_hier_table (uniform fields keep fixed 16-ary;
     # irregular layouts take DP-grouped 20-ary runs)
+    if fanout not in (0, FANOUT, FANOUT20):
+        raise ValueError(
+            f"baked world tables support fanout 0 (auto), {FANOUT} or "
+            f"{FANOUT20} (bf16-packed 32-ary rows are not built here)")
     var = bool(_VAR_DIR)
     if fanout == 0:
         if (_dir_half_area_sum(leaf_lo, leaf_hi, FANOUT)

@@ -1304,6 +1304,28 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                     jax.ShapeDtypeStruct((r_pad, 8), jnp.float32))
             out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             out_shape.append(jax.ShapeDtypeStruct((4,), jnp.int32))
+            # alias the per-lane state buffers in->out (indices count the
+            # scalar-prefetch operands): each grid step reads and writes
+            # only its own tile, so in-place HBM update is hazard-free and
+            # XLA drops the three per-iteration carry copies the while
+            # loop otherwise pays (~150us/iter at 65k lanes, r5 profile).
+            # RT3C_KALIAS=0 reverts for A/B.
+            aliases = {3: 0}  # rays -> rays_out
+            nin = 4
+            if motion:
+                time_in_idx = nin
+                nin += 1
+            aliases[nin] = 1  # misc16 -> misc_out
+            nin += 1
+            out_i = 2
+            if use_stash:
+                aliases[nin] = out_i
+                nin += 1
+                out_i += 1
+            if motion:
+                aliases[time_in_idx] = out_i
+            if _os.environ.get("RT3C_KALIAS", "1") == "0":
+                aliases = {}
             return pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1338,6 +1360,7 @@ def make_fused_shader(scene, cfg, soup, soup1=None,
                     scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
                 ),
                 out_shape=tuple(out_shape),
+                input_output_aliases=aliases,
                 interpret=interpret,
             )(count, sci, scf, rays, *time_in, misc16, *stash_in,
               *tris_tables, soup_aabb, soup_super, attr, lights,
