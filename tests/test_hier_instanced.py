@@ -564,9 +564,18 @@ def test_baked_world_table_motion_hits():
     )
     from rendertoy3c_tpu.trace.hierwalk import trace_closest_hier
 
+    import os
+
     iscene = split_order_instanced(_many_boxes_motion(16, seed=7))
-    assert iscene.num_keys == 2 and baked_world_eligible(iscene)
-    tab, stride = build_baked_world_table(iscene)
+    # motion bakes are gated off the auto path (measured slower: baked
+    # boxes bound ALL t) — RT3C_INST_BAKE=2 forces them for this parity
+    assert iscene.num_keys == 2 and not baked_world_eligible(iscene)
+    os.environ["RT3C_INST_BAKE"] = "2"
+    try:
+        assert baked_world_eligible(iscene)
+        tab, stride = build_baked_world_table(iscene)
+    finally:
+        del os.environ["RT3C_INST_BAKE"]
     bc, _ba = make_instanced_tracer(iscene)
     o, d = _rand_rays(2048, -8.0, 8.0, seed=4)
     import jax.numpy as jnp
