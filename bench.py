@@ -109,7 +109,7 @@ def _parity_gate(cfg_kwargs):
     # shading, dropped/duplicated samples) moves the mean or floods the
     # outlier count.
     outliers = int((diff.max(axis=-1) > 0.35).sum())
-    if diff.mean() > 2e-3 or outliers > 8:
+    if diff.mean() > 2e-3 or outliers > 8 or diff.max() > 8.0:
         raise RuntimeError(
             f"fused-vs-XLA parity gate FAILED: mean|d|={diff.mean():.4g} "
             f"max|d|={diff.max():.4g} outliers={outliers} — Mosaic "
@@ -530,9 +530,13 @@ def run_config_suite(cfg_kwargs, warmup, timed):
     scene, cam = _town_scene(1000000, untextured=True)
     record("large_scene_1M", scene, cam, cfg_sorted, timed_c=2)
 
-    # scale sweep: trace-time instancing at scale — 578 instances sharing
-    # one 972-face mesh (562k effective faces, geometry stored once; the
-    # instanced walk pool's band, cuda_accel.h:92-150 IAS semantics)
+    # scale sweep: instancing at scale — 578 instances sharing one
+    # 972-face mesh (562k effective faces; cuda_accel.h:92-150 IAS
+    # semantics). Static fields auto-bake a pre-transformed world-space
+    # TABLE (r5: scene arrays stay single-copy, the acceleration table
+    # duplicates leaf rows — 13.0 -> 18.5 Mray/s); the space-switching
+    # trace-time walk remains measured by multi_instance_motion and
+    # multi_instance_tracetime below.
     iscene_big, icam_big = _instance_field_scene()
     record("multi_instance_large", iscene_big, icam_big, cfg, timed_c=2)
 

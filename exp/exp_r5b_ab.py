@@ -22,8 +22,6 @@ os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import dataclasses
-
 from bench import _bench_step, _box_field_scene, _instance_field_scene, \
     _town_scene
 
@@ -52,11 +50,13 @@ def _get_scene(name):
             scene, cam = _instance_field_scene(motion=True)
         elif name == "inst":
             scene, cam = _instance_field_scene()
+        else:
+            raise ValueError(f"unknown scene {name!r}")
         _SCENES[name] = (scene, cam)
     return _SCENES[name]
 
 
-def run(name, cfgname, env=None, timed=2, sort=None):
+def run(name, cfgname, env=None, timed=2):
     saved = {}
     env = env or {}
     for k, v in env.items():

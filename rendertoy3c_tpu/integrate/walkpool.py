@@ -14,7 +14,7 @@ every lane by exactly ONE walk round (a [W,128] row gather + leaf MT /
 child slab tests + ordered pop), and lanes that finish a walk wait only
 until the next PHASE BOUNDARY (every cfg.walk_phase_every rounds) where
 the masked stages run. The loop nests cond-free — outer while = one
-unconditional framebuffer flush, middle fori = _FLUSH_N boundaries, inner
+unconditional framebuffer flush, middle fori = flush_n boundaries, inner
 fori = K walk rounds — because a lax.cond around loop-carried buffers
 makes XLA copy them every iteration (measured ~40% of the subframe):
 
@@ -73,10 +73,18 @@ from .config import RenderConfig
 # lane completing TWO pixels in one window parks). Measured with the
 # stash on v5e (W=4096): 8/16/32 -> 9.53+7.63 / 9.72+6.91 / 9.20+5.20
 # (49k+200k Mray/s) — short-path scenes complete pixels faster than 16
-# boundaries, so 8 stays the default.
+# boundaries, so 8 stays the default. Resolved at RENDER-FN BUILD time
+# (env > cfg.flush_every > 8) so same-process A/Bs actually move it — a
+# module-import freeze silently pinned 8 for any env set after the first
+# walkpool import (r5 advisor finding).
 import os as _os
 
-_FLUSH_N = int(_os.environ.get("RT3C_FLUSH_N", "8"))
+
+def _flush_n(cfg) -> int:
+    env = _os.environ.get("RT3C_FLUSH_N", "")
+    if env:
+        return int(env)
+    return cfg.flush_every or 8
 
 # Directory fanout for the walk-pool hier tables: 0 = auto (16-ary vs
 # 20-ary exact-f32 by the smaller directory half-area sum — towns pick
@@ -595,6 +603,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     if cfg.walk_phase_every < 0:
         raise ValueError("walk_phase_every must be >= 0 (0 = auto)")
     k_phase = cfg.walk_phase_every or 16
+    flush_n = _flush_n(cfg)
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)
@@ -884,7 +893,7 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
 
     def flush_stage(s):
         # Unconditional scatter + clear of the retire stash. Runs once per
-        # outer iteration (= every _FLUSH_N boundaries): no lax.cond
+        # outer iteration (= every flush_n boundaries): no lax.cond
         # anywhere, so the framebuffer scatter updates the loop-carried
         # image in place and no identity branch copies the [W]-wide state
         # (measured ~650ms/subframe in the cond variants). Lane freeing
@@ -937,9 +946,9 @@ def _render_walkpool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     def outer(s):
         s = flush_stage(s)
         lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
-        lanes = jax.lax.fori_loop(0, _FLUSH_N, super_step, lanes,
+        lanes = jax.lax.fori_loop(0, flush_n, super_step, lanes,
                                   unroll=False)
-        lanes["n_round"] = lanes["n_round"] + _FLUSH_N * k_phase
+        lanes["n_round"] = lanes["n_round"] + flush_n * k_phase
         return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
 
     s = jax.lax.while_loop(cond, outer, state)
@@ -1043,6 +1052,7 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         k_phase = 20
     else:
         k_phase = 16
+    flush_n = _flush_n(cfg)
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)
@@ -1520,9 +1530,9 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     def outer(s):
         s = flush_stage(s)
         lanes = {k: v for k, v in s.items() if k not in _IMG_KEYS}
-        lanes = jax.lax.fori_loop(0, _FLUSH_N, super_step, lanes,
+        lanes = jax.lax.fori_loop(0, flush_n, super_step, lanes,
                                   unroll=False)
-        lanes["n_round"] = lanes["n_round"] + _FLUSH_N * k_phase
+        lanes["n_round"] = lanes["n_round"] + flush_n * k_phase
         return dict(lanes, **{k: s[k] for k in _IMG_KEYS})
 
     s = jax.lax.while_loop(cond, outer, state)

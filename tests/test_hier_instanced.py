@@ -521,11 +521,15 @@ def test_baked_walkpool_matches_instanced():
                        pool_pixel_major=True)
     import os
 
+    _prev = os.environ.get("RT3C_INST_BAKE")
     os.environ["RT3C_INST_BAKE"] = "2"
     try:
         wp = make_inst_walkpool_pipeline(iscene, cfg)
     finally:
-        del os.environ["RT3C_INST_BAKE"]
+        if _prev is None:
+            del os.environ["RT3C_INST_BAKE"]
+        else:
+            os.environ["RT3C_INST_BAKE"] = _prev
     assert wp.inst_stride > 0 and wp.instanced and not wp.motion
     f_w, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
                           tracer=wp)
@@ -570,12 +574,16 @@ def test_baked_world_table_motion_hits():
     # motion bakes are gated off the auto path (measured slower: baked
     # boxes bound ALL t) — RT3C_INST_BAKE=2 forces them for this parity
     assert iscene.num_keys == 2 and not baked_world_eligible(iscene)
+    _prev = os.environ.get("RT3C_INST_BAKE")
     os.environ["RT3C_INST_BAKE"] = "2"
     try:
         assert baked_world_eligible(iscene)
         tab, stride = build_baked_world_table(iscene)
     finally:
-        del os.environ["RT3C_INST_BAKE"]
+        if _prev is None:
+            del os.environ["RT3C_INST_BAKE"]
+        else:
+            os.environ["RT3C_INST_BAKE"] = _prev
     bc, _ba = make_instanced_tracer(iscene)
     o, d = _rand_rays(2048, -8.0, 8.0, seed=4)
     import jax.numpy as jnp
@@ -613,11 +621,15 @@ def test_baked_walkpool_motion_matches_instanced():
                        pool_pixel_major=True)
     import os
 
+    _prev = os.environ.get("RT3C_INST_BAKE")
     os.environ["RT3C_INST_BAKE"] = "2"
     try:
         wp = make_inst_walkpool_pipeline(iscene, cfg)
     finally:
-        del os.environ["RT3C_INST_BAKE"]
+        if _prev is None:
+            del os.environ["RT3C_INST_BAKE"]
+        else:
+            os.environ["RT3C_INST_BAKE"] = _prev
     assert wp.inst_stride > 0 and wp.motion and wp.shadow_w == 16
     f_w, _ = render_frame(iscene, cam.params(), cfg, subframes=1,
                           tracer=wp)
