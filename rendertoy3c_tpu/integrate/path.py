@@ -1470,7 +1470,22 @@ def render_subframe(
     (src/wavefront.cpp:203-222, raygen.cu:75-86). Returns (film, stats).
     """
     if tracer is None:
-        tracer = make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
+        # default to the PRODUCTION ladder on TPU (fused/walk-pool
+        # pipelines; choose_tracer returns (scene, None) on CPU, where
+        # golden tests rely on the brute path). The brute [R, F] sweep at
+        # the default 65536-lane wavefront FAULTS the TPU worker on
+        # ~50k-face scenes (reproduced r5), so raw render_frame calls
+        # must not land there on big scenes.
+        from ..trace.auto import choose_tracer
+
+        # make_render_fn jits this body: keep the host-side table builds
+        # concrete (the scene is a captured constant; see refill_shader)
+        with jax.ensure_compile_time_eval():
+            scene2, auto = choose_tracer(scene, cfg)
+        if auto is not None:
+            scene, tracer = scene2, auto
+        else:
+            tracer = make_bruteforce_tracer(scene, chunk=cfg.tri_chunk)
 
     n_pixels = cfg.width * cfg.height
     pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)

@@ -1053,6 +1053,19 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     else:
         k_phase = 16
     flush_n = _flush_n(cfg)
+    # capacity-2 retire stash (default on; RT3C_STASH2=0 reverts): a
+    # second dense slot catches same-window double completions that would
+    # otherwise park the lane until the flush. Slot 2 rolls into slot 1
+    # at each flush (no extra scatter) and images stay BIT-identical
+    # (per-pixel RNG is keyed by pixel id, so only lane scheduling moves).
+    # Measured v5e at the default cadence 8: 49k 22.2 -> 22.6, 200k
+    # 15.4 -> 15.8, textured 14.4 -> 15.0, 1M 12.7 -> 13.0, motion
+    # instances 11.4 -> 11.7, baked instances par. It does NOT recover
+    # longer cadences (S2+f16 still -4..-30% — the flush-16 cliff is not
+    # parking alone; ROADMAP r6 item 4). AOV renders keep capacity 1
+    # (slot 2 carries no aov columns).
+    stash2 = (_os.environ.get("RT3C_STASH2", "1") == "1"
+              and not cfg.aov)
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
     jump = _lcg_advance_table(spp)
@@ -1113,6 +1126,11 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
         # shared retire stash + framebuffer(s)
         stash_px=jnp.full((pool,), -1.0, jnp.float32),
         stash_rgb=[jnp.zeros((pool,), jnp.float32) for _ in range(3)],
+        **({} if not stash2 else dict(
+            stash2_px=jnp.full((pool,), -1.0, jnp.float32),
+            stash2_rgb=[jnp.zeros((pool,), jnp.float32)
+                        for _ in range(3)],
+        )),
         image=jnp.zeros((n_pix + 1, 3), jnp.float32),
         next_work=jnp.zeros((), jnp.int32),
         # traversal rounds executed (roofline accounting: rows gathered =
@@ -1394,8 +1412,17 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             stash_aov = [jnp.where(can_stash, aacc[j], s["stash_aov"][j])
                          for j in range(6)]
             aacc = [jnp.where(can_stash, 0.0, aacc[j]) for j in range(6)]
-        pixel = jnp.where(can_stash, -1.0, pixel)
-        samp = jnp.where(can_stash, 0.0, samp)
+        if stash2:
+            can_s2 = completed & ~can_stash & (s["stash2_px"] < 0)
+            stash2_px = jnp.where(can_s2, pixel, s["stash2_px"])
+            stash2_rgb = [jnp.where(can_s2, acc[j], s["stash2_rgb"][j])
+                          for j in range(3)]
+            acc = [jnp.where(can_s2, 0.0, acc[j]) for j in range(3)]
+            freed = can_stash | can_s2
+        else:
+            freed = can_stash
+        pixel = jnp.where(freed, -1.0, pixel)
+        samp = jnp.where(freed, 0.0, samp)
         fresh = idle & (pixel < 0)
         rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
         wpix = s["next_work"] + rank
@@ -1473,6 +1500,8 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             btime=_set("btime", btime),
             hvalid=_set("hvalid", hvalid),
             stash_px=stash_px, stash_rgb=stash_rgb,
+            **({} if not stash2 else dict(stash2_px=stash2_px,
+                                          stash2_rgb=stash2_rgb)),
             next_work=next_work, n_rad=n_rad, n_shad=n_shad,
         )
         if cfg.aov:
@@ -1496,9 +1525,18 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
             k: s[k].at[target].add(a, mode="drop", unique_indices=True)
             for (k, _c), a in zip(_IMGS, accs)
         }
-        out["stash_px"] = jnp.full((pool,), -1.0, jnp.float32)
-        out["stash_rgb"] = [jnp.zeros((pool,), jnp.float32)
-                            for _ in range(3)]
+        if stash2:
+            # slot 2 rolls into the just-cleared slot 1 (a dense lane-wise
+            # move, no extra scatter); its entries wait <= 1 extra window
+            out["stash_px"] = s["stash2_px"]
+            out["stash_rgb"] = list(s["stash2_rgb"])
+            out["stash2_px"] = jnp.full((pool,), -1.0, jnp.float32)
+            out["stash2_rgb"] = [jnp.zeros((pool,), jnp.float32)
+                                 for _ in range(3)]
+        else:
+            out["stash_px"] = jnp.full((pool,), -1.0, jnp.float32)
+            out["stash_rgb"] = [jnp.zeros((pool,), jnp.float32)
+                                for _ in range(3)]
         if cfg.aov:
             out["stash_aov"] = [jnp.zeros((pool,), jnp.float32)
                                 for _ in range(6)]
@@ -1558,6 +1596,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     sp = s["stash_px"]
     starget = jnp.where(sp >= 0, sp.astype(jnp.int32) - pixel_base,
                         n_pix + 1)
+    if stash2:
+        sp2 = s["stash2_px"]
+        s2target = jnp.where(sp2 >= 0, sp2.astype(jnp.int32) - pixel_base,
+                             n_pix + 1)
     ptargets = []
     for p in range(P):
         pixel = s["mc"][p][13]
@@ -1569,6 +1611,10 @@ def _render_pipepool(scene, cfg: RenderConfig, cam, pipe: WalkPoolPipeline,
     def final_img(key, c, stash_vals):
         img = s[key].at[starget].add(jnp.stack(stash_vals, axis=1),
                                      mode="drop", unique_indices=True)
+        if stash2 and key == "image":
+            img = img.at[s2target].add(
+                jnp.stack(s["stash2_rgb"], axis=1),
+                mode="drop", unique_indices=True)
         for p in range(P):
             img = img.at[ptargets[p]].add(
                 jnp.stack(s["mc"][p][c:c + 3], axis=1),
