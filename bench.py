@@ -95,7 +95,11 @@ def _parity_gate(cfg_kwargs):
         return np.asarray(film.accum[..., :3])
 
     img_fused = render(make_fused_pipeline(scene, cfg))
-    img_xla = render(None)
+    # explicit brute pair: tracer=None now routes through the auto ladder
+    # on TPU (r5), which would compare the fused pipeline against itself
+    from rendertoy3c_tpu.trace.intersect import make_bruteforce_tracer
+
+    img_xla = render(make_bruteforce_tracer(scene, chunk=cfg.tri_chunk))
     diff = np.abs(img_fused - img_xla)
     # The two integrators share per-path semantics but not float op order
     # (Mosaic vs XLA rsqrt/fma, and the in-kernel refill computes the
